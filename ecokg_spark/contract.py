@@ -1,0 +1,973 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+One entry per implemented operator family from SURVEY.md §2 plus the
+training-data toolkit. Each Spark callable takes (spark, sf_dir) and reads
+the driver's parquet tables; the oracle string is the same computation in
+DuckDB SQL over pre-registered views. Column names and types are aligned on
+both sides (aggregates computed through DECIMAL so float sums are exact and
+bit-identical across engines).
+
+Non-SQL-expressible ops (MinHash-LSH, SimHash, ANN-LSH, the full KG
+pipeline) have no oracle entry -> driver records rows-only checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecokg_spark.functions.curie import (
+    collapse_uniprot_curie,
+    curie_prefix,
+    guess_bl_category,
+    make_curie,
+    priority_coalesce,
+)
+from ecokg_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from ecokg_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ecokg_spark.operators.components import canonical_map
+from ecokg_spark.operators.extract import extract_text_udf
+from ecokg_spark.operators.linking import build_termlist, link_mentions
+from ecokg_spark.operators.merge import merge_edges, merge_nodes
+from ecokg_spark.operators.multimodal import extract_media_meta
+from ecokg_spark.operators.similarity import brute_force_topk, lsh_topk
+from ecokg_spark.operators.stats import count_by_predicate
+from ecokg_spark.operators.triples import extract_triple_udf
+from ecokg_spark.pipeline import build_kg
+from ecokg_spark.sources.pages import synth_pages
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec_sum(col, scale: int = 2):
+    """Exact float sum: decimal-accumulate, emit double (bit-identical on
+    any engine / any partitioning)."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+_NORM_SQL = "trim(regexp_replace({c}, '[ \\t\\r\\n]+', ' ', 'g'))"
+
+
+# --------------------------------------------------------------------------
+# relational kernel (SURVEY.md §2.2-2.5 operator classes)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf):
+    """A-agg family: multi-aggregate scan with pushed filter (TPC-H Q1)."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_count_by_category(spark, sf):
+    """EP3 golden query shape: count rows by category column (documents)."""
+    d = t(spark, sf, "documents")
+    return d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+SQL_COUNT_BY_CATEGORY = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang, source
+"""
+
+
+def q_filter_project(spark, sf):
+    """P1/P2: IN-list + range predicates pushed to the scan."""
+    c = t(spark, sf, "customer")
+    return c.where(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY") & (F.col("c_acctbal") > 1000.0)
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_FILTER_PROJECT = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_mktsegment IN ('BUILDING','MACHINERY') AND c_acctbal > 1000.0
+"""
+
+
+def q_semi_join(spark, sf):
+    """J5: left-semi join (orders whose customer is in a segment)."""
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    seg = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        o.join(seg, o["o_custkey"] == seg["c_custkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join(spark, sf):
+    """Quarantine shape: customers with no orders (anti-join), per nation."""
+    o, c = t(spark, sf, "orders"), t(spark, sf, "customer")
+    return (
+        c.join(o.select("o_custkey"), c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def q_broadcast_join_agg(spark, sf):
+    """J1: broadcast-dim equi-join + aggregate (lineitem x part)."""
+    li, p = t(spark, sf, "lineitem"), t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(dec_sum("l_quantity").alias("sum_qty"),
+             F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
+SQL_BROADCAST_JOIN_AGG = """
+SELECT p_brand, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand
+"""
+
+
+def q_multi_join(spark, sf):
+    """J3 family: 4-way join, revenue per region."""
+    r, n = t(spark, sf, "region"), t(spark, sf, "nation")
+    c, o = t(spark, sf, "customer"), t(spark, sf, "orders")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(dec_sum("o_totalprice").alias("revenue"),
+             F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+SQL_MULTI_JOIN = """
+SELECT r_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_explode_tokens(spark, sf):
+    """J6/J7 explode fanout: split + explode + count."""
+    p = t(spark, sf, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+SQL_EXPLODE_TOKENS = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT unnest(string_split(p_type, ' ')) AS token FROM part
+) GROUP BY token
+"""
+
+
+def q_first_wins(spark, sf):
+    """A2 first-wins semantics: earliest order per customer via window."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+SQL_FIRST_WINS = """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def q_union_merge(spark, sf):
+    """J8 union-merge: heterogeneous sources -> union -> count by prefix."""
+    c, s = t(spark, sf, "customer"), t(spark, sf, "supplier")
+    a = c.select(make_curie("C", "c_custkey").alias("id"), F.col("c_name").alias("name"))
+    b = s.select(make_curie("S", "s_suppkey").alias("id"), F.col("s_name").alias("name"))
+    u = a.unionByName(b).dropDuplicates(["id"])
+    return u.groupBy(curie_prefix("id").alias("prefix")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+SQL_UNION_MERGE = """
+SELECT split_part(id, ':', 1) AS prefix, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT DISTINCT * FROM (
+    SELECT 'C:' || CAST(c_custkey AS VARCHAR) AS id, c_name AS name FROM customer
+    UNION ALL
+    SELECT 'S:' || CAST(s_suppkey AS VARCHAR) AS id, s_name AS name FROM supplier
+  )
+) GROUP BY prefix
+"""
+
+
+def q_window_topk(spark, sf):
+    """Window top-k: 3 priciest orders per customer."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_topk_limit(spark, sf):
+    """Global deterministic top-k (sort + limit)."""
+    o = t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+SQL_TOPK_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_case_chain(spark, sf):
+    """F7 conditional chain: account-balance banding."""
+    c = t(spark, sf, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return c.groupBy(band.alias("band")).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+SQL_CASE_CHAIN = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 1000 THEN 'low'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer GROUP BY band
+"""
+
+
+def q_string_funcs(spark, sf):
+    """F1-F6 string family on part rows (row-level value check)."""
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("upper_name"),
+        F.substring_index("p_type", " ", 1).alias("first_type_word"),
+        F.regexp_replace("p_brand", "#", "-").alias("brand_norm"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.lower("p_name")).alias("lower_trim"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT p_partkey, upper(p_name) AS upper_name,
+       split_part(p_type, ' ', 1) AS first_type_word,
+       regexp_replace(p_brand, '#', '-', 'g') AS brand_norm,
+       p_brand || '|' || p_type AS brand_type,
+       trim(lower(p_name)) AS lower_trim
+FROM part
+"""
+
+
+def q_curie_ops(spark, sf):
+    """CURIE build + prefix-based category guess + isoform collapse."""
+    n = t(spark, sf, "nation")
+    ids = n.select(
+        make_curie("NAT", "n_name").alias("curie"),
+        F.when(F.col("n_nationkey") % 3 == 0,
+               F.concat(F.lit("UniProtKB:P"), F.col("n_nationkey"), F.lit("-2")))
+        .when(F.col("n_nationkey") % 3 == 1, F.concat(F.lit("GO:"), F.col("n_nationkey")))
+        .otherwise(F.concat(F.lit("X:"), F.col("n_nationkey"))).alias("xid"),
+    )
+    return ids.select(
+        "curie",
+        curie_prefix("curie").alias("prefix"),
+        guess_bl_category("xid").alias("category"),
+        collapse_uniprot_curie("xid").alias("collapsed"),
+    )
+
+
+SQL_CURIE_OPS = """
+WITH ids AS (
+  SELECT 'NAT:' || n_name AS curie,
+         CASE WHEN n_nationkey % 3 = 0 THEN 'UniProtKB:P' || CAST(n_nationkey AS VARCHAR) || '-2'
+              WHEN n_nationkey % 3 = 1 THEN 'GO:' || CAST(n_nationkey AS VARCHAR)
+              ELSE 'X:' || CAST(n_nationkey AS VARCHAR) END AS xid
+  FROM nation
+)
+SELECT curie, split_part(curie, ':', 1) AS prefix,
+       CASE WHEN split_part(xid, ':', 1) IN ('UniProtKB','ComplexPortal') THEN 'biolink:Protein'
+            WHEN split_part(xid, ':', 1) = 'GO' THEN 'biolink:OntologyClass'
+            ELSE 'biolink:NamedThing' END AS category,
+       CASE WHEN regexp_matches(xid, '^(?i)uniprotkb:')
+            THEN regexp_replace(xid, '-\\d+$', '')
+            ELSE xid END AS collapsed
+FROM ids
+"""
+
+
+def q_priority_coalesce(spark, sf):
+    """get_item_by_priority semantics: first non-empty by priority."""
+    e = t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        priority_coalesce("props", "event_type").alias("picked"),
+    )
+
+
+SQL_PRIORITY_COALESCE = """
+SELECT event_id, COALESCE(NULLIF(props, ''), NULLIF(event_type, '')) AS picked FROM events
+"""
+
+
+def q_count_by_spo(spark, sf):
+    """A3 graph-stats facet: (subject-class, predicate, object-class) counts
+    over edges synthesized from orders."""
+    o = t(spark, sf, "orders")
+    e = o.select(
+        make_curie("C", "o_custkey").alias("subject"),
+        F.col("o_orderpriority").alias("predicate"),
+        F.col("o_orderstatus").alias("object"),
+    )
+    return e.groupBy("predicate", "object").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+SQL_COUNT_BY_SPO = """
+SELECT o_orderpriority AS predicate, o_orderstatus AS object,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_events_window(spark, sf):
+    """Tumbling event-time window aggregation (streaming-compatible shape)."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             dec_sum("value").alias("sum_value"))
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity) per user via lag."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("_new").cast("long").alias("n_sessions"),
+             F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+) GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis / training-data ops (documents table)
+# --------------------------------------------------------------------------
+
+def q_token_count(spark, sf):
+    d = t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT lang,
+       CAST(SUM(CASE WHEN length({_NORM_SQL.format(c='text')}) = 0 THEN 0
+                     ELSE len(string_split({_NORM_SQL.format(c='text')}, ' ')) END) AS BIGINT)
+           AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_buckets(spark, sf):
+    """Quality-score distribution (score is a small exact-valued lattice)."""
+    d = t(spark, sf, "documents")
+    return d.groupBy(quality_score("text").alias("quality")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+# same character class as functions.text.PUNCT_CLASS; the single quote is
+# doubled for the SQL string literal
+_PUNCT_SQL = "[.,;:!?''\"()\\[\\]{}-]"
+SQL_QUALITY_BUCKETS = f"""
+WITH q AS (
+  SELECT (CASE WHEN length(text) >= 20 AND length(text) <= 100000 THEN 0.4 ELSE 0.0 END
+         + CASE WHEN CAST(length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1) < 0.2 THEN 0.3 ELSE 0.0 END
+         + CASE WHEN CAST(len(list_filter(string_split(lower({_NORM_SQL.format(c='text')}), ' '),
+                                          x -> list_contains(['the','and','of','to','is'], x))) AS DOUBLE)
+                     / greatest(CASE WHEN length({_NORM_SQL.format(c='text')}) = 0 THEN 0
+                                     ELSE len(string_split({_NORM_SQL.format(c='text')}, ' ')) END, 1)
+                     > 0.02 THEN 0.3 ELSE 0.0 END) AS quality
+  FROM documents
+)
+SELECT quality, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY quality
+"""
+
+
+def q_lang_id(spark, sf):
+    d = t(spark, sf, "documents")
+    return d.groupBy(lang_id("text").alias("lang_guess")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def _marker_sql(markers: list[str]) -> str:
+    lst = ",".join(f"'{m}'" for m in markers)
+    return (f"len(list_filter(string_split(lower({_NORM_SQL.format(c='text')}), ' '), "
+            f"x -> list_contains([{lst}], x)))")
+
+
+SQL_LANG_ID = f"""
+WITH m AS (
+  SELECT {_marker_sql(['the','and','of','to','is'])} AS en,
+         {_marker_sql(['der','die','und','ist','das'])} AS de,
+         {_marker_sql(['le','la','et','les','est'])} AS fr
+  FROM documents
+)
+SELECT CASE WHEN en = 0 AND de = 0 AND fr = 0 THEN 'und'
+            WHEN en >= de AND en >= fr THEN 'en'
+            WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_guess,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM m GROUP BY 1
+"""
+
+
+def q_fingerprint(spark, sf):
+    """Row-level md5 fingerprint parity."""
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, md5(lower({_NORM_SQL.format(c='text')})) AS fingerprint FROM documents
+"""
+
+
+def q_exact_dedup(spark, sf):
+    """Exact dedup survivors (min doc_id per fingerprint) per source."""
+    d = t(spark, sf, "documents")
+    fp = d.withColumn("_fp", doc_fingerprint("text"))
+    keep = fp.groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+    surv = fp.join(keep, ["_fp", "doc_id"], "inner")
+    return surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+    )
+
+
+SQL_EXACT_DEDUP = f"""
+WITH fp AS (SELECT doc_id, source, md5(lower({_NORM_SQL.format(c='text')})) AS f FROM documents),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_unique
+FROM fp JOIN keep USING (f, doc_id) GROUP BY source
+"""
+
+
+_SHINGLE_SQL = f"""(
+  CASE WHEN len(string_split(lower({_NORM_SQL.format(c='text')}), ' ')) <= 3
+       THEN [array_to_string(string_split(lower({_NORM_SQL.format(c='text')}), ' '), ' ')]
+       ELSE list_transform(
+              range(1, len(string_split(lower({_NORM_SQL.format(c='text')}), ' ')) - 1),
+              i -> array_to_string(
+                     list_slice(string_split(lower({_NORM_SQL.format(c='text')}), ' '), i, i + 2),
+                     ' '))
+  END)"""
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact 3-gram Jaccard near-dup pairs, blocked by source."""
+    d = t(spark, sf, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", block_col="source",
+                               n=3, threshold=0.05)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, source, unnest(list_distinct({_SHINGLE_SQL})) AS s FROM documents
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
+"""
+
+
+def q_minhash_neardup(spark, sf):
+    """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 has
+    no DuckDB twin; determinism guaranteed by fixed seeds)."""
+    d = t(spark, sf, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+def q_simhash_neardup(spark, sf):
+    """SimHash hamming<=3 near-dup pairs (rows-only check)."""
+    d = t(spark, sf, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings table)
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf):
+    """Exact brute-force cosine top-10 for 3 query vectors."""
+    e = t(spark, sf, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2))
+    return brute_force_topk(e, qs, k=10).select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id IN (0,1,2)),
+sims AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+             AS cos
+  FROM embeddings c CROSS JOIN q
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM sims
+) WHERE rank <= 10
+"""
+
+
+def q_embedding_neardup(spark, sf):
+    """Cosine >= 0.99 near-dup pairs blocked by label."""
+    e = t(spark, sf, "embeddings")
+    return embedding_neardup_pairs(e, "embedding", "vec_id",
+                                   block_col="label", threshold=0.99).select("id_a", "id_b")
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+      >= 0.99
+"""
+
+
+def q_ann_lsh_topk(spark, sf):
+    """Approximate top-k via random-hyperplane LSH (rows-only check)."""
+    e = t(spark, sf, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2))
+    return lsh_topk(e, qs, k=10, dim=64).select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# KG-pipeline operators exercised against SQL-checkable inputs
+# --------------------------------------------------------------------------
+
+def q_extract_html(spark, sf):
+    """EXTRACT_SPEC v1 Arrow UDF vs SQL oracle: wrap documents.text in
+    boilerplate HTML, extract, sha256 the result."""
+    d = t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>d</title><script>var x=1;</script></head>"
+              "<body><nav>Nav &amp; menu</nav><p>"),
+        F.col("text"),
+        F.lit("</p><footer>foot</footer></body></html>"),
+    )
+    pages = d.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return pages.select(
+        "doc_id",
+        F.sha2(F.encode(extract_text_udf("html"), "UTF-8"), 256).alias("text_sha256"),
+    )
+
+
+SQL_EXTRACT_HTML = f"""
+SELECT doc_id, sha256({_NORM_SQL.format(c='text')}) AS text_sha256 FROM documents
+"""
+
+
+def q_triple_extract(spark, sf):
+    """ReVerb-lite pandas-UDF extraction vs declarative oracle: sentences
+    synthesized from nation x region, extraction must recover the join."""
+    n, r = t(spark, sf, "nation"), t(spark, sf, "region")
+    sents = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        F.concat(F.col("n_name"), F.lit(" found in "), F.col("r_name"), F.lit(".")).alias("sentence")
+    )
+    tr = sents.withColumn("t", extract_triple_udf("sentence"))
+    return tr.select(
+        F.col("t.subj_mention").alias("subj_mention"),
+        F.col("t.verb").alias("verb"),
+        F.col("t.obj_mention").alias("obj_mention"),
+    )
+
+
+SQL_TRIPLE_EXTRACT = """
+SELECT n_name AS subj_mention, 'found in' AS verb, r_name AS obj_mention
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_entity_link(spark, sf):
+    """Dictionary exact linking vs SQL oracle: uppercased nation-name
+    mentions link back to their curies through the broadcast termlist."""
+    n = t(spark, sf, "nation")
+    aliases = n.select(
+        make_curie("NAT", F.lpad(F.col("n_nationkey").cast("string"), 2, "0")).alias("curie"),
+        F.col("n_name").alias("name"),
+        F.lit(None).cast("string").alias("synonym"),
+        F.lit("biolink:OrganismTaxon").alias("category"),
+        F.lit("tpch").alias("provided_by"),
+    )
+    termlist = build_termlist(aliases)
+    mentions = n.select(F.upper("n_name").alias("mention"))
+    hit, _miss = link_mentions(mentions, termlist, "mention", fuzzy=False)
+    return hit.select("mention", "curie")
+
+
+SQL_ENTITY_LINK = """
+SELECT upper(n_name) AS mention,
+       'NAT:' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS curie
+FROM nation
+"""
+
+
+def q_termlist_explode(spark, sf):
+    """Termlist builder: synonym explode + Publication exclusion (U1/P8)."""
+    n = t(spark, sf, "nation")
+    aliases = n.select(
+        make_curie("NAT", F.lpad(F.col("n_nationkey").cast("string"), 2, "0")).alias("curie"),
+        F.col("n_name").alias("name"),
+        F.concat(F.col("n_name"), F.lit("_a|"), F.col("n_name"), F.lit("_b")).alias("synonym"),
+        F.when(F.col("n_regionkey") == 0, "biolink:Publication")
+        .otherwise("biolink:OrganismTaxon").alias("category"),
+        F.lit("tpch").alias("provided_by"),
+    )
+    return build_termlist(aliases).select("curie", "term")
+
+
+SQL_TERMLIST_EXPLODE = """
+WITH base AS (
+  SELECT 'NAT:' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS curie, n_name
+  FROM nation WHERE n_regionkey <> 0
+)
+SELECT curie, n_name AS term FROM base
+UNION ALL SELECT curie, n_name || '_a' FROM base
+UNION ALL SELECT curie, n_name || '_b' FROM base
+"""
+
+
+def q_connected_components(spark, sf):
+    """Large-star/small-star CC vs closed-form oracle: chain nations within
+    each region; components must equal the region groups."""
+    n = t(spark, sf, "nation")
+    node = make_curie("N", F.lpad(F.col("n_nationkey").cast("string"), 2, "0"))
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    ranked = n.select(F.col("n_regionkey"), node.alias("node"),
+                      F.row_number().over(w).alias("rn"))
+    a = ranked.select("n_regionkey", F.col("node").alias("u"), "rn")
+    b = ranked.select("n_regionkey", F.col("node").alias("v"),
+                      (F.col("rn") - 1).alias("rn"))
+    edges = a.join(b, ["n_regionkey", "rn"]).select("u", "v")
+    allnodes = ranked.select(F.col("node"))
+    return canonical_map(edges, allnodes).select("node", F.col("canonical").alias("component"))
+
+
+SQL_CONNECTED_COMPONENTS = """
+SELECT 'N:' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS node,
+       'N:' || lpad(CAST(min(n_nationkey) OVER (PARTITION BY n_regionkey) AS VARCHAR), 2, '0')
+           AS component
+FROM nation
+"""
+
+
+def q_kgx_merge(spark, sf):
+    """KGX id-merge: two overlapping node sources with different property
+    coverage -> first-non-null merge + '|'-joined provenance."""
+    n = t(spark, sf, "nation")
+    node_id = make_curie("N", F.lpad(F.col("n_nationkey").cast("string"), 2, "0"))
+    src_a = n.select(node_id.alias("id"), F.col("n_name").alias("name"),
+                     F.lit("src_a").alias("provided_by"))
+    src_b = n.where(F.col("n_nationkey") % 2 == 0).select(
+        node_id.alias("id"), F.lower("n_name").alias("name"),
+        F.lit("src_b").alias("provided_by"))
+    return merge_nodes([src_a, src_b])
+
+
+SQL_KGX_MERGE = """
+WITH u AS (
+  SELECT 'N:' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS id, n_name AS name,
+         'src_a' AS provided_by FROM nation
+  UNION ALL
+  SELECT 'N:' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS id, lower(n_name) AS name,
+         'src_b' AS provided_by FROM nation WHERE n_nationkey % 2 = 0
+)
+SELECT id, min(name) AS name,
+       string_agg(DISTINCT provided_by, '|' ORDER BY provided_by) AS provided_by
+FROM u GROUP BY id
+"""
+
+
+def q_kg_materialize(spark, sf):
+    """Flagship: materialize a KG from the relational tables (graph
+    materialize stage on real inputs) and report edge stats by predicate."""
+    o, li = t(spark, sf, "orders"), t(spark, sf, "lineitem")
+    placed = o.select(
+        make_curie("C", "o_custkey").alias("subject"),
+        F.lit("placed").alias("predicate"),
+        make_curie("O", "o_orderkey").alias("object"),
+        F.lit("RO:placed").alias("relation"),
+        F.lit("orders").alias("provided_by"),
+    )
+    contains = li.select(
+        make_curie("O", "l_orderkey").alias("subject"),
+        F.lit("contains").alias("predicate"),
+        make_curie("P", "l_partkey").alias("object"),
+        F.lit("RO:contains").alias("relation"),
+        F.lit("lineitem").alias("provided_by"),
+    )
+    supplies = li.select(
+        make_curie("S", "l_suppkey").alias("subject"),
+        F.lit("supplies").alias("predicate"),
+        make_curie("P", "l_partkey").alias("object"),
+        F.lit("RO:supplies").alias("relation"),
+        F.lit("lineitem").alias("provided_by"),
+    )
+    edges = merge_edges([placed, contains, supplies])
+    return count_by_predicate(edges)
+
+
+SQL_KG_MATERIALIZE = """
+SELECT 'placed' AS predicate, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT DISTINCT o_custkey, o_orderkey FROM orders)
+UNION ALL
+SELECT 'contains', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+UNION ALL
+SELECT 'supplies', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+"""
+
+
+def q_multimodal_meta(spark, sf):
+    """Binary-payload plumbing via mapInPandas (byte length + sha256)."""
+    d = t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text").alias("kind"),
+    )
+    return extract_media_meta(media).select("media_id", "byte_len", "sha256")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_kg_pipeline(spark, sf):
+    """Full north-star pipeline on the synthetic CC corpus (rows-only:
+    multi-stage UDF pipeline is not SQL-expressible)."""
+    n_pages = 400
+    pages = synth_pages(spark, n_pages)
+    out = build_kg(spark, pages)
+    return out["edges"].select("subject", "predicate", "object", "relation")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "count_by_category": q_count_by_category,
+    "filter_project": q_filter_project,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "broadcast_join_agg": q_broadcast_join_agg,
+    "multi_join": q_multi_join,
+    "explode_tokens": q_explode_tokens,
+    "first_wins": q_first_wins,
+    "union_merge": q_union_merge,
+    "window_topk": q_window_topk,
+    "topk_limit": q_topk_limit,
+    "case_chain": q_case_chain,
+    "string_funcs": q_string_funcs,
+    "curie_ops": q_curie_ops,
+    "priority_coalesce": q_priority_coalesce,
+    "count_by_spo": q_count_by_spo,
+    "events_window": q_events_window,
+    "sessionize": q_sessionize,
+    "token_count": q_token_count,
+    "quality_buckets": q_quality_buckets,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "cosine_topk": q_cosine_topk,
+    "embedding_neardup": q_embedding_neardup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "extract_html": q_extract_html,
+    "triple_extract": q_triple_extract,
+    "entity_link": q_entity_link,
+    "termlist_explode": q_termlist_explode,
+    "connected_components": q_connected_components,
+    "kgx_merge": q_kgx_merge,
+    "kg_materialize": q_kg_materialize,
+    "multimodal_meta": q_multimodal_meta,
+    "kg_pipeline": q_kg_pipeline,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": SQL_PRICING,
+    "count_by_category": SQL_COUNT_BY_CATEGORY,
+    "filter_project": SQL_FILTER_PROJECT,
+    "semi_join": SQL_SEMI_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
+    "multi_join": SQL_MULTI_JOIN,
+    "explode_tokens": SQL_EXPLODE_TOKENS,
+    "first_wins": SQL_FIRST_WINS,
+    "union_merge": SQL_UNION_MERGE,
+    "window_topk": SQL_WINDOW_TOPK,
+    "topk_limit": SQL_TOPK_LIMIT,
+    "case_chain": SQL_CASE_CHAIN,
+    "string_funcs": SQL_STRING_FUNCS,
+    "curie_ops": SQL_CURIE_OPS,
+    "priority_coalesce": SQL_PRIORITY_COALESCE,
+    "count_by_spo": SQL_COUNT_BY_SPO,
+    "events_window": SQL_EVENTS_WINDOW,
+    "sessionize": SQL_SESSIONIZE,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_buckets": SQL_QUALITY_BUCKETS,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "extract_html": SQL_EXTRACT_HTML,
+    "triple_extract": SQL_TRIPLE_EXTRACT,
+    "entity_link": SQL_ENTITY_LINK,
+    "termlist_explode": SQL_TERMLIST_EXPLODE,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
+    "kgx_merge": SQL_KGX_MERGE,
+    "kg_materialize": SQL_KG_MATERIALIZE,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    # rows-only (non-SQL-expressible): minhash_neardup, simhash_neardup,
+    # ann_lsh_topk, kg_pipeline
+}

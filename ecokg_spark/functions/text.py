@@ -1,0 +1,110 @@
+"""Text-analysis column expressions for the training-data pipeline.
+
+All JVM-side (`pyspark.sql.functions` only — whole-stage codegen keeps these
+inside one stage with the scan). Each has a DuckDB-SQL twin in
+``__spark_entry__.oracle_sql`` so the driver cross-checks values.
+
+These extend the reference's string-function surface (SURVEY.md §2.6 F1-F8)
+with the ops a 100 TB web-text pipeline needs: token counting, quality
+scoring, language ID, document fingerprinting, shingling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small multilingual stopword marker sets for the n-gram/language heuristic
+_EN_MARKERS = ["the", "and", "of", "to", "is"]
+_DE_MARKERS = ["der", "die", "und", "ist", "das"]
+_FR_MARKERS = ["le", "la", "et", "les", "est"]
+
+# punctuation class shared verbatim with the DuckDB oracle (dialect-safe:
+# explicit characters, no POSIX classes)
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_ws(col: Column | str) -> Column:
+    """Collapse runs of whitespace to single spaces and trim."""
+    return F.trim(F.regexp_replace(_c(col), "[ \\t\\r\\n]+", " "))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    n = normalize_ws(col)
+    return F.when(F.length(n) == 0, F.lit(0)).otherwise(
+        F.size(F.split(n, " "))
+    ).cast("long")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are punctuation."""
+    c = _c(col)
+    return (
+        (F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, "")))
+        / F.greatest(F.length(c), F.lit(1))
+    ).cast("double")
+
+
+def _marker_hits(col: Column | str, markers: list[str]) -> Column:
+    """How many tokens of `col` (lowered) are in the marker set."""
+    toks = F.split(F.lower(normalize_ws(col)), " ")
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English) stopwords — a classic web-text
+    quality signal (Gopher-style)."""
+    sw = stopwords or _EN_MARKERS
+    return (
+        _marker_hits(col, sw) / F.greatest(token_count(col), F.lit(1))
+    ).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: length band + low punctuation +
+    stopword presence. Deterministic, explainable, SQL-expressible."""
+    c = _c(col)
+    len_ok = F.when((F.length(c) >= 20) & (F.length(c) <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(c) < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(c) > 0.02, F.lit(0.3)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + sw_ok).cast("double")
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-token language heuristic: argmax of en/de/fr marker hits,
+    'und' (undetermined) when all are zero. Ties break en > de > fr."""
+    en, de, fr = (
+        _marker_hits(col, _EN_MARKERS),
+        _marker_hits(col, _DE_MARKERS),
+        _marker_hits(col, _FR_MARKERS),
+    )
+    return (
+        F.when((en == 0) & (de == 0) & (fr == 0), F.lit("und"))
+        .when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the lower-cased,
+    whitespace-collapsed text. Exact-dedup key for web text."""
+    return F.md5(F.lower(normalize_ws(col)))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles of the normalized, lower-cased text
+    (basis for MinHash / n-gram Jaccard dedup). Documents shorter than k
+    tokens yield a single shingle = the whole normalized text."""
+    toks = F.split(F.lower(normalize_ws(col)), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )

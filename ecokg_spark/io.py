@@ -1,0 +1,67 @@
+"""TableIO — storage shim: Iceberg tables when a catalog is configured,
+plain parquet directories otherwise (this sandbox has no Iceberg jar).
+
+The north rule speaks Iceberg; the engine code only ever says
+``TableIO.write(df, "kg.nodes")`` / ``TableIO.read(spark, "kg.nodes")`` so the
+same pipeline runs against either backend. KGX TSV export is kept for parity
+with the reference's on-disk format (eco_kg writes nodes.tsv/edges.tsv via
+``utils/transform_utils.py:66-80``; merge dumps tar.gz TSV per merge.yaml:66-71).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    # an Iceberg catalog is configured iff some spark.sql.catalog.<name> is set
+    confs = spark.sparkContext.getConf().getAll()
+    return any(k.startswith("spark.sql.catalog.") for k, _ in confs)
+
+
+class TableIO:
+    """Reads/writes logical tables ``db.table`` to Iceberg or a parquet root."""
+
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.iceberg = _iceberg_available(spark)
+        self.warehouse = warehouse or os.environ.get(
+            "ECOKG_WAREHOUSE", "/tmp/ecokg_warehouse"
+        )
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.warehouse, *name.split("."))
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+        if self.iceberg:
+            w = df.writeTo(name)
+            if mode == "append":
+                w.append()
+            else:
+                w.createOrReplace()
+            return
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._path(name))
+
+    def read(self, name: str) -> DataFrame:
+        if self.iceberg:
+            return self.spark.table(name)
+        return self.spark.read.parquet(self._path(name))
+
+    def exists(self, name: str) -> bool:
+        if self.iceberg:
+            return self.spark.catalog.tableExists(name)
+        return os.path.isdir(self._path(name))
+
+    def export_kgx_tsv(self, df: DataFrame, out_dir: str, compress: bool = True) -> None:
+        """KGX-parity TSV export (reference: merge.yaml:66-71 tar.gz TSV dump;
+        we keep plain .tsv.gz — the tar wrapper carries no information)."""
+        w = df.write.mode("overwrite").option("sep", "\t").option("header", "true")
+        if compress:
+            w = w.option("compression", "gzip")
+        w.csv(out_dir)

@@ -1,0 +1,237 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five strategies, cheapest-first — each returns either a survivor set or a
+duplicate-pair table so callers can pick keep/drop policy:
+
+  exact_dedup           md5-of-normalized-text groupBy (one shuffle on a
+                        16-byte key; at 100 TB this is the always-first pass)
+  minhash_lsh_pairs     word-shingle MinHash + banded LSH bucket join ->
+                        candidate pairs -> exact Jaccard verify. All hashing
+                        is `xxhash64` Catalyst expressions (JVM, codegen);
+                        the shuffle key is (band_idx, band_hash) — uniform
+                        by construction, no skew.
+  simhash_pairs         64-bit SimHash (Charikar) via bit-vote aggregation
+                        over token hashes, pure expressions; near-dup =
+                        hamming distance <= k via xor+popcount. Banded on
+                        16-bit chunks so candidate generation is a bucket
+                        join, not a cross join.
+  ngram_jaccard_pairs   exact n-gram-set Jaccard via explode + count —
+                        the verifier LSH approximates; also standalone for
+                        small/blocked inputs.
+  embedding_neardup     cosine >= threshold pairs over an embedding column,
+                        blocked to avoid the full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ecokg_spark.functions.text import doc_fingerprint, normalize_ws, word_shingles
+
+MINHASH_K = 64
+BANDS = 16
+ROWS = MINHASH_K // BANDS
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per normalized-text fingerprint."""
+    fp = df.withColumn("_fp", doc_fingerprint(text_col))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [ "_fp", id_col], "inner").drop("_fp")
+
+
+def _minhash_sigs(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, _sig array<long>) via explode + k tiny min-aggregates — the
+    shingle expression is evaluated once per row; codegen stays small."""
+    ex = df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col))).alias("_sh"))
+    sig = ex.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("_sh", F.lit(seed))).alias(f"_s{seed}") for seed in range(k)]
+    )
+    return sig.select(id_col, F.array(*[f"_s{i}" for i in range(k)]).alias("_sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    k: int = MINHASH_K,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard_est) with estimated
+    shingle-Jaccard >= threshold. jaccard_est = fraction of agreeing
+    minhashes (unbiased estimator)."""
+    rows = k // bands
+    sigs = _minhash_sigs(df, text_col, id_col, k)
+    banded = sigs.select(
+        id_col,
+        "_sig",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.lit(b), *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)])
+                for b in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"),
+                      "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"),
+                      "band_idx", "band_hash")
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sig_a", "_sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda z: z)
+    )
+    est = (agree / F.lit(float(k))).alias("jaccard_est")
+    return cand.select("id_a", "id_b", est).where(F.col("jaccard_est") >= threshold)
+
+
+def _mask(i: int) -> int:
+    return (1 << i) if i < 63 else -(1 << 63)  # sign bit as min-long
+
+
+def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash",
+                 bits: int = 64) -> DataFrame:
+    """Add a 64-bit Charikar SimHash column (majority vote of bit i over
+    xxhash64(token), assembled by bitwise OR — overflow-free).
+
+    Staged projections (tokens -> hashes -> votes -> hash) keep every
+    codegen expression small; the vote layer is `bits` tiny exprs over ONE
+    materialized hash-array column."""
+    staged = df.withColumn(
+        "_th",
+        F.transform(
+            F.array_distinct(F.split(F.lower(normalize_ws(F.col(text_col))), " ")),
+            lambda t: F.xxhash64(t),
+        ),
+    )
+    def vote(i: int):
+        # NB: single-arg lambda — a second lambda param would make Spark pass
+        # the element index into it
+        ones = F.size(F.filter(F.col("_th"), lambda h: h.bitwiseAND(F.lit(_mask(i))) != 0))
+        return ones * 2 > F.size(F.col("_th"))
+
+    votes = staged.withColumn("_votes", F.array(*[vote(i) for i in range(bits)]))
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.when(F.element_at(F.col("_votes"), i + 1), F.lit(_mask(i))).otherwise(F.lit(0))
+        )
+    return votes.withColumn(out_col, out).drop("_th", "_votes")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate generation: split the 64-bit hash into 4 x 16-bit chunks —
+    any pair within hamming 3 agrees on >= 1 chunk (pigeonhole), so a
+    bucket join on (chunk_idx, chunk_value) finds all of them."""
+    h = with_simhash(df.select(id_col, text_col), text_col, "_sh").select(id_col, "_sh")
+    chunks = h.select(
+        id_col,
+        "_sh",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("_sh", 16 * c).bitwiseAND(F.lit(0xFFFF))
+                      for c in range(4)])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"),
+                      "chunk_idx", "chunk_val")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"),
+                      "chunk_idx", "chunk_val")
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", hamming64(F.col("_sh_a"), F.col("_sh_b")).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard pairs >= threshold via explode + count
+    (inverted-index join — each shared shingle contributes one row, so
+    cost is sum of posting-list squares, bounded by blocking)."""
+    sh = df.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("_sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    join_keys = ["_sh"] + ([block_col] if block_col else [])
+    a = sh.select(*[F.col(c) for c in join_keys], F.col(id_col).alias("id_a"))
+    b = sh.select(*[F.col(c) for c in join_keys], F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, join_keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")))
+            .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays — zip_with/aggregate, JVM-side."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs >= threshold. Blocked self-join when
+    `block_col` given (e.g. a coarse LSH bucket or label); plain self-join
+    otherwise (small inputs / after other blocking)."""
+    cols = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
+    v = df.select(*cols)
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                 *([F.col(block_col)] if block_col else []))
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                 *([F.col(block_col)] if block_col else []))
+    on = [block_col] if block_col else None
+    j = a.join(b, on) if on else a.crossJoin(b)
+    return (
+        j.where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine(F.col("_va").cast("array<double>"),
+                       F.col("_vb").cast("array<double>")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,68 @@
+"""KGX merge: n-way union + id-merge + dedup (reference EP2 re-expressed).
+
+The reference funnels every per-source nodes/edges TSV into one in-driver
+networkx MultiDiGraph (merge_utils/merge_kg.py:22-32, sources merge.yaml:10-58)
+— the central scalability wall. Here the merge is relational and fully
+distributed:
+
+  nodes: unionByName(allowMissingColumns=True) across heterogeneous
+         per-source schemas (§1.3 dynamic headers) -> groupBy(id) with
+         first-non-null per property + '|'-joined sorted provenance set;
+  edges: union -> groupBy(subject, predicate, object) property-merge
+         (the reference's A1 seen_edge dedup gate, eol_traits.py:45-46).
+
+First-occurrence semantics: the reference keeps the first row in file order;
+a distributed merge has no file order, so property pick is min() — still
+deterministic, and golden comparisons are order-insensitive (SURVEY.md §7
+hard-part 1).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def merge_nodes(node_dfs: list[DataFrame]) -> DataFrame:
+    """Union per-source node tables and merge rows sharing `id`."""
+    u = _union_all(node_dfs)
+    props = [c for c in u.columns if c not in ("id", "provided_by")]
+    aggs = [F.min(c).alias(c) for c in props]
+    if "provided_by" in u.columns:
+        aggs.append(
+            F.array_join(F.sort_array(F.collect_set("provided_by")), "|").alias("provided_by")
+        )
+    return u.groupBy("id").agg(*aggs)
+
+
+def merge_edges(edge_dfs: list[DataFrame]) -> DataFrame:
+    """Union per-source edge tables, merge rows sharing (s, p, o)."""
+    u = _union_all(edge_dfs)
+    keys = ["subject", "predicate", "object"]
+    props = [c for c in u.columns if c not in keys + ["provided_by"]]
+    aggs = [F.min(c).alias(c) for c in props]
+    if "provided_by" in u.columns:
+        aggs.append(
+            F.array_join(F.sort_array(F.collect_set("provided_by")), "|").alias("provided_by")
+        )
+    return u.groupBy(*keys).agg(*aggs)
+
+
+def dedup_first_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Reference first-occurrence dedup (A2, eol_traits.py:250-267): keep the
+    row with the smallest `order_col` per key — the distributed equivalent of
+    'first row in file order'."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

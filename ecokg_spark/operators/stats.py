@@ -1,0 +1,55 @@
+"""Graph statistics — the reference's merged-kg_stats.yaml shape (A3) and
+its canonical query (count nodes by category, tests/test_query.py:33-36).
+
+All single-pass hash aggregations; the skewed degree stats use the salted
+two-phase path from operators.skew (has_phenotype is ~half the edge mass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ecokg_spark.operators.skew import salted_count
+
+
+def count_by_predicate(edges: DataFrame) -> DataFrame:
+    return edges.groupBy("predicate").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def count_by_category(nodes: DataFrame) -> DataFrame:
+    """The reference's golden SPARQL query: SELECT (COUNT(?v2) AS ?v1) ?v0
+    WHERE { ?v2 biolink:category ?v0 } GROUP BY ?v0."""
+    return nodes.groupBy("category").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def count_by_spo(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(subject category, predicate, object category) facet counts —
+    two broadcast joins against the (small) node-category dim."""
+    s = nodes.select(F.col("id").alias("_sid"), F.col("category").alias("subject_category"))
+    o = nodes.select(F.col("id").alias("_oid"), F.col("category").alias("object_category"))
+    return (
+        edges.join(F.broadcast(s), F.col("subject") == F.col("_sid"))
+        .join(F.broadcast(o), F.col("object") == F.col("_oid"))
+        .groupBy("subject_category", "predicate", "object_category")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def node_degree(edges: DataFrame) -> DataFrame:
+    """Out-degree per subject — hot-key skewed, hence salted two-phase."""
+    return salted_count(edges, ["subject"], out_col="degree")
+
+
+def graph_summary(nodes: DataFrame, edges: DataFrame) -> dict:
+    """Driver-side dict in merged-kg_stats.yaml spirit (totals + facets)."""
+    return {
+        "total_nodes": nodes.count(),
+        "total_edges": edges.count(),
+        "count_by_predicate": {
+            r["predicate"]: r["n"] for r in count_by_predicate(edges).collect()
+        },
+        "count_by_category": {
+            r["category"]: r["n"] for r in count_by_category(nodes).collect()
+        },
+    }

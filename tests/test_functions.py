@@ -1,0 +1,95 @@
+"""Unit tests for the pure column-expression library (SURVEY.md §5 item 1 —
+mirrors tests/test_transform_utils.py:7-24 parameterized pure-function tests)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecokg_spark.functions.curie import (
+    collapse_uniprot_curie,
+    curie_local,
+    curie_prefix,
+    guess_bl_category,
+    make_curie,
+    priority_coalesce,
+)
+from ecokg_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+
+
+def one(spark, expr, **cols):
+    df = spark.createDataFrame([tuple(cols.values())], list(cols.keys()))
+    return df.select(expr.alias("r")).first()["r"]
+
+
+@pytest.mark.parametrize(
+    "ident,expected",
+    [
+        ("UniProtKB:P12345", "biolink:Protein"),
+        ("ComplexPortal:X", "biolink:Protein"),
+        ("GO:0001", "biolink:OntologyClass"),
+        ("FOO:bar", "biolink:NamedThing"),
+    ],
+)
+def test_guess_bl_category(spark, ident, expected):
+    # parity: reference utils/transform_utils.py:183-198
+    assert one(spark, guess_bl_category("x"), x=ident) == expected
+
+
+@pytest.mark.parametrize(
+    "ident,expected",
+    [
+        ("UniProtKB:P63151-1", "UniProtKB:P63151"),
+        ("uniprotkb:P63151-2", "uniprotkb:P63151"),
+        ("PR:000123-1", "PR:000123-1"),  # non-uniprot untouched
+        ("UniProtKB:P63151", "UniProtKB:P63151"),
+    ],
+)
+def test_collapse_uniprot_curie(spark, ident, expected):
+    # parity: reference utils/transform_utils.py:201-210
+    assert one(spark, collapse_uniprot_curie("x"), x=ident) == expected
+
+
+def test_curie_parts(spark):
+    assert one(spark, curie_prefix("x"), x="EOL:123") == "EOL"
+    assert one(spark, curie_local("x"), x="EOL:123") == "123"
+    assert one(spark, make_curie("EOL", "x"), x="99") == "EOL:99"
+
+
+def test_priority_coalesce(spark):
+    # parity: get_item_by_priority (transform_utils.py:83-97) — empty = missing
+    assert one(spark, priority_coalesce("a", "b"), a="", b="v") == "v"
+    assert one(spark, priority_coalesce("a", "b"), a="x", b="v") == "x"
+
+
+def test_token_count(spark):
+    assert one(spark, token_count("x"), x="  a  b\tc\n") == 3
+    assert one(spark, token_count("x"), x="") == 0
+    assert one(spark, token_count("x"), x="   ") == 0
+
+
+def test_lang_id(spark):
+    assert one(spark, lang_id("x"), x="the cat and the dog is here") == "en"
+    assert one(spark, lang_id("x"), x="der Hund und die Katze ist da") == "de"
+    assert one(spark, lang_id("x"), x="le chat et la souris est là") == "fr"
+    assert one(spark, lang_id("x"), x="xyzzy qwerty") == "und"
+
+
+def test_fingerprint_ws_invariant(spark):
+    a = one(spark, doc_fingerprint("x"), x="Hello   World")
+    b = one(spark, doc_fingerprint("x"), x="hello world")
+    assert a == b
+
+
+def test_word_shingles(spark):
+    assert one(spark, word_shingles("x", 3), x="a b c d") == ["a b c", "b c d"]
+    assert one(spark, word_shingles("x", 3), x="a b") == ["a b"]
+
+
+def test_quality_score_bounds(spark):
+    v = one(spark, quality_score("x"), x="the quick brown fox jumps over the lazy dog today")
+    assert 0.0 <= v <= 1.0 and v >= 0.7  # long enough, low punct, has stopwords

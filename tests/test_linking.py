@@ -1,0 +1,77 @@
+"""Entity linking: termlist build (synonym explode, category excludes),
+exact + MinHash-LSH fuzzy matching, stopword filter, quarantine."""
+
+from pyspark.sql import functions as F
+
+from ecokg_spark.operators.linking import (
+    alias_identity_edges,
+    build_termlist,
+    link_mentions,
+)
+
+
+def _aliases(spark):
+    rows = [
+        ("TAX:0001", "tomato", "Solanum lycopersicum|tomato plant", "biolink:OrganismTaxon", "s"),
+        ("EOL:9001", "Solanum lycopersicum", "tomato", "biolink:OrganismTaxon", "s"),
+        ("TO:0001", "drought tolerance", "drought resistance", "biolink:PhenotypicFeature", "s"),
+        ("PUB:0001", "flora journal", "journal of flora", "biolink:Publication", "s"),
+        ("X:0001", "", None, "biolink:NamedThing", "s"),  # empty name dropped
+    ]
+    return spark.createDataFrame(
+        rows, "curie string, name string, synonym string, category string, provided_by string"
+    )
+
+
+def test_termlist_explode_and_excludes(spark):
+    tl = build_termlist(_aliases(spark))
+    terms = {(r["curie"], r["term"]) for r in tl.collect()}
+    # synonym explode (biohub_converter.py:58-63 semantics)
+    assert ("TAX:0001", "tomato") in terms
+    assert ("TAX:0001", "Solanum lycopersicum") in terms
+    assert ("TAX:0001", "tomato plant") in terms
+    # Publication excluded (biohub_converter.py:38-46), empty name dropped
+    assert not any(c == "PUB:0001" for c, _ in terms)
+    assert not any(c == "X:0001" for c, _ in terms)
+
+
+def test_exact_link_case_insensitive_and_ambiguity(spark):
+    tl = build_termlist(_aliases(spark))
+    m = spark.createDataFrame([("Tomato",), ("DROUGHT TOLERANCE",)], "mention string")
+    hit, miss = link_mentions(m, tl, "mention", fuzzy=False)
+    got = {r["mention"]: r["curie"] for r in hit.collect()}
+    # ambiguous surface (tomato in TAX:0001 and EOL:9001) -> min curie
+    assert got["Tomato"] == "EOL:9001"
+    assert got["DROUGHT TOLERANCE"] == "TO:0001"
+    assert miss.count() == 0
+
+
+def test_fuzzy_link_catches_one_deletion(spark):
+    tl = build_termlist(_aliases(spark))
+    m = spark.createDataFrame(
+        [("drught tolerance",), ("Slanum lycopersicum",)], "mention string"
+    )
+    hit, miss = link_mentions(m, tl, "mention", fuzzy=True)
+    got = {r["mention"]: (r["curie"], r["match_kind"]) for r in hit.collect()}
+    assert got["drught tolerance"] == ("TO:0001", "fuzzy")
+    assert got["Slanum lycopersicum"][0] == "EOL:9001"
+    assert miss.count() == 0
+
+
+def test_stopwords_and_quarantine(spark):
+    tl = build_termlist(_aliases(spark))
+    m = spark.createDataFrame(
+        [("about",), ("flora journal",), ("completely unknown thing",)], "mention string"
+    )
+    hit, miss = link_mentions(m, tl, "mention", fuzzy=True)
+    assert hit.count() == 0  # stopword dropped pre-link; others unlinkable
+    quarantined = {r["mention"] for r in miss.collect()}
+    # log-and-continue semantics (eol_traits.py:341-342): bad rows survive as data
+    assert quarantined == {"flora journal", "completely unknown thing"}
+
+
+def test_alias_identity_edges(spark):
+    tl = build_termlist(_aliases(spark))
+    edges = {(r["u"], r["v"]) for r in alias_identity_edges(tl).collect()}
+    assert ("EOL:9001", "TAX:0001") in edges  # share 'tomato' & 'solanum lycopersicum'
+    assert all(u < v for u, v in edges)

@@ -1,0 +1,51 @@
+"""Similarity search: brute-force top-k vs numpy oracle; LSH recall."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ecokg_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+def _vectors(spark, n=60, dim=16, seed=7):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def _numpy_topk(vecs, qids, k):
+    out = {}
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for q in qids:
+        sims = v @ v[q]
+        order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))
+        out[q] = order[:k]
+    return out
+
+
+def test_brute_force_matches_numpy(spark):
+    df, vecs = _vectors(spark)
+    qs = df.where(F.col("vec_id") < 3)
+    got = brute_force_topk(df, qs, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    want = _numpy_topk(vecs, [0, 1, 2], 5)
+    assert by_q == want
+
+
+def test_lsh_topk_recall(spark):
+    df, vecs = _vectors(spark)
+    qs = df.where(F.col("vec_id") < 3)
+    exact = _numpy_topk(vecs, [0, 1, 2], 5)
+    approx = lsh_topk(df, qs, k=5, planes=3, tables=6, dim=16).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # recall of the top-5 across 3 queries should be decent with 6 tables
+    hits = sum(len(by_q.get(q, set()) & set(exact[q])) for q in exact)
+    assert hits >= 9  # >= 60% recall on 15 truth items
+    # rank-1 must always be the query itself (cosine 1.0, in its own bucket)
+    r1 = {r["query_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
+    assert r1 == {0: 0, 1: 1, 2: 2}
