@@ -646,19 +646,42 @@ SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM (
 
 
 def q_embedding_neardup(spark, sf):
-    """Cosine >= 0.99 near-dup pairs blocked by label."""
-    e = t(spark, sf, "embeddings")
-    return embedding_neardup_pairs(e, "embedding", "vec_id",
-                                   block_col="label", threshold=0.99).select("id_a", "id_b")
+    """Cosine >= 0.995 near-dup pairs blocked by label. The driver corpus
+    has no natural near-dups (max pairwise cosine ~0.47), so 20 planted
+    duplicates (+0.05 on coordinate 1, cosine >= 0.99875 vs their source)
+    make the check non-vacuous: exactly the planted pairs must come back."""
+    e = t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    planted = e.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+        "label",
+    )
+    both = e.select("vec_id", "embedding", "label").unionByName(planted)
+    return embedding_neardup_pairs(both, "embedding", "vec_id",
+                                   block_col="label", threshold=0.995).select("id_a", "id_b")
 
 
 SQL_EMBEDDING_NEARDUP = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_prepend(embedding[1] + 0.05, embedding[2:]) AS embedding, label
+  FROM base WHERE vec_id < 20
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
-      >= 0.99
+FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding, b.embedding)
+      / (sqrt(list_dot_product(a.embedding, a.embedding))
+         * sqrt(list_dot_product(b.embedding, b.embedding)))
+      >= 0.995
 """
 
 

@@ -58,13 +58,52 @@ def _edge_fingerprint(edges: DataFrame) -> int:
     return hash((str(row["h"]), row["c"]))
 
 
+# Below this many edges the graph is collected and solved driver-side —
+# the same size-gating logic as a broadcast join: iterative distributed CC
+# on a dimension-sized edge list pays O(log n) rounds of job-scheduling
+# latency for work a single core finishes in microseconds. The distributed
+# path remains the scale path (alias graphs at 10^12-doc scale exceed this).
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _unionfind_small(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for dimension-sized graphs (broadcast-style
+    small-side gate). Returns (node, component=min node id in component)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.select("u", "v").collect():
+        ru, rv = find(r["u"]), find(r["v"])
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+
+    members: dict[str, list[str]] = {}
+    for x in list(parent):
+        members.setdefault(find(x), []).append(x)
+    rows = [(n, root) for root, ns in members.items() for n in [*ns, root]]
+    spark = edges.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "node string, component string")
+    return spark.createDataFrame(rows, "node string, component string").distinct()
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 2
+    edges: DataFrame, max_iter: int = 20, checkpoint_every: int = 2,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """(u,v) undirected edge list -> (node, component) with component =
     min node id in the component. Nodes appearing only as isolated
     vertices must be added by the caller (they are their own component)."""
     e = _symmetrize(edges).localCheckpoint(eager=True)
+    if e.count() <= small_graph_edges:
+        return _unionfind_small(e)
     prev_fp = _edge_fingerprint(e)
     for it in range(max_iter):
         e = _small_star(_large_star(e))
@@ -85,10 +124,13 @@ def connected_components(
     )
 
 
-def canonical_map(edges: DataFrame, all_nodes: DataFrame) -> DataFrame:
+def canonical_map(
+    edges: DataFrame, all_nodes: DataFrame,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+) -> DataFrame:
     """(node, canonical) for EVERY node in `all_nodes` (col `node`):
     component min for connected nodes, identity for isolated ones."""
-    comp = connected_components(edges)
+    comp = connected_components(edges, small_graph_edges=small_graph_edges)
     return (
         all_nodes.select("node").distinct()
         .join(comp, "node", "left")

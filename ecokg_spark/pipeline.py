@@ -4,14 +4,16 @@ canonicalize -> merge -> stats (the north-star pipeline).
 Shuffle budget of the whole plan (the thing that matters at 100 TB):
 
   extract + triple UDFs ... narrow (pipelined Arrow batches, zero shuffle)
-  entity linking .......... broadcast joins (map-side), zero shuffle; the
-                            fuzzy path shuffles only DISTINCT unmatched
-                            surface strings (vocabulary-bounded)
-  canonicalization ........ O(log n) rounds x 2 small shuffles over the
-                            ENTITY-PAIR edge list (dimension-sized, not
-                            corpus-sized)
-  edge dedup .............. the one corpus-sized shuffle: salted
-                            repartition + dropDuplicates(s,p,o)
+  entity linking .......... exact+fuzzy resolution over DISTINCT surface
+                            forms only (vocabulary-bounded shuffles), then
+                            broadcast map-side application to the corpus —
+                            zero corpus-sized shuffle
+  canonicalization ........ dimension-sized: driver union-find under the
+                            broadcast-style size gate, else O(log n)
+                            large-star/small-star rounds
+  edge dedup + merge ...... the one corpus-sized shuffle: a single hash
+                            aggregate on (s,p,o); its map-side partial
+                            collapses the hot head entity pre-shuffle
   stats ................... hash aggs; degree count salted two-phase
 
 Every stage can materialize through StageRunner for mid-run resume.
@@ -30,7 +32,6 @@ from ecokg_spark.operators.linking import (
     link_mentions,
 )
 from ecokg_spark.operators.merge import merge_edges, merge_nodes
-from ecokg_spark.operators.skew import salted_repartition
 from ecokg_spark.operators.stats import count_by_category, count_by_predicate
 from ecokg_spark.operators.triples import extract_triples, verb_map
 from ecokg_spark.sources.pages import alias_table, category_table
@@ -39,21 +40,46 @@ from ecokg_spark.sources.pages import alias_table, category_table
 def link_triples(
     triples: DataFrame, termlist: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
-    """Link subject and object mentions (two broadcast passes — map-side,
-    no corpus shuffle). Returns (linked, quarantine)."""
-    s_hit, s_miss = link_mentions(triples, termlist, "subj_mention")
-    s_hit = s_hit.withColumnRenamed("curie", "subj_curie").withColumnRenamed(
-        "match_kind", "subj_match"
+    """Link subject and object mentions. Returns (linked, quarantine).
+
+    Scale shape: the exact+fuzzy resolution DAG runs ONCE over the DISTINCT
+    surface forms of both roles (vocabulary-bounded, not corpus-sized); the
+    resolution table is then broadcast and applied to the corpus with two
+    narrow map-side joins. Resolving per-role over the full corpus instead
+    would re-run the multi-stage exact/fuzzy DAG per role — 4+ corpus passes
+    and 2x the shuffle stages (measured 2-3x slower at 60k pages)."""
+    surfaces = (
+        triples.select(F.col("subj_mention").alias("mention"))
+        .unionByName(triples.select(F.col("obj_mention").alias("mention")))
+        .distinct()
     )
-    o_hit, o_miss = link_mentions(s_hit, termlist, "obj_mention")
-    linked = o_hit.withColumnRenamed("curie", "obj_curie").withColumnRenamed(
-        "match_kind", "obj_match"
+    resolved, _unresolved = link_mentions(surfaces, termlist, "mention")
+    # materialize the (tiny) resolution table ONCE: the two broadcast
+    # builds below would otherwise each re-run the whole resolution DAG —
+    # including the corpus-wide distinct — as their broadcast-exchange job
+    res = resolved.select("mention", "curie", "match_kind").localCheckpoint(eager=True)
+    s = res.select(
+        F.col("mention").alias("subj_mention"),
+        F.col("curie").alias("subj_curie"),
+        F.col("match_kind").alias("subj_match"),
     )
-    quarantine = s_miss.select(
-        "url", "sent_id", F.col("subj_mention").alias("mention"), F.lit("subject").alias("role")
-    ).unionByName(
-        o_miss.select(
-            "url", "sent_id", F.col("obj_mention").alias("mention"), F.lit("object").alias("role")
+    o = res.select(
+        F.col("mention").alias("obj_mention"),
+        F.col("curie").alias("obj_curie"),
+        F.col("match_kind").alias("obj_match"),
+    )
+    j = triples.join(F.broadcast(s), "subj_mention", "left").join(
+        F.broadcast(o), "obj_mention", "left"
+    )
+    linked = j.where(F.col("subj_curie").isNotNull() & F.col("obj_curie").isNotNull())
+    quarantine = (
+        j.where(F.col("subj_curie").isNull())
+        .select("url", "sent_id", F.col("subj_mention").alias("mention"),
+                F.lit("subject").alias("role"))
+        .unionByName(
+            j.where(F.col("obj_curie").isNull()).select(
+                "url", "sent_id", F.col("obj_mention").alias("mention"),
+                F.lit("object").alias("role"))
         )
     )
     return linked, quarantine
@@ -63,7 +89,6 @@ def build_kg(
     spark: SparkSession,
     pages: DataFrame,
     aliases: DataFrame | None = None,
-    shuffle_partitions: int | None = None,
     materialize: bool = True,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns every materializable stage output.
@@ -79,10 +104,18 @@ def build_kg(
 
     extracted = extract_pages(pages)
     if materialize:
-        extracted = extracted.localCheckpoint(eager=True)
+        # checkpoint only the columns downstream consumers need — carrying
+        # html+text through the block store doubles the storage footprint
+        extracted = extracted.select(
+            "url", "warc_ts", "lang", "text", "extracted_text", "sentences"
+        ).localCheckpoint(eager=True)
     audit = text_audit(extracted)
 
     triples = extract_triples(extracted)
+    if materialize:
+        # linking scans triples 3x (surface-distinct x2 roles + apply);
+        # without this the extraction UDF re-runs once per scan
+        triples = triples.localCheckpoint(eager=True)
     linked, quarantine = link_triples(triples, termlist)
     if materialize:
         linked = linked.localCheckpoint(eager=True)
@@ -95,7 +128,6 @@ def build_kg(
 
     vmap = F.broadcast(verb_map(spark))
 
-    n_part = shuffle_partitions or spark.sparkContext.defaultParallelism
     edges_raw = (
         linked.join(canon_b.withColumnRenamed("node", "subj_curie")
                     .withColumnRenamed("canonical", "subject"), "subj_curie")
@@ -104,16 +136,17 @@ def build_kg(
         .join(vmap, "verb")
         .where(F.col("subject") != F.col("object"))  # self-loop drop (P5)
     )
-    edges = (
-        salted_repartition(edges_raw, "subject", n_part)
-        .dropDuplicates(["subject", "predicate", "object"])
-        .select(
-            "subject",
-            "predicate",
-            "object",
-            "relation",
-            F.lit("ecokg-web").alias("provided_by"),
-        )
+    # (s,p,o) dedup happens inside merge_edges as ONE hash aggregate whose
+    # map-side partial collapses the hot subject before any shuffle — a
+    # partial agg is skew-immune, so salting here would only add a second
+    # full shuffle (salting IS load-bearing where rows of a hot key must
+    # meet un-collapsed: degree counts use salted_count, stats.py).
+    edges = edges_raw.select(
+        "subject",
+        "predicate",
+        "object",
+        "relation",
+        F.lit("ecokg-web").alias("provided_by"),
     )
 
     # node materialize: canonical entities seen in any edge + dim properties
@@ -148,4 +181,29 @@ def build_kg(
         "edges": merged_edges,
         "stats_by_predicate": count_by_predicate(merged_edges),
         "stats_by_category": count_by_category(merged_nodes),
+        # materialized intermediates, for callers that loop (bench):
+        # unpersist these or block-store pressure evicts + recomputes
+        "_materialized": [termlist, extracted, triples, linked],
     }
+
+
+def release(out: dict) -> None:
+    """Unpersist a build_kg result's materialized blocks (bench hygiene)."""
+    for df in out.get("_materialized", []):
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def release_all(spark: SparkSession) -> None:
+    """Drop EVERY persistent RDD (localCheckpoint blocks included — which
+    plain DataFrame.unpersist does not reach). Bench-loop hygiene: without
+    this, repeated runs accumulate block-store state until eviction starts
+    recomputing stage outputs mid-measurement."""
+    try:
+        jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jrdds.values():
+            jrdd.unpersist()
+    except Exception:  # noqa: BLE001
+        pass

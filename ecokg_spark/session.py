@@ -50,7 +50,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # keep the UI off in tests/bench (driver-side overhead, port clashes)
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("ECOKG_DRIVER_MEM", "8g"))
+        # single-JVM local mode: the driver heap IS the executor heap; size it
+        # for the block-manager storage pool (localCheckpoint blocks at bench
+        # scale) or stage outputs evict+recompute nondeterministically
+        .config("spark.driver.memory", os.environ.get("ECOKG_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
