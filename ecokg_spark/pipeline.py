@@ -90,6 +90,7 @@ def build_kg(
     pages: DataFrame,
     aliases: DataFrame | None = None,
     materialize: bool = True,
+    materialize_linked: bool = True,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns every materializable stage output.
 
@@ -101,6 +102,24 @@ def build_kg(
     termlist = build_termlist(aliases)
     if materialize:
         termlist = termlist.localCheckpoint(eager=True)
+
+    # the dimension-only subgraph (termlist -> identity edges -> connected
+    # components) is independent of the corpus: overlap its driver barriers
+    # (count + collect + createDataFrame) with corpus-side extraction by
+    # submitting it from a second thread — Spark's scheduler runs the jobs
+    # concurrently, hiding ~2-3s of otherwise-serial latency per run
+    canon_future = None
+    if materialize:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(1)
+        canon_future = _pool.submit(
+            lambda: canonical_map(
+                alias_identity_edges(termlist),
+                termlist.select(F.col("curie").alias("node")),
+            ).localCheckpoint(eager=True)
+        )
+        _pool.shutdown(wait=False)
 
     extracted = extract_pages(pages)
     if materialize:
@@ -117,13 +136,21 @@ def build_kg(
         # without this the extraction UDF re-runs once per scan
         triples = triples.localCheckpoint(eager=True)
     linked, quarantine = link_triples(triples, termlist)
-    if materialize:
+    if materialize and materialize_linked:
+        # worth a barrier only when several downstream consumers will scan
+        # linked (stats + P/R + quarantine work); a single-consumer run
+        # (edges only) pipelines it from the triples checkpoint instead —
+        # broadcast application is narrow, so recompute is one cheap pass
         linked = linked.localCheckpoint(eager=True)
 
-    # canonicalization over the entity-identity graph (dimension-sized)
-    ident = alias_identity_edges(termlist)
-    all_entities = termlist.select(F.col("curie").alias("node"))
-    canon = canonical_map(ident, all_entities)  # (node, canonical)
+    # canonicalization over the entity-identity graph (dimension-sized);
+    # normally precomputed concurrently with extraction (above)
+    if canon_future is not None:
+        canon = canon_future.result()
+    else:
+        ident = alias_identity_edges(termlist)
+        all_entities = termlist.select(F.col("curie").alias("node"))
+        canon = canonical_map(ident, all_entities)  # (node, canonical)
     canon_b = F.broadcast(canon)
 
     vmap = F.broadcast(verb_map(spark))
