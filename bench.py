@@ -91,18 +91,19 @@ def run_pipeline_once(spark, path: str, cores: int) -> float:
     """Seconds for scan -> extract -> triples -> link -> canonicalize ->
     merge -> edge+audit counts over the parquet corpus.
 
-    The scan is coalesced (narrow — no shuffle) to ~cores/2 fat tasks:
-    every Arrow-UDF task occupies TWO execution lanes at once (the JVM
-    thread feeding/draining the Arrow stream + the Python worker), so
-    slots = cores oversubscribes the CPU 2x — measured 5x slower at
-    local[32] (37s vs 7s on the same input). Fat tasks also amortize the
+    The scan is coalesced (narrow — no shuffle) to a measured-best slot
+    count: every Arrow-UDF task occupies TWO execution lanes at once (the
+    JVM thread feeding/draining the Arrow stream + the Python worker), so
+    large slot counts oversubscribe the CPU — measured 5x slower with 32
+    slots on 32 cores (37s vs 7s, same input). Fat tasks also amortize the
     fixed per-task cost (setup + Arrow stream open + worker round-trip).
-    On a real cluster the same rule is spark.task.cpus=2 for UDF-heavy
-    stages, or partitions ~ total-cores/2."""
+    Measured best at 1.92M pages: 4 cores -> 4 slots, 16 cores -> 12-16,
+    32 cores -> 16; i.e. slots = min(cores, 16). On a real cluster the
+    same dial is spark.task.cpus for UDF-heavy stages."""
     from ecokg_spark.pipeline import build_kg, release_all
 
     t0 = time.time()
-    pages = spark.read.parquet(path).coalesce(max(cores // 2, 4))
+    pages = spark.read.parquet(path).coalesce(max(min(cores, 16), 4))
     out = build_kg(spark, pages, materialize_linked=False)
     out["edges"].count()
     out["audit"].count()

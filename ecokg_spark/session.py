@@ -46,6 +46,11 @@ def get_spark(
         # --- Arrow everywhere: pandas UDFs are the only Python hot path
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- keep wide aggregates inside whole-stage codegen: the MinHash
+        # signature agg is 64 min() functions (~128 fields), which silently
+        # falls back to INTERPRETED eval at the default maxFields=100
+        # (measured ~5x slower on the signature stage)
+        .config("spark.sql.codegen.maxFields", "256")
         # --- determinism for oracle comparison
         .config("spark.sql.session.timeZone", "UTC")
         # keep the UI off in tests/bench (driver-side overhead, port clashes)

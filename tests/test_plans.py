@@ -46,3 +46,60 @@ def test_extract_stage_is_narrow(spark):
 
     df = extract_triples(extract_pages(synth_pages(spark, 10)))
     assert count_exchanges(df) == 0, physical_plan(df)
+
+
+def test_corpus_side_edges_single_exchange(spark):
+    """The CORPUS-sized segment of the pipeline — triples -> broadcast
+    link-apply -> broadcast canon-apply -> (s,p,o) merge — must contain
+    exactly ONE exchange (the merge hash-aggregate); applying the linking
+    and canonicalization must be all BroadcastHashJoin, never a shuffle.
+    (The resolution/LSH DAG that FEEDS the broadcasts shuffles too, but
+    only vocabulary-sized data; checkpointing isolates it in production.)"""
+    from ecokg_spark.operators.merge import merge_edges
+    from ecokg_spark.operators.components import canonical_map
+    from ecokg_spark.operators.linking import alias_identity_edges, build_termlist
+    from ecokg_spark.operators.triples import extract_triples, verb_map
+    from ecokg_spark.operators.extract import extract_pages
+    from ecokg_spark.pipeline import link_triples
+    from ecokg_spark.sources.pages import alias_table, synth_pages
+
+    termlist = build_termlist(alias_table(spark)).localCheckpoint(eager=True)
+    triples = extract_triples(extract_pages(synth_pages(spark, 30))).localCheckpoint(eager=True)
+    linked, _q = link_triples(triples, termlist)
+    canon = canonical_map(alias_identity_edges(termlist),
+                          termlist.select(F.col("curie").alias("node"))).localCheckpoint(eager=True)
+    canon_b = F.broadcast(canon)
+    edges = merge_edges([
+        linked.join(canon_b.withColumnRenamed("node", "subj_curie")
+                    .withColumnRenamed("canonical", "subject"), "subj_curie")
+        .join(canon_b.withColumnRenamed("node", "obj_curie")
+              .withColumnRenamed("canonical", "object"), "obj_curie")
+        .join(F.broadcast(verb_map(spark)), "verb")
+        .where(F.col("subject") != F.col("object"))
+        .select("subject", "predicate", "object", "relation",
+                F.lit("x").alias("provided_by"))
+    ])
+    plan = physical_plan(edges)
+    n_ex = count_exchanges(edges)
+    # exactly 1: the (s,p,o) merge hash-aggregate. (The DISTINCT feeding
+    # the broadcast resolution build shuffles too, but inside the broadcast
+    # subtree — and it moves only post-partial-dedup vocabulary surfaces.)
+    assert n_ex == 1, f"corpus-side exchanges != 1: {n_ex}\n{plan}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_two_phase_salted_degree(spark):
+    """Degree count must be two-phase: partial per (key, salt), final per
+    key — two exchanges max, no single hot-key reducer."""
+    from ecokg_spark.operators.stats import node_degree
+    from ecokg_spark.contract import t as load
+
+    o = load(spark, SF, "orders")
+    edges = o.select(
+        F.col("o_custkey").cast("string").alias("subject"),
+        F.lit("p").alias("predicate"), F.col("o_orderkey").cast("string").alias("object"),
+    )
+    df = node_degree(edges)
+    assert "HashAggregate" in physical_plan(df)
+    assert count_exchanges(df) == 2
