@@ -394,6 +394,47 @@ SELECT event_id, COALESCE(NULLIF(props, ''), NULLIF(event_type, '')) AS picked F
 """
 
 
+def q_rollup_stats(spark, sf):
+    """A3 stats consolidation via ROLLUP (grouping-sets family): order
+    counts by (status, priority) with subtotals and grand total."""
+    o = t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+SQL_ROLLUP_STATS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_sparql_sink_error(spark, sf):
+    """S17 SPARQL-result sink semantics: missing binding -> literal 'ERROR'
+    (query.py:20-36) == coalesce(col, 'ERROR') over a left join."""
+    n, r = t(spark, sf, "nation"), t(spark, sf, "region")
+    half = r.where(F.col("r_regionkey") % 2 == 0).select("r_regionkey", "r_name")
+    return (
+        n.join(half, n["n_regionkey"] == half["r_regionkey"], "left")
+        .select("n_name", F.coalesce("r_name", F.lit("ERROR")).alias("region_binding"))
+    )
+
+
+SQL_SPARQL_SINK_ERROR = """
+SELECT n_name, COALESCE(r_name, 'ERROR') AS region_binding
+FROM nation LEFT JOIN (SELECT r_regionkey, r_name FROM region WHERE r_regionkey % 2 = 0) r
+  ON n_regionkey = r.r_regionkey
+"""
+
+
 def q_json_extract(spark, sf):
     """F10 JSON value extraction (eol_traits.py:337-339 dict traversal as
     get_json_object) — row-level parity."""
@@ -897,6 +938,90 @@ FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
 """
 
 
+def q_gaf_transform(spark, sf):
+    """Full GAF->KGX transform (reference planteome 'genetic' path: taxon
+    whitelist P6, Aspect dispatch F7, dedup A1) over a GAF table synthesized
+    from nation — edges must match the declarative SQL oracle."""
+    from ecokg_spark.transforms.gaf_kgx import gaf_to_kgx
+
+    n = t(spark, sf, "nation")
+    taxa = F.array(*[F.lit(x) for x in ["3702", "4530", "4577", "4558", "3694", "39947"]])
+    aspects = F.array(*[F.lit(x) for x in ["T", "A", "G", "C", "F", "P"]])
+    idx = (F.col("n_nationkey") % 6).cast("int")
+    gene = F.concat(F.lit("GEN"), F.col("n_nationkey"))
+    gaf = n.select(
+        F.lit("PO").alias("DB"),
+        gene.alias("DB_Object_ID"),
+        F.concat(F.lit("SYM"), F.col("n_nationkey")).alias("DB_Object_Symbol"),
+        F.lit("").alias("Qualifier"),
+        F.concat(F.lit("ONT:"), F.col("n_nationkey")).alias("Ontology_ID"),
+        F.lit("REF").alias("DB_Reference"),
+        F.lit("IEA").alias("Evidence_Code"),
+        F.lit("").alias("With_or_From"),
+        F.element_at(aspects, idx + 1).alias("Aspect"),
+        gene.alias("DB_Object_Name"),
+        F.lit("").alias("DB_Object_Synonym"),
+        F.lit("gene").alias("DB_Object_Type"),
+        F.concat(F.lit("taxon:"), F.element_at(taxa, idx + 1)).alias("Taxon"),
+        F.lit("20240101").alias("Date"),
+        F.lit("PO").alias("Assigned_By"),
+        F.lit("").alias("Annotation_Extension"),
+        F.lit("").alias("Gene_Product_Form_ID"),
+    )
+    _nodes, edges = gaf_to_kgx(gaf)
+    return edges.select("subject", "predicate", "object", "relation", "provided_by")
+
+
+SQL_GAF_TRANSFORM = """
+WITH m AS (
+  SELECT n_nationkey AS k, (n_nationkey % 6) + 1 AS i,
+         (['3702','4530','4577','4558','3694','39947'])[(n_nationkey % 6) + 1] AS tax,
+         (['biolink:has_phenotype','biolink:expressed_in','biolink:expressed_in',
+           'biolink:active_in','biolink:enables','biolink:regulates'])[(n_nationkey % 6) + 1] AS pred,
+         (['RO:0002200','RO:0002206','RO:0002206',
+           'RO:0002432','RO:0002327','RO:0011002'])[(n_nationkey % 6) + 1] AS rel
+  FROM nation
+)
+SELECT 'GEN' || CAST(k AS VARCHAR) AS subject, 'biolink:in_taxon' AS predicate,
+       'NCBITaxon:' || tax AS object, 'RO:0002162' AS relation,
+       'PO-planteome' AS provided_by
+FROM m
+UNION ALL
+SELECT 'GEN' || CAST(k AS VARCHAR), pred, 'ONT:' || CAST(k AS VARCHAR), rel,
+       'PO-planteome'
+FROM m
+"""
+
+
+def q_eol_hierarchy(spark, sf):
+    """EOL pages->KGX hierarchy transform (subclass_of edges + labeled-wins
+    node merge; reference eol_traits.py:273-324) over pages synthesized
+    from nation/region."""
+    from ecokg_spark.transforms.eol_kgx import eol_pages_to_kgx
+
+    n = t(spark, sf, "nation")
+    pages = n.select(
+        F.col("n_nationkey").cast("string").alias("page_id"),
+        (F.col("n_regionkey") + 100).cast("string").alias("parent_id"),
+        F.lit("species").alias("rank"),
+        F.col("n_name").alias("canonical"),
+    )
+    nodes, edges = eol_pages_to_kgx(pages)
+    return edges.select("subject", "predicate", "object").join(
+        nodes.select(F.col("id").alias("object"), F.col("name").alias("parent_name")),
+        "object",
+    )
+
+
+SQL_EOL_HIERARCHY = """
+SELECT 'EOL:' || CAST(n_regionkey + 100 AS VARCHAR) AS object,
+       'EOL:' || CAST(n_nationkey AS VARCHAR) AS subject,
+       'biolink:subclass_of' AS predicate,
+       '' AS parent_name
+FROM nation
+"""
+
+
 def q_graph_two_hop(spark, sf):
     """EP3 graph-pattern query (SPARQL 2-hop -> edges self-join): customer
     -placed-> order -contains-> part, part count per customer band.
@@ -989,6 +1114,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_funcs": q_string_funcs,
     "curie_ops": q_curie_ops,
     "priority_coalesce": q_priority_coalesce,
+    "rollup_stats": q_rollup_stats,
+    "sparql_sink_error": q_sparql_sink_error,
     "json_extract": q_json_extract,
     "count_by_spo": q_count_by_spo,
     "events_window": q_events_window,
@@ -1011,6 +1138,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "connected_components": q_connected_components,
     "kgx_merge": q_kgx_merge,
     "kg_materialize": q_kg_materialize,
+    "gaf_transform": q_gaf_transform,
+    "eol_hierarchy": q_eol_hierarchy,
     "graph_two_hop": q_graph_two_hop,
     "multimodal_meta": q_multimodal_meta,
     "kg_pipeline": q_kg_pipeline,
@@ -1033,6 +1162,8 @@ ORACLES: dict[str, str] = {
     "string_funcs": SQL_STRING_FUNCS,
     "curie_ops": SQL_CURIE_OPS,
     "priority_coalesce": SQL_PRIORITY_COALESCE,
+    "rollup_stats": SQL_ROLLUP_STATS,
+    "sparql_sink_error": SQL_SPARQL_SINK_ERROR,
     "json_extract": SQL_JSON_EXTRACT,
     "count_by_spo": SQL_COUNT_BY_SPO,
     "events_window": SQL_EVENTS_WINDOW,
@@ -1052,6 +1183,8 @@ ORACLES: dict[str, str] = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "kgx_merge": SQL_KGX_MERGE,
     "kg_materialize": SQL_KG_MATERIALIZE,
+    "gaf_transform": SQL_GAF_TRANSFORM,
+    "eol_hierarchy": SQL_EOL_HIERARCHY,
     "graph_two_hop": SQL_GRAPH_TWO_HOP,
     "multimodal_meta": SQL_MULTIMODAL_META,
     # rows-only (non-SQL-expressible): minhash_neardup, simhash_neardup,
