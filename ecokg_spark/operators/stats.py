@@ -53,3 +53,31 @@ def graph_summary(nodes: DataFrame, edges: DataFrame) -> dict:
             r["category"]: r["n"] for r in count_by_category(nodes).collect()
         },
     }
+
+
+def write_stats_yaml(nodes: DataFrame, edges: DataFrame, path: str) -> dict:
+    """Emit the reference merge phase's golden artifact shape
+    (merged-kg_stats.yaml via KGX graph-stats operation, merge.yaml:59-65;
+    facet shape merged-kg_stats.yaml:2-58 predicates / :479-508 categories /
+    :476,:692 totals): `edge_stats.count_by_predicates`,
+    `node_stats.count_by_category`, `total_edges`, `total_nodes`.
+    Hand-rendered YAML (sorted keys, no external YAML lib needed)."""
+    s = graph_summary(nodes, edges)
+
+    def block(d: dict, key: str) -> list[str]:
+        lines = [f"  {key}:"]
+        for k in sorted(d):
+            lines.append(f"    {k}:")
+            lines.append(f"      count: {d[k]}")
+        return lines
+
+    lines = ["edge_stats:"]
+    lines += block(s["count_by_predicate"], "count_by_predicates")
+    lines.append(f"  total_edges: {s['total_edges']}")
+    lines.append("graph_name: Merged Graph")
+    lines.append("node_stats:")
+    lines += block(s["count_by_category"], "count_by_category")
+    lines.append(f"  total_nodes: {s['total_nodes']}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return s

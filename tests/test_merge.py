@@ -47,3 +47,26 @@ def test_first_wins(spark):
     )
     out = {r["key"]: r["val"] for r in dedup_first_wins(df, ["key"], "pos").collect()}
     assert out == {"k": "first", "j": "only"}
+
+
+def test_stats_yaml_shape(spark, tmp_path):
+    """S18 golden-stats sink: merged-kg_stats.yaml shape (edge_stats.
+    count_by_predicates / node_stats.count_by_category / totals)."""
+    from ecokg_spark.operators.stats import write_stats_yaml
+
+    nodes = spark.createDataFrame(
+        [("A:1", "biolink:GenomicEntity"), ("A:2", "biolink:OrganismTaxon")],
+        "id string, category string")
+    edges = spark.createDataFrame(
+        [("A:1", "biolink:in_taxon", "A:2"), ("A:1", "biolink:in_taxon", "A:2")],
+        "subject string, predicate string, object string")
+    out = str(tmp_path / "stats.yaml")
+    s = write_stats_yaml(nodes, edges, out)
+    text = open(out).read()
+    assert s["total_nodes"] == 2 and s["total_edges"] == 2
+    assert "edge_stats:" in text and "  count_by_predicates:" in text
+    assert "    biolink:in_taxon:" in text and "      count: 2" in text
+    assert "node_stats:" in text and "  total_nodes: 2" in text
+    # parseable as YAML shape (stdlib-free check: indentation pairs)
+    for line in text.splitlines():
+        assert line == line.rstrip()
