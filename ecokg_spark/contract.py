@@ -1022,6 +1022,45 @@ FROM nation
 """
 
 
+def q_gea_transform(spark, sf):
+    """Gene Expression Atlas transform (predicate->relation dispatch F7,
+    sorghum regex F3, dedup A1) over expression rows synthesized from
+    nation; no alias maps -> passthrough path."""
+    from ecokg_spark.transforms.gea_kgx import GEA_COLS, gea_to_kgx
+
+    n = t(spark, sf, "nation")
+    species = F.when(F.col("n_nationkey") % 2 == 0, "sorghum bicolor").otherwise("zea mays")
+    pred = F.when(F.col("n_nationkey") % 3 == 0, "biolink:increases_expression_of") \
+        .otherwise("biolink:decreases_expression_of")
+    gene = F.when(F.col("n_nationkey") % 2 == 0,
+                  F.concat(F.lit("SORBI_3"), F.col("n_nationkey"), F.lit("G01"))) \
+        .otherwise(F.concat(F.lit("Zm0"), F.col("n_nationkey")))
+    cols = {c: F.lit("") for c in GEA_COLS}
+    cols.update(Gene=gene, Species=species,
+                Experiment_accession=F.lit("E1"),
+                PECOid=F.concat(F.lit("PECO:"), (F.col("n_nationkey") % 4).cast("string")),
+                ROid=pred)
+    expr = n.select(*[cols[c].alias(c) for c in GEA_COLS])
+    _nodes, edges = gea_to_kgx(expr)
+    return edges.select("subject", "predicate", "object", "relation", "provided_by")
+
+
+SQL_GEA_TRANSFORM = """
+WITH m AS (
+  SELECT 'PECO:' || CAST(n_nationkey % 4 AS VARCHAR) AS subject,
+         CASE WHEN n_nationkey % 3 = 0 THEN 'biolink:increases_expression_of'
+              ELSE 'biolink:decreases_expression_of' END AS predicate,
+         CASE WHEN n_nationkey % 2 = 0
+              THEN 'Sobic.' || CAST(n_nationkey AS VARCHAR) || 'G01'
+              ELSE 'Zm0' || CAST(n_nationkey AS VARCHAR) END AS object,
+         CASE WHEN n_nationkey % 3 = 0 THEN 'RO:0003003' ELSE 'RO:0003002' END AS relation,
+         'E1-Gene Expression Atlas' AS provided_by
+  FROM nation
+)
+SELECT DISTINCT subject, predicate, object, relation, provided_by FROM m
+"""
+
+
 def q_graph_two_hop(spark, sf):
     """EP3 graph-pattern query (SPARQL 2-hop -> edges self-join): customer
     -placed-> order -contains-> part, part count per customer band.
@@ -1140,6 +1179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_materialize": q_kg_materialize,
     "gaf_transform": q_gaf_transform,
     "eol_hierarchy": q_eol_hierarchy,
+    "gea_transform": q_gea_transform,
     "graph_two_hop": q_graph_two_hop,
     "multimodal_meta": q_multimodal_meta,
     "kg_pipeline": q_kg_pipeline,
@@ -1185,6 +1225,7 @@ ORACLES: dict[str, str] = {
     "kg_materialize": SQL_KG_MATERIALIZE,
     "gaf_transform": SQL_GAF_TRANSFORM,
     "eol_hierarchy": SQL_EOL_HIERARCHY,
+    "gea_transform": SQL_GEA_TRANSFORM,
     "graph_two_hop": SQL_GRAPH_TWO_HOP,
     "multimodal_meta": SQL_MULTIMODAL_META,
     # rows-only (non-SQL-expressible): minhash_neardup, simhash_neardup,
