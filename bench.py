@@ -104,9 +104,17 @@ def run_pipeline_once(spark, path: str, cores: int) -> float:
 
     t0 = time.time()
     pages = spark.read.parquet(path).coalesce(max(min(cores, 16), 4))
-    out = build_kg(spark, pages, materialize_linked=False)
-    out["edges"].count()
-    out["audit"].count()
+    out = build_kg(spark, pages, materialize_linked=False,
+                   scratch_dir=os.environ.get("ECOKG_SCRATCH_DIR",
+                                              "/tmp/ecokg_scratch"))
+    # the two sink actions are independent: submit concurrently so the
+    # (small) audit job hides inside the edges job's tail
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        fe = ex.submit(out["edges"].count)
+        fa = ex.submit(out["audit"].count)
+        fe.result(), fa.result()
     dt = time.time() - t0
     release_all(spark)
     return dt

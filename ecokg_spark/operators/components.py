@@ -66,9 +66,10 @@ def _edge_fingerprint(edges: DataFrame) -> int:
 SMALL_GRAPH_EDGES = 1_000_000
 
 
-def _unionfind_small(edges: DataFrame) -> DataFrame:
+def _unionfind_small(rows, spark) -> DataFrame:
     """Driver-side union-find for dimension-sized graphs (broadcast-style
-    small-side gate). Returns (node, component=min node id in component)."""
+    small-side gate). Takes collected (u, v) rows; returns
+    (node, component=min node id in component)."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -79,7 +80,7 @@ def _unionfind_small(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in edges.select("u", "v").collect():
+    for r in rows:
         ru, rv = find(r["u"]), find(r["v"])
         if ru != rv:
             parent[max(ru, rv)] = min(ru, rv)
@@ -87,11 +88,10 @@ def _unionfind_small(edges: DataFrame) -> DataFrame:
     members: dict[str, list[str]] = {}
     for x in list(parent):
         members.setdefault(find(x), []).append(x)
-    rows = [(n, root) for root, ns in members.items() for n in [*ns, root]]
-    spark = edges.sparkSession
-    if not rows:
+    out = [(n, root) for root, ns in members.items() for n in [*ns, root]]
+    if not out:
         return spark.createDataFrame([], "node string, component string")
-    return spark.createDataFrame(rows, "node string, component string").distinct()
+    return spark.createDataFrame(out, "node string, component string").distinct()
 
 
 def connected_components(
@@ -101,9 +101,15 @@ def connected_components(
     """(u,v) undirected edge list -> (node, component) with component =
     min node id in the component. Nodes appearing only as isolated
     vertices must be added by the caller (they are their own component)."""
-    e = _symmetrize(edges).localCheckpoint(eager=True)
-    if e.count() <= small_graph_edges:
-        return _unionfind_small(e)
+    e = _symmetrize(edges)
+    # size gate via take(N+1): if the scan yields <= N rows, those ARE the
+    # whole edge set — one job replaces the checkpoint+count+collect
+    # triple the gate used to cost (driver job latency is the serial tail
+    # of the whole pipeline, see BENCH/BASELINE.md)
+    sample = e.select("u", "v").take(small_graph_edges + 1)
+    if len(sample) <= small_graph_edges:
+        return _unionfind_small(sample, e.sparkSession)
+    e = e.localCheckpoint(eager=True)
     prev_fp = _edge_fingerprint(e)
     for it in range(max_iter):
         e = _small_star(_large_star(e))

@@ -36,6 +36,15 @@ LSH_BANDS = 16          # 16 bands x 2 rows: P(cand) ≈ 1-(1-j²)^16
 LSH_ROWS = MINHASH_K // LSH_BANDS
 MAX_EDIT_DISTANCE = 2   # fuzzy verify threshold
 
+# Fuzzy candidate generation is size-gated like a broadcast join (the same
+# precedent as components.SMALL_GRAPH_EDGES): when the termlist dim has at
+# most this many surface forms, candidates come from ONE broadcast
+# nested-loop join + edit-distance filter — 2 stages, exact (finds every
+# pair within MAX_EDIT_DISTANCE, a superset of what LSH can propose).
+# Larger vocabularies take the banded MinHash-LSH path, whose cost is
+# bounded by banding instead of |miss| x |dim|.
+NL_FUZZY_MAX_TERMS = 4096
+
 
 def build_termlist(aliases: DataFrame) -> DataFrame:
     """KGX alias dim -> exploded termlist (curie, term, term_norm, preferred,
@@ -111,12 +120,17 @@ def link_mentions(
     termlist: DataFrame,
     mention_col: str = "mention",
     fuzzy: bool = True,
+    fuzzy_strategy: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Link `mentions` (any DF with `mention_col`) -> (linked, quarantine).
 
     linked adds: curie, match_kind ('exact'|'fuzzy').
     Ambiguous surfaces resolve to min(curie) — deterministic; true
     cross-source duplicates are merged later by canonicalization anyway.
+
+    fuzzy_strategy: 'auto' size-gates between the exact broadcast
+    nested-loop candidate pass (vocab <= NL_FUZZY_MAX_TERMS) and banded
+    MinHash-LSH; 'nl' / 'lsh' force a path (tests, tuning).
     """
     m = mentions.withColumn("_norm", F.lower(F.trim(F.col(mention_col)))).where(
         ~F.col("_norm").isin(STOPWORDS)
@@ -132,14 +146,28 @@ def link_mentions(
         return hit.drop("_norm"), miss.drop("_norm")
 
     # ---- fuzzy path over DISTINCT unmatched surfaces only
-    cand_m = lsh_band_table(miss.select("_norm").distinct(), "_norm", ["_norm"])
-    cand_t = lsh_band_table(dim, "term_norm", ["term_norm", "curie"])
-    pairs = (
-        cand_m.join(F.broadcast(cand_t), ["band_idx", "band_hash"])
-        .select("_norm", "term_norm", "curie")
-        .distinct()
-        .where(F.levenshtein("_norm", "term_norm") <= MAX_EDIT_DISTANCE)
+    miss_d = miss.select("_norm").distinct()
+    use_nl = (
+        fuzzy_strategy == "nl"
+        or (fuzzy_strategy == "auto" and dim.count() <= NL_FUZZY_MAX_TERMS)
     )
+    if use_nl:
+        # small-vocab gate: exact candidates via broadcast nested-loop —
+        # the dim is broadcast-sized by construction (it already rides the
+        # exact-match broadcast join above)
+        pairs = miss_d.join(
+            F.broadcast(dim),
+            F.levenshtein(F.col("_norm"), F.col("term_norm")) <= MAX_EDIT_DISTANCE,
+        ).select("_norm", "term_norm", "curie")
+    else:
+        cand_m = lsh_band_table(miss_d, "_norm", ["_norm"])
+        cand_t = lsh_band_table(dim, "term_norm", ["term_norm", "curie"])
+        pairs = (
+            cand_m.join(F.broadcast(cand_t), ["band_idx", "band_hash"])
+            .select("_norm", "term_norm", "curie")
+            .distinct()
+            .where(F.levenshtein("_norm", "term_norm") <= MAX_EDIT_DISTANCE)
+        )
     # best candidate per mention: (min edit distance, then min curie)
     best = (
         pairs.withColumn("_d", F.levenshtein("_norm", "term_norm"))

@@ -3,14 +3,19 @@ canonicalize -> merge -> stats (the north-star pipeline).
 
 Shuffle budget of the whole plan (the thing that matters at 100 TB):
 
-  extract + triple UDFs ... narrow (pipelined Arrow batches, zero shuffle)
+  fused corpus pass ....... ONE narrow mapInPandas stage (scan -> extract ->
+                            split -> triple match, operators/fused.py); the
+                            only materialized corpus-side artifact is the
+                            small audit+triples relation — page text never
+                            hits the block store or a shuffle
   entity linking .......... exact+fuzzy resolution over DISTINCT surface
                             forms only (vocabulary-bounded shuffles), then
                             broadcast map-side application to the corpus —
                             zero corpus-sized shuffle
   canonicalization ........ dimension-sized: driver union-find under the
                             broadcast-style size gate, else O(log n)
-                            large-star/small-star rounds
+                            large-star/small-star rounds; corpus-independent,
+                            so it runs CONCURRENTLY with the fused pass
   edge dedup + merge ...... the one corpus-sized shuffle: a single hash
                             aggregate on (s,p,o); its map-side partial
                             collapses the hot head entity pre-shuffle
@@ -25,7 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ecokg_spark.operators.components import canonical_map
-from ecokg_spark.operators.extract import extract_pages, text_audit
+from ecokg_spark.operators.extract import extract_pages
+from ecokg_spark.operators.fused import (
+    AUDIT_SENT_ID,
+    MENTION_SENT_ID,
+    SVO_SENT_ID,
+    fused_extract_triples,
+)
 from ecokg_spark.operators.linking import (
     alias_identity_edges,
     build_termlist,
@@ -33,26 +44,41 @@ from ecokg_spark.operators.linking import (
 )
 from ecokg_spark.operators.merge import merge_edges, merge_nodes
 from ecokg_spark.operators.stats import count_by_category, count_by_predicate
-from ecokg_spark.operators.triples import extract_triples, verb_map
+from ecokg_spark.operators.triples import verb_map
 from ecokg_spark.sources.pages import alias_table, category_table
 
 
 def link_triples(
-    triples: DataFrame, termlist: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """Link subject and object mentions. Returns (linked, quarantine).
+    triples: DataFrame, termlist: DataFrame, surfaces: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Link subject and object mentions.
+    Returns (linked, quarantine, resolution) — resolution is the
+    materialized (mention, curie, match_kind) table, broadcast-applied
+    here and reusable by any other mention-shaped relation.
 
     Scale shape: the exact+fuzzy resolution DAG runs ONCE over the DISTINCT
     surface forms of both roles (vocabulary-bounded, not corpus-sized); the
     resolution table is then broadcast and applied to the corpus with two
     narrow map-side joins. Resolving per-role over the full corpus instead
     would re-run the multi-stage exact/fuzzy DAG per role — 4+ corpus passes
-    and 2x the shuffle stages (measured 2-3x slower at 60k pages)."""
-    surfaces = (
-        triples.select(F.col("subj_mention").alias("mention"))
-        .unionByName(triples.select(F.col("obj_mention").alias("mention")))
-        .distinct()
-    )
+    and 2x the shuffle stages (measured 2-3x slower at 60k pages).
+
+    `surfaces` (col `mention`), when given, is a pre-combined distinct
+    surface set (e.g. the fused pass's sent_id=-2 rows) — skips the
+    corpus-sized distinct here."""
+    if surfaces is None:
+        surfaces = (
+            triples.select(F.col("subj_mention").alias("mention"))
+            .unionByName(triples.select(F.col("obj_mention").alias("mention")))
+        )
+    surfaces = surfaces.distinct()
+    # materialize the DISTINCT surface set (vocabulary-sized) before the
+    # exact/fuzzy DAG: link_mentions references its input from 3+ branches
+    # (exact hit, miss, fuzzy, quarantine) and exchange reuse across those
+    # branches is not guaranteed under AQE — without this barrier the
+    # corpus-sized mention distinct re-shuffles once per branch (measured
+    # 2-3x link-stage variance at 1.9M pages)
+    surfaces = surfaces.localCheckpoint(eager=True)
     resolved, _unresolved = link_mentions(surfaces, termlist, "mention")
     # materialize the (tiny) resolution table ONCE: the two broadcast
     # builds below would otherwise each re-run the whole resolution DAG —
@@ -82,7 +108,7 @@ def link_triples(
                 F.lit("object").alias("role"))
         )
     )
-    return linked, quarantine
+    return linked, quarantine, res
 
 
 def build_kg(
@@ -91,12 +117,17 @@ def build_kg(
     aliases: DataFrame | None = None,
     materialize: bool = True,
     materialize_linked: bool = True,
+    scratch_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns every materializable stage output.
 
-    `materialize=True` localCheckpoints the UDF-heavy stage boundaries so
-    the many downstream consumers (audit, stats, P/R checks) don't re-run
-    extraction; a durable-table variant goes through StageRunner instead.
+    `materialize=True` materializes the fused corpus pass so the many
+    downstream consumers (audit, linking, edges, stats) don't re-run
+    extraction. With `scratch_dir` set the materialization is a PARQUET
+    staged table (columnar: downstream readers get column pruning +
+    sent_id row-group pushdown — the Iceberg-table shape of the north
+    rule); otherwise an in-memory localCheckpoint. A durable-table
+    variant goes through StageRunner instead (job.py).
     """
     aliases = aliases if aliases is not None else alias_table(spark)
     termlist = build_termlist(aliases)
@@ -105,9 +136,9 @@ def build_kg(
 
     # the dimension-only subgraph (termlist -> identity edges -> connected
     # components) is independent of the corpus: overlap its driver barriers
-    # (count + collect + createDataFrame) with corpus-side extraction by
+    # (count + collect + createDataFrame) with the fused corpus pass by
     # submitting it from a second thread — Spark's scheduler runs the jobs
-    # concurrently, hiding ~2-3s of otherwise-serial latency per run
+    # concurrently, hiding ~1-3s of otherwise-serial latency per run
     canon_future = None
     if materialize:
         from concurrent.futures import ThreadPoolExecutor
@@ -121,21 +152,35 @@ def build_kg(
         )
         _pool.shutdown(wait=False)
 
-    extracted = extract_pages(pages)
+    # ONE corpus pass (operators/fused.py): audit rows + matched triples.
+    # sha256 is computed JVM-side from the audit rows' text, then the text
+    # column is dropped — the materialized relation carries only facts.
+    fused = fused_extract_triples(pages).select(
+        "url", "sent_id", "subj_mention", "verb", "obj_mention", "n_sentences",
+        F.when(
+            F.col("sent_id") == AUDIT_SENT_ID,
+            F.sha2(F.encode(F.col("extracted_text"), "UTF-8"), 256),
+        ).alias("text_sha256"),
+    )
     if materialize:
-        # checkpoint only the columns downstream consumers need — carrying
-        # html+text through the block store doubles the storage footprint
-        extracted = extracted.select(
-            "url", "warc_ts", "lang", "text", "extracted_text", "sentences"
-        ).localCheckpoint(eager=True)
-    audit = text_audit(extracted)
-
-    triples = extract_triples(extracted)
-    if materialize:
-        # linking scans triples 3x (surface-distinct x2 roles + apply);
-        # without this the extraction UDF re-runs once per scan
-        triples = triples.localCheckpoint(eager=True)
-    linked, quarantine = link_triples(triples, termlist)
+        if scratch_dir:
+            path = scratch_dir.rstrip("/") + "/fused"
+            fused.write.mode("overwrite").parquet(path)
+            fused = spark.read.parquet(path)
+        else:
+            fused = fused.localCheckpoint(eager=True)
+    audit = fused.where(F.col("sent_id") == AUDIT_SENT_ID).select(
+        "url", "text_sha256", "n_sentences"
+    )
+    triples = fused.where(F.col("sent_id") >= 0).select(
+        "url", "sent_id", "subj_mention", "verb", "obj_mention"
+    )
+    # linking's distinct-surfaces input: the fused pass's batch-combined
+    # mention rows (vocabulary-bounded), not a corpus-sized distinct
+    surfaces = fused.where(F.col("sent_id") == MENTION_SENT_ID).select(
+        F.col("subj_mention").alias("mention")
+    )
+    linked, quarantine, res = link_triples(triples, termlist, surfaces=surfaces)
     if materialize and materialize_linked:
         # worth a barrier only when several downstream consumers will scan
         # linked (stats + P/R + quarantine work); a single-consumer run
@@ -155,9 +200,28 @@ def build_kg(
 
     vmap = F.broadcast(verb_map(spark))
 
+    # edge materialize consumes the fused pass's batch-distinct
+    # (subj, verb, obj) combiner rows — the distinct edge SURFACE set is
+    # vocabulary-bounded, so every join below is dimension-sized; the
+    # per-sentence triple rows are never rescanned for edges. Result is
+    # identical to resolving per-sentence rows (a batchwise-distinct union
+    # aggregated by (s,p,o) equals the full distinct).
+    svo = fused.where(F.col("sent_id") == SVO_SENT_ID).select(
+        "subj_mention", "verb", "obj_mention"
+    )
     edges_raw = (
-        linked.join(canon_b.withColumnRenamed("node", "subj_curie")
-                    .withColumnRenamed("canonical", "subject"), "subj_curie")
+        svo.join(
+            F.broadcast(res.select(F.col("mention").alias("subj_mention"),
+                                   F.col("curie").alias("subj_curie"))),
+            "subj_mention",
+        )
+        .join(
+            F.broadcast(res.select(F.col("mention").alias("obj_mention"),
+                                   F.col("curie").alias("obj_curie"))),
+            "obj_mention",
+        )
+        .join(canon_b.withColumnRenamed("node", "subj_curie")
+              .withColumnRenamed("canonical", "subject"), "subj_curie")
         .join(canon_b.withColumnRenamed("node", "obj_curie")
               .withColumnRenamed("canonical", "object"), "obj_curie")
         .join(vmap, "verb")
@@ -198,7 +262,9 @@ def build_kg(
 
     return {
         "termlist": termlist,
-        "extracted": extracted,
+        # lazy parity view (recomputes extraction on access; the pipeline
+        # itself never materializes corpus text — see fused pass above)
+        "extracted": extract_pages(pages),
         "audit": audit,
         "triples": triples,
         "linked": linked,
@@ -210,7 +276,7 @@ def build_kg(
         "stats_by_category": count_by_category(merged_nodes),
         # materialized intermediates, for callers that loop (bench):
         # unpersist these or block-store pressure evicts + recomputes
-        "_materialized": [termlist, extracted, triples, linked],
+        "_materialized": [termlist, fused, linked],
     }
 
 

@@ -58,6 +58,25 @@ def test_fuzzy_link_catches_one_deletion(spark):
     assert miss.count() == 0
 
 
+def test_fuzzy_lsh_path_matches_nested_loop(spark):
+    """The size gate picks broadcast-NL for small vocabs; force both paths
+    and check they agree on these (high-Jaccard) edits — keeps the banded
+    MinHash-LSH scale path covered."""
+    tl = build_termlist(_aliases(spark))
+    m = spark.createDataFrame(
+        [("drught tolerance",), ("Slanum lycopersicum",), ("tomato plnt",)],
+        "mention string",
+    )
+    out = {}
+    for strat in ("nl", "lsh"):
+        hit, _ = link_mentions(m, tl, "mention", fuzzy=True, fuzzy_strategy=strat)
+        out[strat] = sorted(
+            (r["mention"], r["curie"], r["match_kind"]) for r in hit.collect()
+        )
+    assert out["nl"] == out["lsh"]
+    assert len(out["nl"]) == 3
+
+
 def test_stopwords_and_quarantine(spark):
     tl = build_termlist(_aliases(spark))
     m = spark.createDataFrame(

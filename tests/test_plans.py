@@ -65,7 +65,7 @@ def test_corpus_side_edges_single_exchange(spark):
 
     termlist = build_termlist(alias_table(spark)).localCheckpoint(eager=True)
     triples = extract_triples(extract_pages(synth_pages(spark, 30))).localCheckpoint(eager=True)
-    linked, _q = link_triples(triples, termlist)
+    linked, _q, _res = link_triples(triples, termlist)
     canon = canonical_map(alias_identity_edges(termlist),
                           termlist.select(F.col("curie").alias("node"))).localCheckpoint(eager=True)
     canon_b = F.broadcast(canon)
