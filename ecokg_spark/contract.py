@@ -1123,6 +1123,172 @@ FROM documents
 """
 
 
+def q_gaf_germplasm(spark, sf):
+    """Planteome germplasm path (planteome.py:283-478): pheno parse,
+    compound-trait remap, 1-9 banding, categorical value decode, numerical
+    measurement columns, missing-value skip — over GAF rows synthesized
+    from nation. Trait dicts are inline literal dims (the reference's
+    plant_traits.txt / plant_numerical_traits.txt JSON shapes)."""
+    from ecokg_spark.transforms.gaf_kgx import germplasm_to_kgx
+
+    n = t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    r = (k % 5).cast("int")
+    ae = (
+        F.when(r == 0, F.lit("c(FLOWER=purple_x)"))
+        .when(r == 1, F.concat(F.lit("h("), k, F.lit(".5)")))
+        .when(r == 2, F.concat(F.lit("l("), (k % 9 + 1), F.lit(")")))
+        .when(r == 3, F.lit("t(EAR_DIAMETER=thick)"))
+        .otherwise(F.lit("x(999)"))
+    )
+    onto = (
+        F.when(r == 0, "TO:0000100").when(r == 1, "TO:0000200")
+        .when(r == 2, "TO:0000344").when(r == 3, "TO:0000969")
+        .otherwise("TO:0000100")
+    )
+    from ecokg_spark.transforms.gaf_kgx import GAF_COLS
+
+    cols = {c: F.lit("") for c in GAF_COLS}
+    cols.update(
+        DB=F.lit("PO"),
+        DB_Object_ID=F.concat(F.lit("GERM"), k),
+        DB_Object_Symbol=F.concat(F.lit("Acc"), k),
+        Ontology_ID=onto,
+        Taxon=F.lit("taxon:4577"),
+        Annotation_Extension=ae,
+    )
+    gaf = n.select(*[cols[c].alias(c) for c in GAF_COLS])
+    cat = spark.createDataFrame(
+        [("TO:0000100", "flower color", "purple", "TO:0000101"),
+         ("TO:0000100", "flower color", "white", "TO:0000102"),
+         ("TO:0000433", "ear diameter", "thick", "TO:0000434")],
+        "ontology_id string, label string, pheno string, pheno_id string")
+    num = spark.createDataFrame(
+        [("TO:0000200", "plant height", "cm"),
+         ("TO:0000344", "lodging", "scale")],
+        "ontology_id string, label string, unit string")
+    _nodes, edges = germplasm_to_kgx(gaf, cat, num)
+    return edges.select(
+        "subject", "predicate", "object", "relation", "has_attribute",
+        "has_attribute_type", "has_quantitative_value", "has_unit",
+        "provided_by")
+
+
+SQL_GAF_GERMPLASM = """
+WITH m AS (SELECT n_nationkey AS k, CAST(n_nationkey % 5 AS INT) AS r FROM nation)
+SELECT 'GERMPLASM:GERM' || CAST(k AS VARCHAR) AS subject,
+       'biolink:in_taxon' AS predicate, 'NCBITaxon:4577' AS object,
+       'RO:0002162' AS relation, '' AS has_attribute,
+       '' AS has_attribute_type, '' AS has_quantitative_value,
+       '' AS has_unit, 'PO-planteome' AS provided_by
+FROM m
+UNION ALL
+SELECT 'GERMPLASM:GERM' || CAST(k AS VARCHAR), 'biolink:has_phenotype',
+       'TO:0000100', 'RO:0002200', '', 'TO:0000101', '', '', 'PO-planteome'
+FROM m WHERE r = 0
+UNION ALL
+SELECT 'GERMPLASM:GERM' || CAST(k AS VARCHAR), 'biolink:has_phenotype',
+       'TO:0000200', 'RO:0002200', 'plant height', 'TO:0000200',
+       CAST(k AS VARCHAR) || '.5', 'cm', 'PO-planteome'
+FROM m WHERE r = 1
+UNION ALL
+SELECT 'GERMPLASM:GERM' || CAST(k AS VARCHAR), 'biolink:has_phenotype',
+       'TO:0000344', 'RO:0002200', '',
+       CASE WHEN (k % 9) + 1 <= 3 THEN 'TO:2000431'
+            WHEN (k % 9) + 1 <= 6 THEN 'TO:2000432'
+            ELSE 'TO:2000430' END, '', '', 'PO-planteome'
+FROM m WHERE r = 2
+UNION ALL
+SELECT 'GERMPLASM:GERM' || CAST(k AS VARCHAR), 'biolink:has_phenotype',
+       'TO:0000433', 'RO:0002200', '', 'TO:0000434', '', '', 'PO-planteome'
+FROM m WHERE r = 3
+"""
+
+
+def q_gaf_qtl(spark, sf):
+    """Planteome qtl path (planteome.py:479-524): QTL nodes + in_taxon +
+    has_phenotype edges over GAF rows synthesized from nation."""
+    from ecokg_spark.transforms.gaf_kgx import qtl_to_kgx
+    from ecokg_spark.transforms.gaf_kgx import GAF_COLS
+
+    n = t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    cols = {c: F.lit("") for c in GAF_COLS}
+    cols.update(
+        DB=F.lit("PO"),
+        DB_Object_ID=F.concat(F.lit("QTL"), k),
+        DB_Object_Symbol=F.concat(F.lit("q"), k),
+        Ontology_ID=F.concat(F.lit("TO:000005"), (k % 3).cast("string")),
+        Taxon=F.lit("taxon:4530"),
+    )
+    gaf = n.select(*[cols[c].alias(c) for c in GAF_COLS])
+    _nodes, edges = qtl_to_kgx(gaf)
+    return edges.select("subject", "predicate", "object", "relation",
+                        "provided_by")
+
+
+SQL_GAF_QTL = """
+WITH m AS (SELECT n_nationkey AS k FROM nation)
+SELECT 'QTL' || CAST(k AS VARCHAR) AS subject, 'biolink:in_taxon' AS predicate,
+       'NCBITaxon:4530' AS object, 'RO:0002162' AS relation,
+       'PO-planteome' AS provided_by
+FROM m
+UNION ALL
+SELECT 'QTL' || CAST(k AS VARCHAR), 'biolink:has_phenotype',
+       'TO:000005' || CAST(k % 3 AS VARCHAR), 'RO:0002200', 'PO-planteome'
+FROM m
+"""
+
+
+def q_gaf_orthologs(spark, sf):
+    """Ortholog pipe-split fanout (J7, planteome.py:644-681): GAF rows with
+    With_or_From lists; with_orthologs=True adds orthologous_to edges +
+    curie-suffix ortholog nodes, pipe-dedup per row."""
+    from ecokg_spark.transforms.gaf_kgx import gaf_to_kgx
+    from ecokg_spark.transforms.gaf_kgx import GAF_COLS
+
+    n = t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    cols = {c: F.lit("") for c in GAF_COLS}
+    cols.update(
+        DB=F.lit("PO"),
+        DB_Object_ID=F.concat(F.lit("GEN"), k),
+        DB_Object_Symbol=F.concat(F.lit("S"), k),
+        Ontology_ID=F.concat(F.lit("GO:"), k),
+        Aspect=F.lit("P"),
+        # duplicate first entry exercises array_distinct pipe-dedup
+        With_or_From=F.concat(
+            F.lit("UniProtKB:P"), k, F.lit("|UniProtKB:Q"), (k % 7),
+            F.lit("|UniProtKB:P"), k),
+        Taxon=F.lit("taxon:4558"),
+    )
+    gaf = n.select(*[cols[c].alias(c) for c in GAF_COLS])
+    _nodes, edges = gaf_to_kgx(gaf, with_orthologs=True)
+    return edges.select("subject", "predicate", "object", "relation",
+                        "provided_by")
+
+
+SQL_GAF_ORTHOLOGS = """
+WITH m AS (SELECT n_nationkey AS k FROM nation)
+SELECT 'GEN' || CAST(k AS VARCHAR) AS subject, 'biolink:in_taxon' AS predicate,
+       'NCBITaxon:4558' AS object, 'RO:0002162' AS relation,
+       'PO-planteome' AS provided_by
+FROM m
+UNION ALL
+SELECT 'GEN' || CAST(k AS VARCHAR), 'biolink:regulates',
+       'GO:' || CAST(k AS VARCHAR), 'RO:0011002', 'PO-planteome'
+FROM m
+UNION ALL
+SELECT 'GEN' || CAST(k AS VARCHAR), 'biolink:orthologous_to',
+       'P' || CAST(k AS VARCHAR), 'RO:HOM0000017', 'PO-planteome'
+FROM m
+UNION ALL
+SELECT 'GEN' || CAST(k AS VARCHAR), 'biolink:orthologous_to',
+       'Q' || CAST(k % 7 AS VARCHAR), 'RO:HOM0000017', 'PO-planteome'
+FROM m WHERE 'Q' || CAST(k % 7 AS VARCHAR) <> 'P' || CAST(k AS VARCHAR)
+"""
+
+
 def q_kg_pipeline(spark, sf):
     """Full north-star pipeline on the synthetic CC corpus (rows-only:
     multi-stage UDF pipeline is not SQL-expressible)."""
@@ -1178,6 +1344,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kgx_merge": q_kgx_merge,
     "kg_materialize": q_kg_materialize,
     "gaf_transform": q_gaf_transform,
+    "gaf_germplasm": q_gaf_germplasm,
+    "gaf_qtl": q_gaf_qtl,
+    "gaf_orthologs": q_gaf_orthologs,
     "eol_hierarchy": q_eol_hierarchy,
     "gea_transform": q_gea_transform,
     "graph_two_hop": q_graph_two_hop,
@@ -1224,6 +1393,9 @@ ORACLES: dict[str, str] = {
     "kgx_merge": SQL_KGX_MERGE,
     "kg_materialize": SQL_KG_MATERIALIZE,
     "gaf_transform": SQL_GAF_TRANSFORM,
+    "gaf_germplasm": SQL_GAF_GERMPLASM,
+    "gaf_qtl": SQL_GAF_QTL,
+    "gaf_orthologs": SQL_GAF_ORTHOLOGS,
     "eol_hierarchy": SQL_EOL_HIERARCHY,
     "gea_transform": SQL_GEA_TRANSFORM,
     "graph_two_hop": SQL_GRAPH_TWO_HOP,

@@ -121,6 +121,7 @@ def link_mentions(
     mention_col: str = "mention",
     fuzzy: bool = True,
     fuzzy_strategy: str = "auto",
+    dim_count: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Link `mentions` (any DF with `mention_col`) -> (linked, quarantine).
 
@@ -130,7 +131,9 @@ def link_mentions(
 
     fuzzy_strategy: 'auto' size-gates between the exact broadcast
     nested-loop candidate pass (vocab <= NL_FUZZY_MAX_TERMS) and banded
-    MinHash-LSH; 'nl' / 'lsh' force a path (tests, tuning).
+    MinHash-LSH; 'nl' / 'lsh' force a path (tests, tuning). `dim_count`
+    (any upper bound on the distinct surface-form count, e.g. a termlist
+    row count the caller already has) skips the gate's count job.
     """
     m = mentions.withColumn("_norm", F.lower(F.trim(F.col(mention_col)))).where(
         ~F.col("_norm").isin(STOPWORDS)
@@ -147,9 +150,10 @@ def link_mentions(
 
     # ---- fuzzy path over DISTINCT unmatched surfaces only
     miss_d = miss.select("_norm").distinct()
+    n_dim = dim_count if dim_count is not None else dim.count()
     use_nl = (
         fuzzy_strategy == "nl"
-        or (fuzzy_strategy == "auto" and dim.count() <= NL_FUZZY_MAX_TERMS)
+        or (fuzzy_strategy == "auto" and n_dim <= NL_FUZZY_MAX_TERMS)
     )
     if use_nl:
         # small-vocab gate: exact candidates via broadcast nested-loop —

@@ -49,7 +49,11 @@ from ecokg_spark.sources.pages import alias_table, category_table
 
 
 def link_triples(
-    triples: DataFrame, termlist: DataFrame, surfaces: DataFrame | None = None
+    triples: DataFrame,
+    termlist: DataFrame,
+    surfaces: DataFrame | None = None,
+    materialize_res: bool = True,
+    dim_count: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Link subject and object mentions.
     Returns (linked, quarantine, resolution) — resolution is the
@@ -72,18 +76,26 @@ def link_triples(
             .unionByName(triples.select(F.col("obj_mention").alias("mention")))
         )
     surfaces = surfaces.distinct()
-    # materialize the DISTINCT surface set (vocabulary-sized) before the
-    # exact/fuzzy DAG: link_mentions references its input from 3+ branches
-    # (exact hit, miss, fuzzy, quarantine) and exchange reuse across those
-    # branches is not guaranteed under AQE — without this barrier the
-    # corpus-sized mention distinct re-shuffles once per branch (measured
-    # 2-3x link-stage variance at 1.9M pages)
-    surfaces = surfaces.localCheckpoint(eager=True)
-    resolved, _unresolved = link_mentions(surfaces, termlist, "mention")
-    # materialize the (tiny) resolution table ONCE: the two broadcast
-    # builds below would otherwise each re-run the whole resolution DAG —
-    # including the corpus-wide distinct — as their broadcast-exchange job
-    res = resolved.select("mention", "curie", "match_kind").localCheckpoint(eager=True)
+    if materialize_res:
+        # materialize the DISTINCT surface set (vocabulary-sized) before
+        # the exact/fuzzy DAG: link_mentions references its input from 3+
+        # branches (exact hit, miss, fuzzy, quarantine) and exchange reuse
+        # across those branches is not guaranteed under AQE — without this
+        # barrier the surfaces distinct re-shuffles once per branch
+        # (measured 2-3x link-stage variance at 1.9M pages).
+        # materialize_res=False instead keeps the whole resolve DAG lazy so
+        # it rides INSIDE a single consumer job (e.g. edge materialize) —
+        # every driver barrier here costs ~0.2-0.4s of serial job latency
+        # a single-action caller should not pay.
+        surfaces = surfaces.localCheckpoint(eager=True)
+    resolved, _unresolved = link_mentions(
+        surfaces, termlist, "mention", dim_count=dim_count
+    )
+    res = resolved.select("mention", "curie", "match_kind")
+    if materialize_res:
+        # materialize the (tiny) resolution table ONCE: the two broadcast
+        # builds below would otherwise each re-run the whole resolution DAG
+        res = res.localCheckpoint(eager=True)
     s = res.select(
         F.col("mention").alias("subj_mention"),
         F.col("curie").alias("subj_curie"),
@@ -143,13 +155,17 @@ def build_kg(
     if materialize:
         from concurrent.futures import ThreadPoolExecutor
 
-        _pool = ThreadPoolExecutor(1)
-        canon_future = _pool.submit(
-            lambda: canonical_map(
+        def _vocab_side():
+            canon = canonical_map(
                 alias_identity_edges(termlist),
                 termlist.select(F.col("curie").alias("node")),
             ).localCheckpoint(eager=True)
-        )
+            # termlist row count = free upper bound for the fuzzy-path
+            # size gate (saves link_mentions its own count job)
+            return canon, termlist.count()
+
+        _pool = ThreadPoolExecutor(1)
+        canon_future = _pool.submit(_vocab_side)
         _pool.shutdown(wait=False)
 
     # ONE corpus pass (operators/fused.py): audit rows + matched triples.
@@ -175,28 +191,34 @@ def build_kg(
     triples = fused.where(F.col("sent_id") >= 0).select(
         "url", "sent_id", "subj_mention", "verb", "obj_mention"
     )
-    # linking's distinct-surfaces input: the fused pass's batch-combined
-    # mention rows (vocabulary-bounded), not a corpus-sized distinct
-    surfaces = fused.where(F.col("sent_id") == MENTION_SENT_ID).select(
-        F.col("subj_mention").alias("mention")
-    )
-    linked, quarantine, res = link_triples(triples, termlist, surfaces=surfaces)
-    if materialize and materialize_linked:
-        # worth a barrier only when several downstream consumers will scan
-        # linked (stats + P/R + quarantine work); a single-consumer run
-        # (edges only) pipelines it from the triples checkpoint instead —
-        # broadcast application is narrow, so recompute is one cheap pass
-        linked = linked.localCheckpoint(eager=True)
-
     # canonicalization over the entity-identity graph (dimension-sized);
-    # normally precomputed concurrently with extraction (above)
+    # normally precomputed concurrently with the fused pass (above)
     if canon_future is not None:
-        canon = canon_future.result()
+        canon, n_terms = canon_future.result()
     else:
         ident = alias_identity_edges(termlist)
         all_entities = termlist.select(F.col("curie").alias("node"))
         canon = canonical_map(ident, all_entities)  # (node, canonical)
+        n_terms = None
     canon_b = F.broadcast(canon)
+
+    # linking's distinct-surfaces input: the fused pass's batch-combined
+    # mention rows (vocabulary-bounded), not a corpus-sized distinct.
+    # materialize_linked=False callers act on edges/audit only, so the
+    # resolve DAG stays lazy and rides inside the edge-materialize job.
+    surfaces = fused.where(F.col("sent_id") == MENTION_SENT_ID).select(
+        F.col("subj_mention").alias("mention")
+    )
+    linked, quarantine, res = link_triples(
+        triples, termlist, surfaces=surfaces,
+        materialize_res=materialize_linked, dim_count=n_terms,
+    )
+    if materialize and materialize_linked:
+        # worth a barrier only when several downstream consumers will scan
+        # linked (stats + P/R + quarantine work); a single-consumer run
+        # (edges only) pipelines it from the fused table instead —
+        # broadcast application is narrow, so recompute is one cheap pass
+        linked = linked.localCheckpoint(eager=True)
 
     vmap = F.broadcast(verb_map(spark))
 

@@ -2,7 +2,8 @@
 re-expressed as one declarative Spark dataflow.
 
 Mirrors /root/reference/eco_kg/transform_utils/planteome/planteome.py
-("genetic" + ortholog file kinds) operator-for-operator:
+("genetic" + ortholog + "germplasm" + "qtl" file kinds)
+operator-for-operator:
 
   - GAF scan: 17 fixed columns, '!' comment lines (planteome.py:122-124; S6)
   - taxon whitelist dispatch, unknown taxa dropped (planteome.py:174-219; P6)
@@ -25,6 +26,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# the 17 fixed GAF columns (planteome.py:124 header_row; S6)
+GAF_COLS = [
+    "DB", "DB_Object_ID", "DB_Object_Symbol", "Qualifier", "Ontology_ID",
+    "DB_Reference", "Evidence_Code", "With_or_From", "Aspect",
+    "DB_Object_Name", "DB_Object_Synonym", "DB_Object_Type", "Taxon",
+    "Date", "Assigned_By", "Annotation_Extension", "Gene_Product_Form_ID",
+]
 
 NODE_COLS = ["id", "name", "category", "provided_by"]
 EDGE_COLS = [
@@ -67,6 +76,59 @@ GENE_CATEGORY = "biolink:GenomicEntity"       # planteome.py:128
 ORG_CATEGORY = "biolink:OrganismTaxon"        # planteome.py:127
 IN_TAXON = ("biolink:in_taxon", "RO:0002162")  # planteome.py:149-150
 ORTHOLOG = ("biolink:orthologous_to", "RO:HOM0000017")  # planteome.py:165-166
+
+GERMPLASM_CATEGORY = "biolink:OrganismalEntity"   # planteome.py:138
+TRAIT_CATEGORY = "biolink:PhenotypicFeature"      # planteome.py:133
+QTL_CATEGORY = "biolink:GenomicEntity"            # planteome.py:137
+HAS_PHENOTYPE = ("biolink:has_phenotype", "RO:0002200")  # planteome.py:169-170
+
+# compound (overloaded) trait ids + their Annotation_Extension-substring
+# disambiguation (planteome.py:91, 334-364). The reference applies the 15
+# `if` statements sequentially so a LATER match overwrites an earlier one;
+# a when() chain takes the FIRST match, so the list is stored in the
+# reference's order and the chain is built over reversed(...).
+COMPOUND_TRAITS = ["TO:0000969", "TO:0002629", "TO:0000068", "TO:0000439"]
+COMPOUND_REMAP = [
+    ("EAR_DIAMETER", "TO:0000433"),
+    ("EAR_HEIGHT", "TO:0000683"),
+    ("EAR_LENGTH", "TO:0000431"),
+    ("EAR_NUMBER", "TO:0000443"),
+    ("EAR_SHAPE", "TO:0000964"),
+    ("KERNEL_ROW_ARRANGEMENT", "TO:2000109"),
+    ("KERNEL_TYPE", "TO:0000575"),
+    ("ROOT_LODGING", "TO:2000158"),
+    ("STALK_LODGING", "TO:2000159"),
+    ("DIPLODIA_STALK_ROT", "TO:2000398"),
+    ("GRAY_LEAF_SPOT", "TO:2000399"),
+    ("COMMON_RUST", "TO:2000400"),
+    ("COMMON_SMUT", "TO:2000401"),
+    ("NORTHERN_LEAF_BLIGHT", "TO:0000691"),
+    ("ECB2STLK", "TO:0005009"),
+]
+
+# pheno values carrying no data (planteome.py:411-412)
+MISSING_PHENO = ["999", "", "99", "MX", "Mixture"]
+
+# numeric-unit markers that flip a categorical-dict trait to numerical
+# (planteome.py:365-374, list `z`)
+NUMERIC_UNIT_MARKERS = ["(cm)", "(count)", "(mm)", "(gm)"]
+
+# special full-phrase pheno values exempt from the '_'-prefix trim
+# (planteome.py:328, list `q`)
+PHRASE_PHENOS = [
+    "Very_weak_all_plants_flat_", "Weak_most_plants_nearly_flat_",
+    "Strong_no_lodging_", "Intermediate_most_plants_moderately_lodged_",
+    "Moderately_strong_most_plants_leaning_", "Short__<30cm_",
+    "Intermediate__30-59_cm_", "Tall__>59_cm_",
+]
+
+# 1-9 scale banding for TO:0000344 / TO:0000207 (planteome.py:377-383)
+VAL_344 = {"1": "TO:2000431", "2": "TO:2000431", "3": "TO:2000431",
+           "4": "TO:2000432", "5": "TO:2000432", "6": "TO:2000432",
+           "7": "TO:2000430", "8": "TO:2000430", "9": "TO:2000430"}
+VAL_207 = {"1": "TO:2000434", "2": "TO:2000434", "3": "TO:2000434",
+           "4": "TO:2000435", "5": "TO:2000435", "6": "TO:2000435",
+           "7": "TO:2000433", "8": "TO:2000433", "9": "TO:2000433"}
 
 
 def _empty_edge_props(df: DataFrame) -> DataFrame:
@@ -227,3 +289,266 @@ def gaf_to_kgx(
         all_edges.dropDuplicates(["subject", "object"])
     ).select(*EDGE_COLS)
     return out_nodes, out_edges
+
+
+def _in_chain(col, pairs):
+    """when() chain over (substring, value) pairs — FIRST match wins, so
+    callers pass reversed(reference-order) for last-if-wins parity."""
+    expr = None
+    for sub, val in pairs:
+        branch = F.when(col.contains(sub), F.lit(val))
+        expr = branch if expr is None else expr.when(col.contains(sub), F.lit(val))
+    return expr
+
+
+def _map_chain(col, mapping: dict):
+    expr = None
+    for k, v in mapping.items():
+        expr = (F.when(col == k, F.lit(v)) if expr is None
+                else expr.when(col == k, F.lit(v)))
+    return expr
+
+
+def _parse_pheno(ae):
+    """Annotation_Extension -> pheno value (planteome.py:317-332).
+
+    '=' delimiter: token after '=', ')' stripped, '_'-prefix trim.
+    '(' delimiter: token after '(', ')' stripped, '_'-prefix trim UNLESS
+    the value is one of the 8 full-phrase PHRASE_PHENOS.
+    Missing/other AE -> NULL (the reference `pass`es and later reads a
+    stale `pheno` from the previous row — undefined behavior we replace
+    with an explicit null = no trait emission).
+    """
+    strip_paren = lambda c: F.regexp_replace(c, r"^\)+|\)+$", "")  # noqa: E731
+    p_eq = strip_paren(F.split(ae, "=").getItem(1))
+    p_eq = F.when(p_eq.contains("_"), F.substring_index(p_eq, "_", 1)).otherwise(p_eq)
+    p_par = strip_paren(F.split(ae, r"\(").getItem(1))
+    p_par = F.when(
+        ~p_par.isin(PHRASE_PHENOS) & p_par.contains("_"),
+        F.substring_index(p_par, "_", 1),
+    ).otherwise(p_par)
+    return (
+        F.when(ae.isNull() | (ae == ""), F.lit(None).cast("string"))
+        .when(ae.contains("="), p_eq)
+        .when(ae.contains("("), p_par)
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def germplasm_to_kgx(
+    gaf: DataFrame,
+    cat_traits: DataFrame,
+    num_traits: DataFrame,
+    source_name: str = "planteome",
+) -> tuple[DataFrame, DataFrame]:
+    """Planteome 'germplasm' file-type path (planteome.py:283-478) as one
+    declarative dataflow.
+
+    cat_traits: (ontology_id, label, pheno, pheno_id) — the reference's
+        plant_traits.txt nested dict {onto: {label, pheno: {value: curie}}}
+        exploded to rows (S9 JSON-dict scan -> broadcast dim, J2 nested-key
+        join on (ontology_id, pheno)).
+    num_traits: (ontology_id, label, unit) — plant_numerical_traits.txt.
+
+    Emits: GERMPLASM: nodes (biolink:OrganismalEntity — the production
+    graph's 2nd-largest node class, merged-kg_stats.yaml:519), organism
+    nodes, trait nodes, germplasm->org in_taxon edges, and
+    germplasm->trait has_phenotype edges with the reference's property
+    columns (categorical: has_attribute_type=value curie; numerical:
+    has_attribute=label, has_quantitative_value=pheno, has_unit=unit;
+    1-9 banding for TO:0000344/207). Dedup keys mirror the reference's
+    seen_edge concats exactly (germ+org, germ+pheno_id, and the
+    ECO:obj-onto-pheno measurement key).
+
+    Deviation noted: reference KeyError/stale-variable paths
+    (planteome.py:422-427, 441-442) are replaced by inner-join drops —
+    log-and-continue as data, per SURVEY.md §7 hard-part 4.
+    """
+    spark = gaf.sparkSession
+    taxon_dim = F.broadcast(spark.createDataFrame(
+        TAXON_DIM, "tax_id string, org_name string, gene_src string"))
+    cat_dim = F.broadcast(
+        cat_traits.select(F.col("ontology_id").alias("onto"),
+                          F.col("label").alias("cat_label")).distinct())
+    cat_val_dim = F.broadcast(
+        cat_traits.select(F.col("ontology_id").alias("onto"),
+                          F.col("pheno").alias("pheno"),
+                          F.col("pheno_id").alias("pheno_id")))
+    num_dim = F.broadcast(
+        num_traits.select(F.col("ontology_id").alias("onto"),
+                          F.col("label").alias("num_label"),
+                          F.col("unit").alias("unit")))
+
+    base = (
+        gaf.withColumn("tax_id", F.substring_index("Taxon", ":", -1))
+        .join(taxon_dim, "tax_id", "inner")  # unknown taxa `continue`
+        .withColumn("org_id", F.concat(F.lit("NCBITaxon:"), F.col("tax_id")))
+        .withColumn("provided_by", F.concat("DB", F.lit("-"), F.lit(source_name)))
+        .withColumn("label", F.col("DB_Object_Symbol"))
+        .withColumn("germ_id", F.concat(F.lit("GERMPLASM:"), F.col("DB_Object_ID")))
+        .withColumn("pheno", _parse_pheno(F.col("Annotation_Extension")))
+    )
+    # compound-trait disambiguation (reversed chain = last-if-wins parity)
+    remap = _in_chain(F.col("Annotation_Extension"),
+                      list(reversed(COMPOUND_REMAP)))
+    base = base.withColumn(
+        "onto",
+        F.when(F.col("Ontology_ID").isin(COMPOUND_TRAITS),
+               F.coalesce(remap, F.col("Ontology_ID")))
+        .otherwise(F.col("Ontology_ID")),
+    )
+    base = base.join(cat_dim, "onto", "left").join(num_dim, "onto", "left")
+
+    z_hit = None
+    for m in NUMERIC_UNIT_MARKERS:
+        cond = F.col("Annotation_Extension").contains(m)
+        z_hit = cond if z_hit is None else (z_hit | cond)
+    base = base.withColumn(
+        "trait_type",
+        F.when(F.col("num_label").isNotNull(), "numerical")
+        .when(F.col("cat_label").isNotNull() & (F.col("onto") == "TO:0000019"),
+              "categorical")
+        .when(F.col("cat_label").isNotNull() & z_hit, "numerical")
+        .when(F.col("cat_label").isNotNull(), "categorical"),
+    )
+
+    # ---- unconditional outputs (written before any pheno gating)
+    germ_nodes = base.select(
+        F.col("germ_id").alias("id"), F.col("label").alias("name"),
+        F.lit(GERMPLASM_CATEGORY).alias("category"), "provided_by")
+    org_nodes = base.select(
+        F.col("org_id").alias("id"), F.col("org_name").alias("name"),
+        F.lit(ORG_CATEGORY).alias("category"), "provided_by")
+    g2org = _empty_edge_props(
+        base.select(F.col("germ_id").alias("subject"),
+                    F.lit(IN_TAXON[0]).alias("predicate"),
+                    F.col("org_id").alias("object"),
+                    F.lit(IN_TAXON[1]).alias("relation"), "provided_by")
+        .dropDuplicates(["subject", "object"])
+    )
+
+    # ---- 1-9 banding rows (TO:0000344/207, numerical dict): emitted BEFORE
+    # the missing-pheno skip, then `continue` (planteome.py:375-403)
+    band_map = F.when(F.col("onto") == "TO:0000344",
+                      _map_chain(F.col("pheno"), VAL_344)).otherwise(
+        _map_chain(F.col("pheno"), VAL_207))
+    banded_cond = (
+        F.col("num_label").isNotNull()
+        & F.col("onto").isin("TO:0000344", "TO:0000207")
+        & F.col("pheno").isin(list(VAL_344))
+    )
+    band = base.where(banded_cond).withColumn("pheno_id", band_map)
+    band_edges = band.select(
+        F.col("germ_id").alias("subject"),
+        F.lit(HAS_PHENOTYPE[0]).alias("predicate"),
+        F.col("onto").alias("object"),
+        F.lit(HAS_PHENOTYPE[1]).alias("relation"),
+        F.lit("").alias("has_attribute"),
+        F.col("pheno_id").alias("has_attribute_type"),
+        F.lit("").alias("has_quantitative_value"),
+        F.lit("").alias("has_unit"),
+        F.lit("").alias("has_qualitative_value"),
+        "provided_by",
+    ).dropDuplicates(["subject", "has_attribute_type"])  # germ+pheno_id key
+
+    # ---- remaining trait rows: missing-value skip (P4)
+    rest = base.where(~banded_cond).where(
+        F.col("pheno").isNotNull() & ~F.col("pheno").isin(MISSING_PHENO)
+    )
+
+    cat_rows = rest.where(F.col("trait_type") == "categorical").join(
+        cat_val_dim, ["onto", "pheno"], "inner"  # KeyError -> drop
+    )
+    cat_nodes = cat_rows.select(
+        F.col("onto").alias("id"), F.col("cat_label").alias("name"),
+        F.lit(TRAIT_CATEGORY).alias("category"), "provided_by")
+    cat_edges = cat_rows.select(
+        F.col("germ_id").alias("subject"),
+        F.lit(HAS_PHENOTYPE[0]).alias("predicate"),
+        F.col("onto").alias("object"),
+        F.lit(HAS_PHENOTYPE[1]).alias("relation"),
+        F.lit("").alias("has_attribute"),
+        F.col("pheno_id").alias("has_attribute_type"),
+        F.lit("").alias("has_quantitative_value"),
+        F.lit("").alias("has_unit"),
+        F.lit("").alias("has_qualitative_value"),
+        "provided_by",
+    ).dropDuplicates(["subject", "has_attribute_type"])  # germ+pheno_id key
+
+    num_rows = rest.where(F.col("trait_type") == "numerical").where(
+        F.col("num_label").isNotNull()
+    )
+    num_nodes = num_rows.select(
+        F.col("onto").alias("id"), F.col("num_label").alias("name"),
+        F.lit(TRAIT_CATEGORY).alias("category"), "provided_by")
+    # measurement dedup key r = ECO:DB_Object_ID-<RAW onto suffix>-pheno
+    # (planteome.py:450 — keyed on the raw Ontology_ID column)
+    num_edges = num_rows.dropDuplicates(
+        ["DB_Object_ID", "Ontology_ID", "pheno"]
+    ).select(
+        F.col("germ_id").alias("subject"),
+        F.lit(HAS_PHENOTYPE[0]).alias("predicate"),
+        F.col("onto").alias("object"),
+        F.lit(HAS_PHENOTYPE[1]).alias("relation"),
+        F.col("num_label").alias("has_attribute"),
+        F.col("onto").alias("has_attribute_type"),
+        F.col("pheno").alias("has_quantitative_value"),
+        F.col("unit").alias("has_unit"),
+        F.lit("").alias("has_qualitative_value"),
+        "provided_by",
+    )
+
+    nodes = (
+        germ_nodes.unionByName(org_nodes).unionByName(cat_nodes)
+        .unionByName(num_nodes).dropDuplicates(["id"]).select(*NODE_COLS)
+    )
+    edges = (
+        g2org.select(*EDGE_COLS)
+        .unionByName(band_edges.select(*EDGE_COLS))
+        .unionByName(cat_edges.select(*EDGE_COLS))
+        .unionByName(num_edges.select(*EDGE_COLS))
+    )
+    return nodes, edges
+
+
+def qtl_to_kgx(
+    gaf: DataFrame, source_name: str = "planteome"
+) -> tuple[DataFrame, DataFrame]:
+    """Planteome 'qtl' file-type path (planteome.py:479-524): QTL nodes
+    (biolink:GenomicEntity), qtl->org in_taxon and qtl->trait has_phenotype
+    edges. No gene-id normalization (applied only to 'genetic' files,
+    planteome.py:225); dedup keys g+org_id / g+ontology_id."""
+    spark = gaf.sparkSession
+    taxon_dim = F.broadcast(spark.createDataFrame(
+        TAXON_DIM, "tax_id string, org_name string, gene_src string"))
+    base = (
+        gaf.withColumn("tax_id", F.substring_index("Taxon", ":", -1))
+        .join(taxon_dim, "tax_id", "inner")
+        .withColumn(
+            "qtl_id",
+            F.when(F.col("gene_src") == "DB_Object_Name", F.col("DB_Object_Name"))
+            .otherwise(F.col("DB_Object_ID")),
+        )
+        .withColumn("org_id", F.concat(F.lit("NCBITaxon:"), F.col("tax_id")))
+        .withColumn("provided_by", F.concat("DB", F.lit("-"), F.lit(source_name)))
+    )
+    qtl_nodes = base.select(
+        F.col("qtl_id").alias("id"), F.col("DB_Object_Symbol").alias("name"),
+        F.lit(QTL_CATEGORY).alias("category"), "provided_by")
+    org_nodes = base.select(
+        F.col("org_id").alias("id"), F.col("org_name").alias("name"),
+        F.lit(ORG_CATEGORY).alias("category"), "provided_by")
+    q2org = base.select(
+        F.col("qtl_id").alias("subject"), F.lit(IN_TAXON[0]).alias("predicate"),
+        F.col("org_id").alias("object"), F.lit(IN_TAXON[1]).alias("relation"),
+        "provided_by")
+    q2trait = base.select(
+        F.col("qtl_id").alias("subject"),
+        F.lit(HAS_PHENOTYPE[0]).alias("predicate"),
+        F.col("Ontology_ID").alias("object"),
+        F.lit(HAS_PHENOTYPE[1]).alias("relation"), "provided_by")
+    nodes = qtl_nodes.unionByName(org_nodes).dropDuplicates(["id"]).select(*NODE_COLS)
+    edges = _empty_edge_props(
+        q2org.unionByName(q2trait).dropDuplicates(["subject", "object"])
+    ).select(*EDGE_COLS)
+    return nodes, edges
