@@ -1289,6 +1289,56 @@ FROM m WHERE 'Q' || CAST(k % 7 AS VARCHAR) <> 'P' || CAST(k AS VARCHAR)
 """
 
 
+def q_ontology_transform(spark, sf):
+    """Obograph ontology -> KGX (S10, ontology_transform.py:49-59): a
+    nested obograph document assembled from nation (collect_list into the
+    graphs/nodes/edges shape), then parsed back out — IRI->CURIE, synonym
+    pipe-join, is_a predicate mapping. Output = subclass edges joined with
+    each subject's synonym string."""
+    from ecokg_spark.transforms.ontology_kgx import ontology_to_kgx
+
+    n = t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    iri = F.concat(F.lit("http://purl.obolibrary.org/obo/TO_"),
+                   F.lpad(k.cast("string"), 7, "0"))
+    parent = F.concat(F.lit("http://purl.obolibrary.org/obo/TO_"),
+                      F.lpad((k % 5).cast("string"), 7, "0"))
+    node = F.struct(
+        iri.alias("id"), F.col("n_name").alias("lbl"), F.lit("CLASS").alias("type"),
+        F.struct(
+            F.array(F.struct(F.concat(F.lit("syn"), k).alias("val")),
+                    F.struct(F.concat(F.lit("alt"), k).alias("val"))).alias("synonyms"),
+            F.array(F.struct(F.concat(F.lit("X:"), k).alias("val"))).alias("xrefs"),
+            F.lit(False).alias("deprecated"),
+        ).alias("meta"),
+    )
+    edge = F.struct(iri.alias("sub"), F.lit("is_a").alias("pred"),
+                    parent.alias("obj"))
+    raw = (
+        n.select(node.alias("node"), edge.alias("edge"))
+        .agg(F.collect_list("node").alias("nodes"),
+             F.collect_list("edge").alias("edges"))
+        .select(F.array(F.struct("nodes", "edges")).alias("graphs"))
+    )
+    nodes, edges = ontology_to_kgx(raw, source_name="to")
+    return edges.join(
+        nodes.select(F.col("id").alias("subject"), "synonym"), "subject"
+    ).select("subject", "predicate", "object", "relation", "provided_by",
+             "synonym")
+
+
+SQL_ONTOLOGY_TRANSFORM = """
+SELECT 'TO:' || lpad(CAST(n_nationkey AS VARCHAR), 7, '0') AS subject,
+       'biolink:subclass_of' AS predicate,
+       'TO:' || lpad(CAST(n_nationkey % 5 AS VARCHAR), 7, '0') AS object,
+       'rdfs:subClassOf' AS relation,
+       'to' AS provided_by,
+       'syn' || CAST(n_nationkey AS VARCHAR) || '|alt' ||
+           CAST(n_nationkey AS VARCHAR) AS synonym
+FROM nation
+"""
+
+
 def q_kg_pipeline(spark, sf):
     """Full north-star pipeline on the synthetic CC corpus (rows-only:
     multi-stage UDF pipeline is not SQL-expressible)."""
@@ -1347,6 +1397,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gaf_germplasm": q_gaf_germplasm,
     "gaf_qtl": q_gaf_qtl,
     "gaf_orthologs": q_gaf_orthologs,
+    "ontology_transform": q_ontology_transform,
     "eol_hierarchy": q_eol_hierarchy,
     "gea_transform": q_gea_transform,
     "graph_two_hop": q_graph_two_hop,
@@ -1396,6 +1447,7 @@ ORACLES: dict[str, str] = {
     "gaf_germplasm": SQL_GAF_GERMPLASM,
     "gaf_qtl": SQL_GAF_QTL,
     "gaf_orthologs": SQL_GAF_ORTHOLOGS,
+    "ontology_transform": SQL_ONTOLOGY_TRANSFORM,
     "eol_hierarchy": SQL_EOL_HIERARCHY,
     "gea_transform": SQL_GEA_TRANSFORM,
     "graph_two_hop": SQL_GRAPH_TWO_HOP,
