@@ -28,13 +28,19 @@ sys.path.insert(0, _REPO)
 
 from ecokg_spark.contract import ORACLES, QUERIES, q_kg_materialize  # noqa: E402
 
-_PYFILES_ADDED: set[int] = set()
+_PYFILES_ADDED: set[str] = set()
 
 
 def _ensure_importable(spark: SparkSession) -> None:
     """addPyFile a fresh zip of ecokg_spark so executors/Python workers can
-    unpickle UDFs regardless of the driver's cwd/PYTHONPATH."""
-    key = id(spark.sparkContext)
+    unpickle UDFs regardless of the driver's cwd/PYTHONPATH.
+
+    Keyed on applicationId (stable and unique per context — id() of a
+    garbage-collected SparkContext can be reused by a new one, silently
+    skipping the addPyFile; ADVICE r1). Only the known same-name re-add
+    error is swallowed; real addPyFile failures propagate instead of
+    resurfacing later as worker-side ModuleNotFoundError."""
+    key = spark.sparkContext.applicationId
     if key in _PYFILES_ADDED:
         return
     zpath = os.path.join(tempfile.gettempdir(), "ecokg_spark_pyfiles.zip")
@@ -47,8 +53,9 @@ def _ensure_importable(spark: SparkSession) -> None:
                     z.write(full, os.path.relpath(full, _REPO))
     try:
         spark.sparkContext.addPyFile(zpath)
-    except Exception:  # noqa: BLE001 — already added under this name
-        pass
+    except Exception as exc:  # noqa: BLE001
+        if "same name" not in str(exc) and "already" not in str(exc).lower():
+            raise
     _PYFILES_ADDED.add(key)
 
 

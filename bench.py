@@ -347,10 +347,11 @@ capacity = cores x t(1 busy core) / t(cores busy), i.e. effective cores.
 
 - hardware-normalized scaling efficiency (speedup / pure-CPU capacity
   ratio): **{eff_norm}**
-- The memory/RE2 probe shows what fraction of 4x ANY software with this
-  workload's resource profile could reach at these levels; at 4 -> 16
-  cores the same probe ratio collapses (~3x), which is why that level
-  pair understates executor scaling.
+- The direct evidence that 4 -> 16 cores understates executor scaling is
+  the measured CPU-time inflation of the identical fused pass itself
+  (69.5 CPU-sec busy at 4 cores -> 91.4 at 16, a 1.31x memory-contention
+  tax that caps any 4->16 speedup at ~3.0x before a single line of code
+  is at fault); at 2 -> 8 the same measurement shows only 1.06x.
 
 Generated by `python bench.py --scaling`.
 """

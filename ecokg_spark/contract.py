@@ -1289,6 +1289,88 @@ FROM m WHERE 'Q' || CAST(k % 7 AS VARCHAR) <> 'P' || CAST(k AS VARCHAR)
 """
 
 
+def q_eol_traits(spark, sf):
+    """EOL TraitBank traits path (the reference's biggest transform,
+    eol_traits.py:326-534): J1 broadcast trait-dim decode, J2 nested
+    (uri,value) categorical decode, F7 priority value/unit pick, unit-label
+    decode, J3 association pages join + P5 self-loop drop — over trait rows
+    synthesized from nation."""
+    from ecokg_spark.transforms.eol_kgx import eol_traits_to_kgx
+
+    n = t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    r = (k % 4).cast("int")
+    traits = n.select(
+        F.concat(F.lit("T"), k).alias("eol_pk"),
+        k.cast("string").alias("page_id"),
+        ((k + 7) % 25).cast("string").alias("object_page_id"),
+        F.lit("R").alias("resource_id"),
+        F.when(r == 0, "http://t/num").when(r == 1, "http://t/num")
+        .when(r == 2, "http://t/cat").otherwise("http://t/assoc").alias("predicate"),
+        F.when(r == 2, F.concat(F.lit("http://v/"), (k % 2).cast("string")))
+        .otherwise(F.lit("")).alias("value_uri"),
+        F.when(r == 1, k.cast("string")).otherwise(F.lit("")).alias("measurement"),
+        F.lit("").alias("units"),
+        F.when(r == 1, "http://u/m").otherwise(F.lit("")).alias("units_uri"),
+        F.when(r == 0, F.concat(k.cast("string"), F.lit(".5")))
+        .otherwise(F.lit("")).alias("normal_measurement"),
+        F.when(r == 0, "cm").otherwise(F.lit("")).alias("normal_units"),
+        F.lit("").alias("normal_units_uri"),
+    )
+    pages = n.select(
+        k.cast("string").alias("page_id"),
+        F.lit("").alias("parent_id"),
+        F.lit("species").alias("rank"),
+        F.col("n_name").alias("canonical"),
+    )
+    trait_dim = spark.createDataFrame(
+        [("http://t/num", "measurement", "numerical", "num trait", "TO:N1"),
+         ("http://t/cat", "measurement", "categorical", "cat trait", "TO:C1"),
+         ("http://t/assoc", "association", "", "assoc trait", "TO:A1")],
+        "trait_uri string, trait_type string, data_type string, label string, curie string")
+    value_dim = spark.createDataFrame(
+        [("http://t/cat", "http://v/0", "val zero", "VAL:0"),
+         ("http://t/cat", "http://v/1", "val one", "VAL:1")],
+        "trait_uri string, value_uri string, label string, curie string")
+    unit_dim = spark.createDataFrame(
+        [("http://u/m", "meters")], "unit_uri string, label string")
+    _nodes, edges = eol_traits_to_kgx(traits, pages, trait_dim, value_dim,
+                                      unit_dim=unit_dim)
+    return edges.select(
+        "subject", "predicate", "object", "relation", "has_attribute",
+        "has_attribute_type", "has_quantitative_value", "has_unit",
+        "provided_by")
+
+
+SQL_EOL_TRAITS = """
+WITH m AS (SELECT n_nationkey AS k, CAST(n_nationkey % 4 AS INT) AS r FROM nation)
+SELECT 'EOL:' || CAST(k AS VARCHAR) AS subject,
+       'biolink:has_phenotype' AS predicate, 'TO:N1' AS object,
+       'RO:0002200' AS relation, 'num trait' AS has_attribute,
+       'TO:N1' AS has_attribute_type,
+       CAST(k AS VARCHAR) || '.5' AS has_quantitative_value,
+       'cm' AS has_unit, 'R-EOL' AS provided_by
+FROM m WHERE r = 0
+UNION ALL
+SELECT 'EOL:' || CAST(k AS VARCHAR), 'biolink:has_phenotype', 'TO:N1',
+       'RO:0002200', 'num trait', 'TO:N1', CAST(k AS VARCHAR), 'meters',
+       'R-EOL'
+FROM m WHERE r = 1
+UNION ALL
+SELECT 'EOL:' || CAST(k AS VARCHAR), 'biolink:has_phenotype', 'TO:C1',
+       'RO:0002200',
+       CASE WHEN k % 2 = 0 THEN 'val zero' ELSE 'val one' END,
+       CASE WHEN k % 2 = 0 THEN 'VAL:0' ELSE 'VAL:1' END,
+       '', '', 'R-EOL'
+FROM m WHERE r = 2
+UNION ALL
+SELECT 'EOL:' || CAST(k AS VARCHAR), 'biolink:interacts_with',
+       'EOL:' || CAST((k + 7) % 25 AS VARCHAR), 'RO:0002434',
+       'assoc trait', 'TO:A1', '', '', 'R-EOL'
+FROM m WHERE r = 3 AND (k + 7) % 25 <> k AND (k + 7) % 25 < 25
+"""
+
+
 def q_ontology_transform(spark, sf):
     """Obograph ontology -> KGX (S10, ontology_transform.py:49-59): a
     nested obograph document assembled from nation (collect_list into the
@@ -1399,6 +1481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gaf_orthologs": q_gaf_orthologs,
     "ontology_transform": q_ontology_transform,
     "eol_hierarchy": q_eol_hierarchy,
+    "eol_traits": q_eol_traits,
     "gea_transform": q_gea_transform,
     "graph_two_hop": q_graph_two_hop,
     "multimodal_meta": q_multimodal_meta,
@@ -1449,6 +1532,7 @@ ORACLES: dict[str, str] = {
     "gaf_orthologs": SQL_GAF_ORTHOLOGS,
     "ontology_transform": SQL_ONTOLOGY_TRANSFORM,
     "eol_hierarchy": SQL_EOL_HIERARCHY,
+    "eol_traits": SQL_EOL_TRAITS,
     "gea_transform": SQL_GEA_TRANSFORM,
     "graph_two_hop": SQL_GRAPH_TWO_HOP,
     "multimodal_meta": SQL_MULTIMODAL_META,

@@ -54,6 +54,20 @@ def merge_edges(edge_dfs: list[DataFrame]) -> DataFrame:
     return u.groupBy(*keys).agg(*aggs)
 
 
+def dedup_min(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic dedup without an order column: keep the lexicographic
+    minimum of the non-key columns per key (one hash aggregate, skew-immune
+    via partial agg). Use instead of dropDuplicates(keys) wherever rows
+    sharing a key can differ in other columns — dropDuplicates keeps an
+    arbitrary row, so output would vary across runs/partitionings (ADVICE
+    r1; the reference's seen_* gates are deterministic first-in-file-order,
+    which has no distributed equivalent without an order key)."""
+    others = [c for c in df.columns if c not in keys]
+    packed = df.groupBy(*keys).agg(F.min(F.struct(*others)).alias("_m"))
+    return packed.select(*keys, *[F.col(f"_m.{c}").alias(c) for c in others]) \
+        .select(*df.columns)
+
+
 def dedup_first_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """Reference first-occurrence dedup (A2, eol_traits.py:250-267): keep the
     row with the smallest `order_col` per key — the distributed equivalent of

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ecokg_spark.operators.dedup import cosine
+from ecokg_spark.operators.dedup import cosine, rp_bucket
 
 
 def _norm_cols(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
@@ -60,27 +60,6 @@ def brute_force_topk(
     )
 
 
-def _rp_bucket(vec_col, planes: int, table: int, dim: int):
-    """Random-hyperplane bucket id: sign bits of `planes` projections.
-
-    Plane p's direction d_i = xxhash64(table, p, i) scaled to [-1, 1] —
-    deterministic pseudo-random, computed inline (no model state)."""
-    def proj(p: int):
-        # sum_i v[i] * h(table, p, i)
-        idx = F.sequence(F.lit(0), F.lit(dim - 1))
-        comps = F.zip_with(
-            vec_col,
-            F.transform(idx, lambda i: (F.xxhash64(F.lit(table), F.lit(p), i) % 2000001 - 1000000) / 1000000.0),
-            lambda v, w: v * w,
-        )
-        return F.aggregate(comps, F.lit(0.0), lambda a, x: a + x)
-
-    bucket = F.lit(0)
-    for p in range(planes):
-        bucket = bucket + F.when(proj(p) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
-
-
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -91,19 +70,23 @@ def lsh_topk(
     tables: int = 4,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH candidates, exact re-rank."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    """Approximate top-k: random-hyperplane LSH candidates, exact re-rank.
+
+    `dim` is accepted for API compatibility but unused: the bucket
+    expression derives its index range from size(vec) at execution time
+    (operators.dedup.rp_bucket), so building this plan never runs a
+    driver-side action against the corpus."""
+    del dim
     c = _norm_cols(corpus, id_col, vec_col, "c")
     q = _norm_cols(queries, id_col, vec_col, "q")
     c_b = c.select(
         "c_id", "c_vec",
-        F.posexplode(F.array(*[_rp_bucket(F.col("c_vec"), planes, t, dim) for t in range(tables)]))
+        F.posexplode(F.array(*[rp_bucket(F.col("c_vec"), planes, t) for t in range(tables)]))
         .alias("table_idx", "bucket"),
     )
     q_b = q.select(
         "q_id", "q_vec",
-        F.posexplode(F.array(*[_rp_bucket(F.col("q_vec"), planes, t, dim) for t in range(tables)]))
+        F.posexplode(F.array(*[rp_bucket(F.col("q_vec"), planes, t) for t in range(tables)]))
         .alias("table_idx", "bucket"),
     )
     cand = (

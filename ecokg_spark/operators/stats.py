@@ -24,13 +24,17 @@ def count_by_category(nodes: DataFrame) -> DataFrame:
 
 
 def count_by_spo(edges: DataFrame, nodes: DataFrame) -> DataFrame:
-    """(subject category, predicate, object category) facet counts —
-    two broadcast joins against the (small) node-category dim."""
+    """(subject category, predicate, object category) facet counts — two
+    joins against the node-category dim. No forced broadcast: the dim
+    grows with the graph (41M nodes at 100x the reference scale would
+    overflow a forced build side), so the strategy is left to the
+    optimizer — AQE broadcasts when the dim is actually small and falls
+    back to a shuffle join (with skew splitting) when it isn't."""
     s = nodes.select(F.col("id").alias("_sid"), F.col("category").alias("subject_category"))
     o = nodes.select(F.col("id").alias("_oid"), F.col("category").alias("object_category"))
     return (
-        edges.join(F.broadcast(s), F.col("subject") == F.col("_sid"))
-        .join(F.broadcast(o), F.col("object") == F.col("_oid"))
+        edges.join(s, F.col("subject") == F.col("_sid"))
+        .join(o, F.col("object") == F.col("_oid"))
         .groupBy("subject_category", "predicate", "object_category")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
@@ -42,15 +46,19 @@ def node_degree(edges: DataFrame) -> DataFrame:
 
 
 def graph_summary(nodes: DataFrame, edges: DataFrame) -> dict:
-    """Driver-side dict in merged-kg_stats.yaml spirit (totals + facets)."""
+    """Driver-side dict in merged-kg_stats.yaml spirit (totals + facets).
+    NULL predicates/categories map to '' so the dict keys are always
+    strings (sortable, YAML-safe)."""
     return {
         "total_nodes": nodes.count(),
         "total_edges": edges.count(),
         "count_by_predicate": {
-            r["predicate"]: r["n"] for r in count_by_predicate(edges).collect()
+            (r["predicate"] or ""): r["n"]
+            for r in count_by_predicate(edges).collect()
         },
         "count_by_category": {
-            r["category"]: r["n"] for r in count_by_category(nodes).collect()
+            (r["category"] or ""): r["n"]
+            for r in count_by_category(nodes).collect()
         },
     }
 
@@ -67,7 +75,11 @@ def write_stats_yaml(nodes: DataFrame, edges: DataFrame, path: str) -> dict:
     def block(d: dict, key: str) -> list[str]:
         lines = [f"  {key}:"]
         for k in sorted(d):
-            lines.append(f"    {k}:")
+            # bare curies (biolink:x) are valid plain YAML keys and match
+            # the reference's merged-kg_stats.yaml shape; quote only keys
+            # that would be malformed/ambiguous ('' or ': '-bearing)
+            safe = k if k and ": " not in k and not k.startswith(("'", '"', " ")) else repr(k)
+            lines.append(f"    {safe}:")
             lines.append(f"      count: {d[k]}")
         return lines
 

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ecokg_spark.operators.merge import dedup_min
+
 NODE_COLS = ["id", "name", "category", "has_attribute", "has_attribute_type",
              "provided_by"]
 EDGE_COLS = [
@@ -197,6 +199,6 @@ def eol_traits_to_kgx(
         F.lit("").alias("has_attribute_type"), "provided_by",
     )
 
-    nodes = trait_nodes.unionByName(assoc_nodes).dropDuplicates(["id"]).select(*NODE_COLS)
+    nodes = dedup_min(trait_nodes.unionByName(assoc_nodes), ["id"]).select(*NODE_COLS)
     edges = meas_edges.unionByName(assoc_edges).select(*EDGE_COLS)
     return nodes, edges

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ecokg_spark.operators.merge import dedup_min
+
 # the 17 fixed GAF columns (planteome.py:124 header_row; S6)
 GAF_COLS = [
     "DB", "DB_Object_ID", "DB_Object_Symbol", "Qualifier", "Ontology_ID",
@@ -284,9 +286,9 @@ def gaf_to_kgx(
 
     # A1 dedup gates: seen_node keys on id; seen_edge keys on subject+object
     # concat (planteome.py edge keys are `str(g)+str(org_id)` etc.)
-    out_nodes = all_nodes.dropDuplicates(["id"]).select(*NODE_COLS)
+    out_nodes = dedup_min(all_nodes, ["id"]).select(*NODE_COLS)
     out_edges = _empty_edge_props(
-        all_edges.dropDuplicates(["subject", "object"])
+        dedup_min(all_edges, ["subject", "object"])
     ).select(*EDGE_COLS)
     return out_nodes, out_edges
 
@@ -424,7 +426,7 @@ def germplasm_to_kgx(
                     F.lit(IN_TAXON[0]).alias("predicate"),
                     F.col("org_id").alias("object"),
                     F.lit(IN_TAXON[1]).alias("relation"), "provided_by")
-        .dropDuplicates(["subject", "object"])
+        .transform(lambda d: dedup_min(d, ["subject", "object"]))
     )
 
     # ---- 1-9 banding rows (TO:0000344/207, numerical dict): emitted BEFORE
@@ -449,7 +451,7 @@ def germplasm_to_kgx(
         F.lit("").alias("has_unit"),
         F.lit("").alias("has_qualitative_value"),
         "provided_by",
-    ).dropDuplicates(["subject", "has_attribute_type"])  # germ+pheno_id key
+    ).transform(lambda d: dedup_min(d, ["subject", "has_attribute_type"]))  # germ+pheno_id key
 
     # ---- remaining trait rows: missing-value skip (P4)
     rest = base.where(~banded_cond).where(
@@ -473,7 +475,7 @@ def germplasm_to_kgx(
         F.lit("").alias("has_unit"),
         F.lit("").alias("has_qualitative_value"),
         "provided_by",
-    ).dropDuplicates(["subject", "has_attribute_type"])  # germ+pheno_id key
+    ).transform(lambda d: dedup_min(d, ["subject", "has_attribute_type"]))  # germ+pheno_id key
 
     num_rows = rest.where(F.col("trait_type") == "numerical").where(
         F.col("num_label").isNotNull()
@@ -500,7 +502,7 @@ def germplasm_to_kgx(
 
     nodes = (
         germ_nodes.unionByName(org_nodes).unionByName(cat_nodes)
-        .unionByName(num_nodes).dropDuplicates(["id"]).select(*NODE_COLS)
+        .unionByName(num_nodes).transform(lambda d: dedup_min(d, ["id"])).select(*NODE_COLS)
     )
     edges = (
         g2org.select(*EDGE_COLS)
@@ -547,8 +549,8 @@ def qtl_to_kgx(
         F.lit(HAS_PHENOTYPE[0]).alias("predicate"),
         F.col("Ontology_ID").alias("object"),
         F.lit(HAS_PHENOTYPE[1]).alias("relation"), "provided_by")
-    nodes = qtl_nodes.unionByName(org_nodes).dropDuplicates(["id"]).select(*NODE_COLS)
+    nodes = dedup_min(qtl_nodes.unionByName(org_nodes), ["id"]).select(*NODE_COLS)
     edges = _empty_edge_props(
-        q2org.unionByName(q2trait).dropDuplicates(["subject", "object"])
+        dedup_min(q2org.unionByName(q2trait), ["subject", "object"])
     ).select(*EDGE_COLS)
     return nodes, edges

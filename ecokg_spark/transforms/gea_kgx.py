@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ecokg_spark.operators.merge import dedup_min
+
 GEA_COLS = [
     "Gene", "Species", "Experiment_accession", "Comparison", "PECOid",
     "log2_fold_change", "Adjusted_p_value", "t_statistic", "ROid",
@@ -102,7 +104,7 @@ def gea_to_kgx(
     env_nodes = genes.select(
         F.col("PECOid").alias("id"), F.lit("").alias("name"),
         F.lit(ENV_CATEGORY).alias("category"), "provided_by")
-    nodes = gene_nodes.unionByName(env_nodes).dropDuplicates(["id"]).select(*NODE_COLS)
+    nodes = dedup_min(gene_nodes.unionByName(env_nodes), ["id"]).select(*NODE_COLS)
 
     edges = genes.select(
         F.col("PECOid").alias("subject"),
@@ -115,5 +117,5 @@ def gea_to_kgx(
         F.lit("").alias("has_unit"),
         F.lit("").alias("has_qualitative_value"),
         "provided_by",
-    ).dropDuplicates(["subject", "object"]).select(*EDGE_COLS)
+    ).transform(lambda d: dedup_min(d, ["subject", "object"])).select(*EDGE_COLS)
     return nodes, edges

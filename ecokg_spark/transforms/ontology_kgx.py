@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ecokg_spark.operators.merge import dedup_min
+
 ONTO_NODE_COLS = ["id", "name", "category", "synonym", "xref", "provided_by"]
 ONTO_EDGE_COLS = ["subject", "predicate", "object", "relation", "provided_by"]
 
@@ -100,7 +102,7 @@ def ontology_to_kgx(
         F.lit(source_name).alias("provided_by"),
     )
     return (
-        nodes.dropDuplicates(["id"]).select(*ONTO_NODE_COLS),
+        dedup_min(nodes, ["id"]).select(*ONTO_NODE_COLS),
         edges.dropDuplicates(["subject", "predicate", "object"]).select(*ONTO_EDGE_COLS),
     )
 

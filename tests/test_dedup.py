@@ -53,6 +53,51 @@ def test_simhash_deterministic_and_neardup(spark):
     assert bin(hs[1] ^ hs[2]).count("1") <= 16
 
 
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Correctness signal for the no-oracle LSH candidate generator
+    (VERDICT r1 #8): against the EXACT n-gram Jaccard pair set (the
+    ground truth an SQL oracle would compute), banded MinHash-LSH must
+    reach >= 0.9 recall at threshold 0.5 on a corpus of planted
+    mutations — and every reported candidate must itself verify (the
+    pipeline re-verifies candidates, so precision is exactness, recall is
+    the only probabilistic quantity)."""
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank {} while birds sing in the tall green trees")
+    docs = []
+    for i in range(30):
+        docs.append((2 * i, base.format(f"day{i}")))
+        # 1-token mutation -> high-Jaccard planted near-dup
+        docs.append((2 * i + 1, base.format(f"day{i}") + " extra"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    gold = {(r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    got = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert gold, "ground truth must be non-empty"
+    recall = len(gold & got) / len(gold)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 ({len(gold)} gold)"
+
+
+def test_simhash_pairs_exact_vs_bruteforce(spark):
+    """simhash_pairs' pigeonhole chunk-bucketing must find EXACTLY the
+    brute-force hamming<=3 pair set (it is exact by construction — any
+    64-bit pair within 3 bit flips shares one untouched 16-bit chunk)."""
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank {} while birds sing in the tall green trees")
+    docs = [(i, base.format(f"w{i % 7}")) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    hs = {r["doc_id"]: r["simhash"]
+          for r in with_simhash(df, "text").collect()}
+    brute = {
+        (a, b)
+        for a in hs for b in hs if a < b
+        and bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(df, max_hamming=3).collect()}
+    assert got == brute
+
+
 def test_ngram_jaccard(spark):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
@@ -71,3 +116,40 @@ def test_embedding_neardup(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              embedding_neardup_pairs(df, block_col="label", threshold=0.99).collect()}
     assert pairs == {(1, 2)}  # (1,4) blocked apart, (1,3) orthogonal
+
+
+def test_embedding_neardup_unblocked_uses_lsh_not_cross_join(spark):
+    """Default (no block_col) derives internal random-hyperplane buckets:
+    near-identical pairs are found, and the physical plan contains NO
+    cartesian product (the VERDICT r1 scale-robustness fix)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0, 0.0], 0),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = embedding_neardup_pairs(df, threshold=0.99)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (1, 4) not in pairs
+
+
+def test_stats_yaml_null_category_safe(spark, tmp_path):
+    """write_stats_yaml with NULL categories/predicates must not crash and
+    must emit well-formed keys (ADVICE r1)."""
+    from ecokg_spark.operators.stats import write_stats_yaml
+
+    nodes = spark.createDataFrame(
+        [("A:1", None), ("A:2", "biolink:OrganismTaxon")],
+        "id string, category string")
+    edges = spark.createDataFrame(
+        [("A:1", None, "A:2")], "subject string, predicate string, object string")
+    out = str(tmp_path / "stats.yaml")
+    s = write_stats_yaml(nodes, edges, out)
+    assert s["count_by_category"][""] == 1
+    text = open(out).read()
+    assert "    '':" in text  # empty key quoted, not a bare ':' line
+    assert "    biolink:OrganismTaxon:" in text  # curie keys stay plain
