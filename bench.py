@@ -163,7 +163,7 @@ def main_bench():
     timings[f"kg_pipeline_{PIPELINE_PAGES // 1000}k_pages"] = pipe["sec"]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline query set + KG pipeline wall time",
         "value": total,
         "unit": "sec",
@@ -171,7 +171,27 @@ def main_bench():
         "sf": SF_DIR,
         "pages_per_sec": pipe["pages_per_sec"],
         "cpus": int(CPUS),
-    }))
+    }
+    # fold in the latest scaling evidence (BENCH/scaling.json, written by
+    # `bench.py --scaling`) so the per-round bench line carries the
+    # north-rule numbers: large-corpus throughput at both levels + the
+    # N->4N efficiency. The 100k-page pipeline above is latency-dominated
+    # (fixed driver work amortizes over ~20x more pages in scaling runs).
+    try:
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            sc = json.load(f)
+        out["scaling"] = {
+            "pages": sc["pages"],
+            "pages_per_sec_N": sc["levels"]["N"]["pages_per_sec"],
+            "pages_per_sec_4N": sc["levels"]["4N"]["pages_per_sec"],
+            "cores_N": sc["levels"]["N"]["cores"],
+            "cores_4N": sc["levels"]["4N"]["cores"],
+            "efficiency_raw": sc["scaling_efficiency_raw"],
+            "efficiency_hw_normalized": sc["scaling_efficiency_hw_normalized"],
+        }
+    except Exception:  # noqa: BLE001 — scaling evidence not generated yet
+        pass
+    print(json.dumps(out))
     spark.stop()
 
 

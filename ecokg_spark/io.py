@@ -65,3 +65,66 @@ class TableIO:
         if compress:
             w = w.option("compression", "gzip")
         w.csv(out_dir)
+
+
+def read_zip_entries(spark: SparkSession, path: str,
+                     pattern: str | None = None) -> DataFrame:
+    """Zip-archive source (S12; reference `unzip_to_tempdir`,
+    utils/transform_utils.py:168-180 — gzip Spark reads natively, zip it
+    does not): binaryFile scan + an Arrow-batched decompressor.
+
+    Returns (archive, entry, content binary) — one row per zip member.
+    Each archive decompresses inside one task (zip's central directory is
+    per-file, so archive-level is the natural parallel unit; many archives
+    spread across the cluster via the binaryFile scan's partitioning).
+    `pattern` filters entry names with a Python fnmatch (e.g. '*.tsv').
+    """
+    import fnmatch
+    import io as _io
+    import zipfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("archive", T.StringType()),
+        T.StructField("entry", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ])
+
+    def unzip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for _, row in pdf.iterrows():  # a handful of archives per batch
+                out: list[tuple[str, str, bytes]] = []
+                with zipfile.ZipFile(_io.BytesIO(row["content"])) as z:
+                    for name in z.namelist():
+                        if name.endswith("/"):
+                            continue
+                        if pattern and not fnmatch.fnmatch(name, pattern):
+                            continue
+                        out.append((row["path"], name, z.read(name)))
+                if out:
+                    yield pd.DataFrame(out, columns=["archive", "entry", "content"])
+
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    return raw.mapInPandas(unzip, schema)
+
+
+def read_zip_tsv(spark: SparkSession, path: str, cols: list[str],
+                 sep: str = "\t", pattern: str | None = None,
+                 comment: str | None = None) -> DataFrame:
+    """TSV rows out of zip members: decompress (read_zip_entries), split
+    lines/fields JVM-side. `comment` drops lines starting with that prefix
+    (the GAF '!' convention)."""
+    from pyspark.sql import functions as F
+
+    lines = read_zip_entries(spark, path, pattern=pattern).select(
+        F.explode(F.split(F.decode("content", "UTF-8"), "\r?\n")).alias("line")
+    ).where(F.col("line") != "")
+    if comment:
+        lines = lines.where(~F.col("line").startswith(comment))
+    parts = F.split("line", sep)
+    return lines.select(
+        *[parts.getItem(i).alias(c) for i, c in enumerate(cols)]
+    )
