@@ -1,26 +1,27 @@
-"""HTML boilerplate-strip + sentence split (EXTRACT_SPEC v4) + sha256 audit.
+"""HTML boilerplate-strip + sentence split (EXTRACT_SPEC v5) + sha256 audit.
 
 North-star stage 1: a vectorized Arrow UDF turns (url, html binary) into
 byte-identical extracted text per url. The spec is frozen and self-contained
 (regex/stdlib only — no external HTML lib, so no library-version drift can
 break the audit; SURVEY.md §7 risk 2):
 
-  EXTRACT_SPEC v4
+  EXTRACT_SPEC v5
     1. decode UTF-8 (errors=replace)
     1.5 drop NUL bytes (\\x00): valid UTF-8 but never meaningful text; this
        also guarantees the vectorized sentence split's \\x00 boundary
        sentinel can never collide with data (the v2 divergence between the
        Arrow and pandas split paths on NUL-bearing input)
-    2. drop <script>/<style>/<head>/<nav>/<footer>/<header> blocks in ONE
-       non-greedy alternation pass (case-insensitive, dot-matches-newline):
-       a block opens at any listed tag and closes at the NEXT closing tag
-       of any listed name. No backreference, so the identical regex runs
-       on RE2 and Python `re`. v4 note: one alternation pass instead of
-       v2/v3's six per-tag passes — byte-identical on non-interleaved
-       boilerplate (the only case v2 defined deterministically anyway) and
-       ~30% less regex scanning, which matters because extraction is
-       memory-bandwidth-bound at high core counts.
-    3. replace every remaining tag <...> with a single space
+    2+3. ONE combined pass replaces boilerplate blocks and stray tags with
+       a single space: alternation `BLOCK|<[^>]*>` where BLOCK is the
+       non-greedy <script|style|head|nav|footer|header>...</any-of-those>
+       span (case-insensitive, dot-matches-newline). Leftmost-first
+       matching means a position opening a block takes the BLOCK branch
+       (so an unclosed block tag degrades to a plain tag strip). No
+       backreference, so the identical regex runs on RE2 and Python `re`;
+       cross-engine equality is tested on nested/unclosed edge cases.
+       v4->v5 note: merging v4's two passes (and v2/v3's seven) into one
+       cuts regex scanning ~40% total — extraction is memory-bandwidth-
+       bound at high core counts, so passes are the scaling currency.
     4. decode the fixed entity set: &lt; &gt; &quot; &#39; &apos;
        &nbsp;(-> space) &amp;   [&amp; last, per HTML double-escape order]
     5. collapse [ \\t\\r\\n]+ runs to one space; strip ' ' from both ends
@@ -57,9 +58,11 @@ from pyspark.sql.functions import pandas_udf
 BLOCK_TAGS = ["script", "style", "head", "nav", "footer", "header"]
 
 _TAG_ALT = "|".join(BLOCK_TAGS)
-_BLOCK_PAT = rf"(?is)<(?:{_TAG_ALT})\b[^>]*>.*?</(?:{_TAG_ALT})\s*>"
-_BLOCK_RE = re.compile(_BLOCK_PAT)
-_TAG_RE = re.compile(r"<[^>]*>")
+# combined block-span + stray-tag pass (spec step 2+3)
+_STRIP_PAT = (
+    rf"(?is)<(?:{_TAG_ALT})\b[^>]*>.*?</(?:{_TAG_ALT})\s*>|<[^>]*>"
+)
+_STRIP_RE = re.compile(_STRIP_PAT)
 _WS_RE = re.compile(r"[ \t\r\n]+")
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])[ \t\r\n]+")
 
@@ -71,13 +74,12 @@ _ENTITIES = [
 
 
 def extract_text_py(html: bytes | None) -> str:
-    """Single-value reference implementation of EXTRACT_SPEC v4 (used by
+    """Single-value reference implementation of EXTRACT_SPEC v5 (used by
     tests as the independent oracle for both vectorized paths)."""
     if html is None:
         return ""
     s = html.decode("utf-8", errors="replace").replace("\x00", "")
-    s = _BLOCK_RE.sub(" ", s)
-    s = _TAG_RE.sub(" ", s)
+    s = _STRIP_RE.sub(" ", s)
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)
     return _WS_RE.sub(" ", s).strip(" ")
@@ -86,7 +88,7 @@ def extract_text_py(html: bytes | None) -> str:
 def split_sentences_py(text: str) -> list[str]:
     if not text:
         return []
-    # NUL-strip first: EXTRACT_SPEC v4 output is NUL-free already, but this
+    # NUL-strip first: EXTRACT_SPEC v5 output is NUL-free already, but this
     # keeps all three split paths identical on arbitrary (non-spec) input
     return [p for p in _SENT_SPLIT_RE.split(text.replace("\x00", "")) if p]
 
@@ -96,11 +98,10 @@ def split_sentences_py(text: str) -> list[str]:
 # --------------------------------------------------------------------------
 
 def _extract_arrow(arr: pa.Array) -> pa.Array:
-    """EXTRACT_SPEC v4 steps 2-5 as pyarrow.compute kernels over a string
+    """EXTRACT_SPEC v5 steps 2-5 as pyarrow.compute kernels over a string
     array (step 1, decode, is the caller's cast)."""
     s = pc.replace_substring(pc.fill_null(arr, ""), "\x00", "")
-    s = pc.replace_substring_regex(s, _BLOCK_PAT, " ")
-    s = pc.replace_substring_regex(s, "<[^>]*>", " ")
+    s = pc.replace_substring_regex(s, _STRIP_PAT, " ")
     for ent, ch in _ENTITIES:
         s = pc.replace_substring(s, ent, ch)
     s = pc.replace_substring_regex(s, "[ \\t\\r\\n]+", " ")
@@ -111,8 +112,7 @@ def _extract_pandas(html: pd.Series) -> pd.Series:
     """Pandas fallback (identical spec; handles invalid UTF-8 bytes)."""
     s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
     s = s.str.replace("\x00", "", regex=False)
-    s = s.str.replace(_BLOCK_RE, " ", regex=True)
-    s = s.str.replace(_TAG_RE, " ", regex=True)
+    s = s.str.replace(_STRIP_RE, " ", regex=True)
     for ent, ch in _ENTITIES:
         s = s.str.replace(ent, ch, regex=False)
     return s.str.replace(_WS_RE, " ", regex=True).str.strip(" ")
@@ -120,7 +120,7 @@ def _extract_pandas(html: pd.Series) -> pd.Series:
 
 @pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
-    """Vectorized EXTRACT_SPEC v4 over an Arrow batch of html bytes.
+    """Vectorized EXTRACT_SPEC v5 over an Arrow batch of html bytes.
     Arrow/RE2 fast path; pandas path when the batch is not valid UTF-8."""
     try:
         arr = pa.Array.from_pandas(html)

@@ -25,7 +25,7 @@ computes sha256 JVM-side from the audit rows' extracted_text and drops the
 text column before materializing (pipeline.build_kg).
 
 Semantics are IDENTICAL to the staged operators and tested against them:
-extract per EXTRACT_SPEC v4 (operators/extract.py), sentence ids =
+extract per EXTRACT_SPEC v5 (operators/extract.py), sentence ids =
 posexplode positions over the non-empty sentence list, triple pattern and
 language gate per operators/triples.py. Reference parity as in those
 modules (per-row loops of eol_traits.py:273-534 / planteome.py:173-419
@@ -67,7 +67,7 @@ def _process_batch(pdf: pd.DataFrame, lang: str) -> pa.Table:
     n = len(pdf)
     url = pa.Array.from_pandas(pdf["url"])
 
-    # -- extract (EXTRACT_SPEC v4); Arrow/RE2 fast path, pandas fallback for
+    # -- extract (EXTRACT_SPEC v5); Arrow/RE2 fast path, pandas fallback for
     # batches whose bytes are not valid UTF-8 (cast cannot errors=replace)
     try:
         text = _extract_arrow(pc.cast(pa.Array.from_pandas(pdf["html"]), pa.string()))

@@ -36,6 +36,18 @@ def streaming_triples(pages_stream: DataFrame) -> DataFrame:
     return extract_triples(extract_pages(pages_stream))
 
 
+def streaming_fused(pages_stream: DataFrame) -> DataFrame:
+    """pages stream -> fused audit+triples+combiner stream: the SAME
+    single-pass mapInPandas operator as the batch pipeline
+    (operators/fused.py) — stateless and narrow, so it composes with
+    readStream unchanged. One micro-batch pass yields audit rows
+    (sent_id=-1), triple rows (sent_id>=0) and the linking/edge combiner
+    rows, exactly as in batch."""
+    from ecokg_spark.operators.fused import fused_extract_triples
+
+    return fused_extract_triples(pages_stream)
+
+
 def page_rate(pages_stream: DataFrame) -> DataFrame:
     """Pages per 1-minute event-time window per lang, 10-minute watermark
     for late WARC records."""

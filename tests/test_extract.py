@@ -31,6 +31,29 @@ def test_spec_reference_impl():
     assert extract_text_py(HTML_CASES[5]) == "café bold text"
 
 
+def test_strip_pass_cross_engine_edge_cases():
+    """The combined block+tag strip (spec step 2+3) must behave identically
+    on RE2 (pyarrow) and Python `re` for nested/unclosed/adjacent blocks —
+    leftmost-first alternation, non-greedy block spans."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ecokg_spark.operators.extract import _STRIP_PAT, _STRIP_RE
+
+    cases = [
+        "<script>a</script>KEEP<script>c</script>",
+        "<header>x</header>y<p>z</p>",
+        "<script>a</footer>b</script>",     # closes at first listed closer
+        "<nav>1<script>2</script>3</nav>",  # nested: outer span wins
+        "a<b>c",
+        "<script>no close <p>para</p>",     # unclosed block -> tag strip
+        "<style >attr</style>",
+    ]
+    re2 = pc.replace_substring_regex(pa.array(cases), _STRIP_PAT, " ").to_pylist()
+    for c, got in zip(cases, re2):
+        assert got == _STRIP_RE.sub(" ", c), c
+
+
 def test_sentence_split():
     assert split_sentences_py("A b. C d! E f? G") == ["A b.", "C d!", "E f?", "G"]
     assert split_sentences_py("") == []

@@ -33,6 +33,31 @@ def test_stream_extract_matches_batch(spark, pages_dir, tmp_path):
     assert got == batch > 0
 
 
+def test_stream_fused_matches_batch(spark, pages_dir, tmp_path):
+    """The fused single-pass operator runs unchanged under Structured
+    Streaming; the drained stream's rows equal the batch fused output."""
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.operators.fused import fused_extract_triples
+    from ecokg_spark.streaming.ingest import streaming_fused
+
+    stream = read_pages_stream(spark, pages_dir)
+    out = str(tmp_path / "fused")
+    ck = str(tmp_path / "fck")
+    run_stream_to_parquet(streaming_fused(stream), out, ck, timeout_s=120)
+    got = spark.read.parquet(out)
+    batch = fused_extract_triples(spark.read.parquet(pages_dir))
+    # audit + triple rows match exactly; combiner rows (sent_id=-2/-3) are
+    # batch-boundary-dependent by design, so compare their DISTINCT sets
+    for kinds, distinct in ((F.col("sent_id") >= -1, False),
+                            (F.col("sent_id") < -1, True)):
+        g, b = got.where(kinds), batch.where(kinds)
+        if distinct:
+            g, b = g.distinct(), b.distinct()
+        assert g.exceptAll(b).count() == 0
+        assert b.exceptAll(g).count() == 0
+
+
 def test_page_rate_window(spark, pages_dir, tmp_path):
     stream = read_pages_stream(spark, pages_dir)
     out = str(tmp_path / "rate")
