@@ -58,6 +58,26 @@ class TableIO:
             return self.spark.catalog.tableExists(name)
         return os.path.isdir(self._path(name))
 
+    def write_bucketed(self, df: DataFrame, name: str, n_buckets: int,
+                       bucket_cols: list[str],
+                       sort_cols: list[str] | None = None,
+                       mode: str = "overwrite") -> None:
+        """Bucketed table write — the co-located-join primitive for the big
+        graph tables (north-rule partitioning: kg.edges bucketed by
+        subject). Joins/aggregations keyed on the bucket columns read the
+        table with NO exchange (each bucket is a pre-shuffled partition;
+        Iceberg's equivalent is `bucket(N, col)` partition transforms).
+        Requires a session catalog (saveAsTable), which both the in-memory
+        and Hive catalogs provide."""
+        self.spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.option("path", self._path(name)).saveAsTable(name.replace(".", "_"))
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        return self.spark.table(name.replace(".", "_"))
+
     def export_kgx_tsv(self, df: DataFrame, out_dir: str, compress: bool = True) -> None:
         """KGX-parity TSV export (reference: merge.yaml:66-71 tar.gz TSV dump;
         we keep plain .tsv.gz — the tar wrapper carries no information)."""

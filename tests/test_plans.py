@@ -103,3 +103,31 @@ def test_two_phase_salted_degree(spark):
     df = node_degree(edges)
     assert "HashAggregate" in physical_plan(df)
     assert count_exchanges(df) == 2
+
+
+def test_bucketed_edges_join_without_exchange(spark, tmp_path):
+    """write_bucketed(kg.edges, bucket=subject) -> a subject-keyed
+    self-join / aggregation reads pre-shuffled buckets: ZERO shuffle
+    exchanges on the bucketed side (the co-located-join primitive for the
+    production edge table; Iceberg bucket(N, subject) equivalent)."""
+    from ecokg_spark.io import TableIO
+
+    io = TableIO(spark, warehouse=str(tmp_path / "wh"))
+    edges = spark.range(1000).select(
+        (F.col("id") % 97).cast("string").alias("subject"),
+        F.lit("p").alias("predicate"),
+        F.col("id").cast("string").alias("object"),
+    )
+    io.write_bucketed(edges, "kg.edges_b", 8, ["subject"])
+    t = io.read_bucketed("kg.edges_b")
+
+    # subject-keyed aggregation: no exchange at all
+    agg = t.groupBy("subject").count()
+    assert count_exchanges(agg) == 0, physical_plan(agg)
+
+    # subject-keyed self-join (2-hop shape): no shuffle exchange either side
+    a = t.alias("a")
+    b = t.select(F.col("subject").alias("s2"), F.col("object").alias("o2"))
+    j = a.join(b.hint("merge"), F.col("a.subject") == F.col("s2"))
+    assert count_exchanges(j) == 0, physical_plan(j)
+    assert j.count() > 0 and agg.count() == 97
