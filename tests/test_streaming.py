@@ -75,3 +75,93 @@ def test_page_rate_window(spark, pages_dir, tmp_path):
     # historical corpus all windows close when the stream drains
     rates = spark.read.parquet(out)
     assert set(rates.columns) == {"window_start", "lang", "n_pages"}
+
+
+def test_stateful_streaming_sessions_match_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: drained stream + timeout
+    flush must yield the same per-user session counts as the batch
+    lag-window sessionizer (contract.q_sessionize semantics)."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ecokg_spark.streaming.sessions import streaming_sessions
+
+    rows = []
+    base = 1_700_000_000
+    for u in range(6):
+        t = base + u * 10_000
+        for s in range(u % 3 + 1):          # 1-3 sessions per user
+            for e in range(3):               # 3 events per session
+                rows.append((u, t + e * 60))
+            t += 4000                        # > 1800s gap -> new session
+    ev = spark.createDataFrame(rows, "user_id long, ts_s long").select(
+        "user_id", F.timestamp_seconds("ts_s").alias("ts"))
+    src = str(tmp_path / "events")
+    # feed micro-batch files in event-time order (the watermark contract:
+    # an event-time stream arrives roughly ordered; events behind the
+    # watermark are late data and may be dropped)
+    ordered = sorted(rows, key=lambda r: r[1])
+    third = len(ordered) // 3 + 1
+    for i in range(3):
+        chunk = ordered[i * third:(i + 1) * third]
+        if chunk:
+            spark.createDataFrame(chunk, "user_id long, ts_s long").select(
+                "user_id", F.timestamp_seconds("ts_s").alias("ts")
+            ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "sessions")
+    q = (streaming_sessions(stream, gap_s=1800)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 second")
+         .start())
+    # run until every session (incl. timeout-flushed finals) lands
+    batch = (
+        ev.withColumn(
+            "_new",
+            F.when(
+                (F.unix_timestamp("ts")
+                 - F.unix_timestamp(F.lag("ts").over(
+                     Window.partitionBy("user_id").orderBy("ts"))))
+                .isNull()
+                | ((F.unix_timestamp("ts")
+                    - F.unix_timestamp(F.lag("ts").over(
+                        Window.partitionBy("user_id").orderBy("ts")))) > 1800),
+                1).otherwise(0))
+        .groupBy("user_id").agg(F.sum("_new").alias("n_sessions"))
+    )
+    want = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    deadline = time.time() + 120
+    got = {}
+    tick = 0
+    while time.time() < deadline:
+        # event-time timeouts fire when the WATERMARK passes
+        # last_ts + gap; a real stream's ongoing traffic advances it, so
+        # emulate that: tick rows from a dummy user with event times far
+        # past every real session's close point
+        tick += 1
+        spark.createDataFrame(
+            [(999, base + 1_000_000 + tick * 60)], "user_id long, ts_s long") \
+            .select("user_id", F.timestamp_seconds("ts_s").alias("ts")) \
+            .write.mode("append").parquet(src)
+        try:
+            got = {r["user_id"]: r["n"] for r in
+                   spark.read.parquet(out).where(F.col("user_id") != 999)
+                   .groupBy("user_id")
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+        except Exception:  # noqa: BLE001 — sink not created yet
+            got = {}
+        if got == want:
+            break
+        time.sleep(2)
+    q.stop()
+    assert got == want
+    # session shape sanity: events per session sum to the input
+    total_events = spark.read.parquet(out).where(F.col("user_id") != 999).agg(
+        F.sum("n_events").alias("s")).collect()[0]["s"]
+    assert total_events == len(rows)
