@@ -260,7 +260,7 @@ def capacity_probe(levels=LEVELS, kind: str = "cpu") -> dict[str, float]:
     an RE2 scan over ~6 MB string batches (the fused pass's real profile).
     Every level (incl. the 1-core baseline) runs the identical code path."""
     walls: dict[str, float] = {}
-    for _ in range(3):  # min-of-3, interleaved: host noise is +-30%
+    for _ in range(5):  # min-of-5, interleaved: host noise is +-30%
         for label, cores, core_list in [("base1", 1, "0"), *levels]:
             args = [sys.executable, os.path.join(REPO, "bench.py"),
                     "--probe", str(cores), "--probe-kind", kind]

@@ -48,11 +48,17 @@ from ecokg_spark.operators.triples import verb_map
 from ecokg_spark.sources.pages import alias_table, category_table
 
 
+# resolution tables at or under this many rows become driver-local
+# relations (broadcast-style size gate, same precedent as
+# components.SMALL_GRAPH_EDGES): every downstream broadcast build is then
+# free — no job, no checkpoint. ~30 MB of 3-string rows at the limit.
+RES_BROADCAST_MAX = 200_000
+
+
 def link_triples(
     triples: DataFrame,
     termlist: DataFrame,
     surfaces: DataFrame | None = None,
-    materialize_res: bool = True,
     dim_count: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Link subject and object mentions.
@@ -76,25 +82,20 @@ def link_triples(
             .unionByName(triples.select(F.col("obj_mention").alias("mention")))
         )
     surfaces = surfaces.distinct()
-    if materialize_res:
-        # materialize the DISTINCT surface set (vocabulary-sized) before
-        # the exact/fuzzy DAG: link_mentions references its input from 3+
-        # branches (exact hit, miss, fuzzy, quarantine) and exchange reuse
-        # across those branches is not guaranteed under AQE — without this
-        # barrier the surfaces distinct re-shuffles once per branch
-        # (measured 2-3x link-stage variance at 1.9M pages).
-        # materialize_res=False instead keeps the whole resolve DAG lazy so
-        # it rides INSIDE a single consumer job (e.g. edge materialize) —
-        # every driver barrier here costs ~0.2-0.4s of serial job latency
-        # a single-action caller should not pay.
-        surfaces = surfaces.localCheckpoint(eager=True)
     resolved, _unresolved = link_mentions(
         surfaces, termlist, "mention", dim_count=dim_count
     )
     res = resolved.select("mention", "curie", "match_kind")
-    if materialize_res:
-        # materialize the (tiny) resolution table ONCE: the two broadcast
-        # builds below would otherwise each re-run the whole resolution DAG
+    # evaluate the resolution DAG exactly ONCE (it is referenced by two
+    # broadcast builds below plus linked/quarantine — re-deriving it per
+    # consumer re-runs the whole exact/fuzzy DAG each time): take(N+1)
+    # doubles as the size gate. Vocabulary-sized results become a
+    # driver-local relation — every later broadcast builds with NO job —
+    # while oversized results fall back to a checkpoint.
+    sample = res.take(RES_BROADCAST_MAX + 1)
+    if len(sample) <= RES_BROADCAST_MAX:
+        res = triples.sparkSession.createDataFrame(sample, res.schema)
+    else:
         res = res.localCheckpoint(eager=True)
     s = res.select(
         F.col("mention").alias("subj_mention"),
@@ -210,8 +211,7 @@ def build_kg(
         F.col("subj_mention").alias("mention")
     )
     linked, quarantine, res = link_triples(
-        triples, termlist, surfaces=surfaces,
-        materialize_res=materialize_linked, dim_count=n_terms,
+        triples, termlist, surfaces=surfaces, dim_count=n_terms,
     )
     if materialize and materialize_linked:
         # worth a barrier only when several downstream consumers will scan
