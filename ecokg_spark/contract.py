@@ -701,6 +701,21 @@ SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF inverted-list ANN run in its exhaustive configuration
+    (n_probe == n_centroids probes every list): the result must equal the
+    exact cosine top-k, so the brute-force SQL oracle checks the whole
+    train -> assign -> probe -> re-rank machinery end to end. Production
+    configs use n_probe << n_centroids (recall asserted in pytest)."""
+    from ecokg_spark.operators.similarity import ivf_topk
+
+    e = t(spark, sf, "embeddings")
+    qs = e.where(F.col("vec_id").isin(0, 1, 2))
+    return ivf_topk(e, qs, k=10, n_centroids=16, n_probe=16).select(
+        "query_id", "vec_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def q_embedding_neardup(spark, sf):
     """Cosine >= 0.995 near-dup pairs blocked by label. The driver corpus
     has no natural near-dups (max pairwise cosine ~0.47), so 20 planted
@@ -1468,6 +1483,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "embedding_neardup": q_embedding_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "extract_html": q_extract_html,
     "triple_extract": q_triple_extract,
     "entity_link": q_entity_link,
@@ -1518,6 +1534,7 @@ ORACLES: dict[str, str] = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
+    "ann_ivf_topk": SQL_COSINE_TOPK,  # exhaustive IVF == exact top-k
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "extract_html": SQL_EXTRACT_HTML,
     "triple_extract": SQL_TRIPLE_EXTRACT,

@@ -49,3 +49,46 @@ def test_lsh_topk_recall(spark):
     # rank-1 must always be the query itself (cosine 1.0, in its own bucket)
     r1 = {r["query_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
     assert r1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_ivf_exact_mode_matches_bruteforce(spark):
+    """n_probe == n_centroids probes every inverted list -> ivf_topk must
+    equal the exact brute-force ranking."""
+    from ecokg_spark.operators.similarity import ivf_topk
+
+    corpus, _ = _vectors(spark)
+    queries = corpus.where(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["rank"]): r["vec_id"]
+             for r in brute_force_topk(corpus, queries, k=5).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["vec_id"]
+           for r in ivf_topk(corpus, queries, k=5, n_centroids=8,
+                             n_probe=8).collect()}
+    assert ivf == exact
+
+
+def test_ivf_probe_recall(spark):
+    """At n_probe < n_centroids, IVF scans a fraction of the lists but must
+    keep high top-k recall (nearest vectors share the query's list with
+    high probability)."""
+    from ecokg_spark.operators.similarity import ivf_topk
+
+    corpus, _ = _vectors(spark)
+    queries = corpus.where(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(corpus, queries, k=5).collect()}
+    ivf = {(r["query_id"], r["vec_id"])
+           for r in ivf_topk(corpus, queries, k=5, n_centroids=8,
+                             n_probe=3).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_deterministic(spark):
+    from ecokg_spark.operators.similarity import train_ivf_centroids
+
+    corpus, _ = _vectors(spark)
+    c1 = train_ivf_centroids(corpus, n_centroids=8)
+    c2 = train_ivf_centroids(corpus, n_centroids=8)
+    import numpy as np
+
+    assert np.array_equal(c1, c2)
