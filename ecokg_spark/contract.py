@@ -1436,6 +1436,32 @@ FROM nation
 """
 
 
+def q_sparql_select(spark, sf):
+    """EP3 SPARQL runner (eco_kg/query.py:7-36 re-expressed in-engine): the
+    reference's golden query shape — SELECT (COUNT(?v2) AS ?v1) ?v0 WHERE
+    { ?v2 biolink:category ?v0 } GROUP BY ?v0 — compiled to a Catalyst
+    plan over a node table synthesized from part."""
+    from ecokg_spark.query import sparql_select
+
+    p = t(spark, sf, "part")
+    nodes = p.select(
+        F.concat(F.lit("P:"), F.col("p_partkey")).alias("id"),
+        F.col("p_brand").alias("category"),
+    )
+    edges = spark.createDataFrame(
+        [], "subject string, predicate string, object string")
+    return sparql_select(
+        spark,
+        "SELECT (COUNT(?v2) AS ?v1) ?v0 WHERE { ?v2 biolink:category ?v0 } GROUP BY ?v0",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_SELECT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS v1, p_brand AS v0 FROM part GROUP BY p_brand
+"""
+
+
 def q_kg_pipeline(spark, sf):
     """Full north-star pipeline on the synthetic CC corpus (rows-only:
     multi-stage UDF pipeline is not SQL-expressible)."""
@@ -1500,6 +1526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eol_traits": q_eol_traits,
     "gea_transform": q_gea_transform,
     "graph_two_hop": q_graph_two_hop,
+    "sparql_select": q_sparql_select,
     "multimodal_meta": q_multimodal_meta,
     "kg_pipeline": q_kg_pipeline,
 }
@@ -1552,6 +1579,7 @@ ORACLES: dict[str, str] = {
     "eol_traits": SQL_EOL_TRAITS,
     "gea_transform": SQL_GEA_TRANSFORM,
     "graph_two_hop": SQL_GRAPH_TWO_HOP,
+    "sparql_select": SQL_SPARQL_SELECT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     # rows-only (non-SQL-expressible): minhash_neardup, simhash_neardup,
     # ann_lsh_topk, kg_pipeline

@@ -1,0 +1,139 @@
+"""SPARQL basic-graph-pattern queries compiled to DataFrame plans (EP3).
+
+The reference's 4th phase sends a SPARQL SELECT to an external triplestore
+(eco_kg/query.py:7-13 via SPARQLWrapper) and dumps bindings to TSV
+(query.py:20-36). This engine holds the graph in kg nodes/edges tables, so
+the same queries compile straight to Catalyst plans — no endpoint:
+
+  supported grammar (the reference's published query shape,
+  tests/test_query.py:29-40, plus conjunctive patterns):
+
+    SELECT (COUNT(?x) AS ?alias)* ?var* WHERE { pattern ('.' pattern)* }
+    [GROUP BY ?var*]
+
+    pattern := term term term
+    term    := ?var | CURIE            (e.g. biolink:category, TO:0000433)
+
+  semantics:
+    - predicate `biolink:category` reads the NODES table (id, category) —
+      KGX stores category as a node property, exactly how the reference's
+      triplestore exposed it;
+    - any other predicate reads the EDGES table (subject, predicate,
+      object);
+    - conjunctive patterns join on shared variables (Catalyst picks
+      broadcast vs shuffle; var-to-var joins are plain equi-joins);
+    - COUNT + GROUP BY map to groupBy().agg(count).
+
+Bindings come back as a DataFrame whose columns are the SELECT variables
+(no '?'), ready for the reference's TSV sink shape (S17's ERROR-coalesce
+is contract.q_sparql_sink_error).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SELECT_RE = re.compile(r"(?is)^\s*SELECT\s+(.*?)\s+WHERE\s*\{(.*?)\}\s*(?:GROUP\s+BY\s+(.*?))?\s*$")
+_AGG_RE = re.compile(r"\(\s*COUNT\s*\(\s*\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)", re.I)
+_VAR_RE = re.compile(r"\?(\w+)")
+
+CATEGORY_PRED = "biolink:category"
+
+
+class SparqlError(ValueError):
+    pass
+
+
+def _parse(query: str):
+    m = _SELECT_RE.match(query)
+    if not m:
+        raise SparqlError(f"unsupported SPARQL shape: {query!r}")
+    select_raw, where_raw, group_raw = m.groups()
+    aggs = [(v, alias) for v, alias in _AGG_RE.findall(select_raw)]
+    plain = _VAR_RE.findall(_AGG_RE.sub(" ", select_raw))
+    patterns = []
+    for part in re.split(r"\s*\.\s*(?![\w])|\s*\.\s*$", where_raw.strip()):
+        part = part.strip().rstrip(".").strip()
+        if not part:
+            continue
+        terms = part.split()
+        if len(terms) != 3:
+            raise SparqlError(f"bad triple pattern: {part!r}")
+        patterns.append(tuple(terms))
+    group = _VAR_RE.findall(group_raw) if group_raw else []
+    return aggs, plain, patterns, group
+
+
+def _term_col(df: DataFrame, col: str, term: str, binds: dict[str, list]):
+    """Bind one pattern position: variable -> rename map entry,
+    literal -> filter."""
+    if term.startswith("?"):
+        binds.setdefault(term[1:], []).append(col)
+        return df
+    return df.where(F.col(col) == term)
+
+
+def sparql_select(
+    spark: SparkSession,
+    query: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+) -> DataFrame:
+    """Compile + run a (restricted) SPARQL SELECT over the KG tables."""
+    aggs, plain, patterns, group = _parse(query)
+    if not patterns:
+        raise SparqlError("empty WHERE clause")
+
+    rels: list[DataFrame] = []
+    var_cols: list[dict[str, str]] = []
+    for i, (s, p, o) in enumerate(patterns):
+        if not p.startswith("?") and p == CATEGORY_PRED:
+            rel = nodes.select(F.col("id").alias(f"_s{i}"),
+                               F.col("category").alias(f"_o{i}"))
+        else:
+            rel = edges.select(F.col("subject").alias(f"_s{i}"),
+                               F.col("predicate").alias(f"_p{i}"),
+                               F.col("object").alias(f"_o{i}"))
+            if not p.startswith("?"):
+                rel = rel.where(F.col(f"_p{i}") == p)
+        binds: dict[str, list] = {}
+        rel = _term_col(rel, f"_s{i}", s, binds)
+        if p.startswith("?") or p != CATEGORY_PRED:
+            if p.startswith("?"):
+                binds.setdefault(p[1:], []).append(f"_p{i}")
+        rel = _term_col(rel, f"_o{i}", o, binds)
+        rels.append(rel)
+        var_cols.append({v: cols[0] for v, cols in binds.items()})
+
+    # join patterns on shared variables, left to right
+    out = rels[0]
+    bound: dict[str, str] = dict(var_cols[0])
+    for i in range(1, len(rels)):
+        shared = [(bound[v], c) for v, c in var_cols[i].items() if v in bound]
+        if shared:
+            cond = None
+            for a, b in shared:
+                piece = F.col(a) == F.col(b)
+                cond = piece if cond is None else (cond & piece)
+            out = out.join(rels[i], cond)
+        else:
+            out = out.crossJoin(rels[i])
+        for v, c in var_cols[i].items():
+            bound.setdefault(v, c)
+
+    missing = [v for v in plain + [a for a, _ in aggs] + group if v not in bound]
+    if missing:
+        raise SparqlError(f"unbound variables: {missing}")
+
+    if aggs:
+        keys = group or plain
+        out = out.groupBy(*[F.col(bound[v]).alias(v) for v in keys]).agg(
+            *[F.count(bound[v]).cast("long").alias(alias) for v, alias in aggs]
+        )
+        # SELECT order: aggregates and plain vars as written
+        order = [alias for _, alias in aggs] + [v for v in plain]
+        return out.select(*order)
+    return out.select(*[F.col(bound[v]).alias(v) for v in plain])

@@ -1,0 +1,75 @@
+"""SPARQL BGP -> DataFrame compiler (EP3): the reference's published query
+shape (tests/test_query.py:29-40 — count nodes by category) plus
+conjunctive patterns, against in-engine KG tables instead of an endpoint."""
+
+import pytest
+
+from ecokg_spark.query import SparqlError, sparql_select
+
+
+@pytest.fixture()
+def kg(spark):
+    nodes = spark.createDataFrame(
+        [("G:1", "biolink:GenomicEntity"), ("G:2", "biolink:GenomicEntity"),
+         ("T:1", "biolink:OrganismTaxon"), ("P:1", "biolink:PhenotypicFeature")],
+        "id string, category string")
+    edges = spark.createDataFrame(
+        [("G:1", "biolink:in_taxon", "T:1"),
+         ("G:2", "biolink:in_taxon", "T:1"),
+         ("G:1", "biolink:has_phenotype", "P:1")],
+        "subject string, predicate string, object string")
+    return nodes, edges
+
+
+def test_reference_golden_query_shape(spark, kg):
+    """The reference's canonical query (query template test_template.yaml /
+    tests/test_query.py:33-36): SELECT (COUNT(?v2) AS ?v1) ?v0
+    WHERE { ?v2 biolink:category ?v0 } GROUP BY ?v0."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT (COUNT(?v2) AS ?v1) ?v0 WHERE { ?v2 biolink:category ?v0 } GROUP BY ?v0",
+        nodes, edges)
+    assert out.columns == ["v1", "v0"]  # header shape parity (vars, no '?')
+    got = {r["v0"]: r["v1"] for r in out.collect()}
+    assert got == {"biolink:GenomicEntity": 2, "biolink:OrganismTaxon": 1,
+                   "biolink:PhenotypicFeature": 1}
+
+
+def test_conjunctive_pattern_join(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?g ?p WHERE { ?g biolink:in_taxon T:1 . "
+        "?g biolink:has_phenotype ?p }",
+        nodes, edges)
+    assert [tuple(r) for r in out.collect()] == [("G:1", "P:1")]
+
+
+def test_variable_predicate(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark, "SELECT ?pred WHERE { G:1 ?pred ?o }", nodes, edges)
+    assert {r["pred"] for r in out.collect()} == {
+        "biolink:in_taxon", "biolink:has_phenotype"}
+
+
+def test_category_join_edges(spark, kg):
+    """Mix node-property and edge patterns through a shared variable."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT (COUNT(?g) AS ?n) ?c WHERE { ?g biolink:in_taxon T:1 . "
+        "?g biolink:category ?c } GROUP BY ?c",
+        nodes, edges)
+    assert [tuple(r) for r in out.collect()] == [(2, "biolink:GenomicEntity")]
+
+
+def test_unsupported_shapes_raise(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError):
+        sparql_select(spark, "ASK { ?s ?p ?o }", nodes, edges)
+    with pytest.raises(SparqlError):
+        sparql_select(spark, "SELECT ?x WHERE { }", nodes, edges)
+    with pytest.raises(SparqlError):
+        sparql_select(spark, "SELECT ?x WHERE { ?a ?b }", nodes, edges)
