@@ -1,0 +1,60 @@
+"""Incremental KG merge sink: stream micro-batches upsert into the
+running merged edge/node tables via foreachBatch.
+
+Completes the streaming story (fused ingest -> stateful ops -> HERE):
+each micro-batch of new edges is deduplicated against the table built so
+far — the streaming equivalent of the batch (s,p,o) merge aggregate
+(operators/merge.py), with exactly-once delivery from the sink
+checkpoint + idempotent anti-join-then-append writes:
+
+  batch_n: new = batch.dropDuplicates(keys) ANTI-JOIN existing(keys)
+           append(new)
+
+A replayed micro-batch (failure between append and commit) re-runs the
+anti-join against a table that already contains its rows, appending
+nothing — idempotence without a transactional store. On Iceberg the same
+hook body becomes a MERGE INTO; the anti-join form is the
+format-agnostic fallback (same TableIO philosophy, io.py).
+
+At scale the anti-join's build side is the EXISTING table keyed by
+(s,p,o); bucket the table by subject (TableIO.write_bucketed) to keep the
+probe co-located and exchange-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+EDGE_KEYS = ["subject", "predicate", "object"]
+
+
+def upsert_edges_batch(batch: DataFrame, table_path: str,
+                       keys: list[str] | None = None) -> None:
+    """foreachBatch body: append only (key-)new rows to `table_path`."""
+    keys = keys or EDGE_KEYS
+    spark = batch.sparkSession
+    fresh = batch.dropDuplicates(keys)
+    if os.path.exists(os.path.join(table_path, "_SUCCESS")) or any(
+        f.endswith(".parquet") for f in (
+            os.listdir(table_path) if os.path.isdir(table_path) else [])
+    ):
+        existing = spark.read.parquet(table_path).select(*keys)
+        fresh = fresh.join(existing, keys, "left_anti")
+    fresh.write.mode("append").parquet(table_path)
+
+
+def incremental_edge_merge(edge_stream: DataFrame, table_path: str,
+                           checkpoint: str, timeout_s: int | None = None):
+    """Drive an edge stream into a continuously merged table."""
+    q = (
+        edge_stream.writeStream.foreachBatch(
+            lambda batch, _epoch: upsert_edges_batch(batch, table_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

@@ -165,3 +165,34 @@ def test_stateful_streaming_sessions_match_batch(spark, tmp_path):
     total_events = spark.read.parquet(out).where(F.col("user_id") != 999).agg(
         F.sum("n_events").alias("s")).collect()[0]["s"]
     assert total_events == len(rows)
+
+
+def test_incremental_edge_merge(spark, tmp_path):
+    """foreachBatch upsert: overlapping micro-batches merge into a
+    deduplicated edge table equal to the batch (s,p,o)-distinct of the
+    full input; a replayed batch appends nothing (idempotence)."""
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.streaming.merge_sink import (
+        incremental_edge_merge,
+        upsert_edges_batch,
+    )
+
+    src = str(tmp_path / "edges_src")
+    rows1 = [("A", "p", "B"), ("A", "p", "C"), ("A", "p", "B")]
+    rows2 = [("A", "p", "B"), ("B", "p", "C")]   # overlaps batch 1
+    schema = "subject string, predicate string, object string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    table = str(tmp_path / "merged")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    incremental_edge_merge(stream, table, str(tmp_path / "ck"), timeout_s=120)
+
+    got = {tuple(r) for r in spark.read.parquet(table).collect()}
+    assert got == {("A", "p", "B"), ("A", "p", "C"), ("B", "p", "C")}
+
+    # replay batch 2 manually -> idempotent, nothing appended
+    upsert_edges_batch(spark.createDataFrame(rows2, schema), table)
+    assert spark.read.parquet(table).count() == 3
