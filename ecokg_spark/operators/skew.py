@@ -17,7 +17,14 @@ def salt_col(*key_cols: str, buckets: int = 16) -> Column:
     """Deterministic salt in [0, buckets): hash of the NON-key attributes is
     unavailable generically, so salt on a hash of the full row via
     monotonically varying xxhash64 over the key plus spark partition id —
-    cheap and uniform enough to split a hot key across `buckets` reducers."""
+    cheap and uniform enough to split a hot key across `buckets` reducers.
+
+    WARNING: the spark_partition_id() component makes the CONTENTS of each
+    salt bucket depend on the input's physical partitioning. That is
+    correct for commutative re-aggregations (counts/sums are
+    partition-invariant — salted_count below) but NOT for order- or
+    membership-sensitive uses: do not salt first/collect_list/limit-style
+    logic with this column, and do not persist it as a stable key."""
     return F.pmod(F.xxhash64(*key_cols, F.spark_partition_id()), F.lit(buckets))
 
 
