@@ -59,6 +59,87 @@ def test_sentence_split_udf_matches_reference(spark, texts):
         assert got[i] == split_sentences_py(t), (i, t)
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_html, min_size=1, max_size=15))
+def test_fused_matches_staged_operators(spark, htmls):
+    """The fused single-pass operator must equal the staged
+    extract_pages/text_audit/extract_triples composition on adversarial
+    html — the guarantee that fusing changed the physical plan only."""
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.operators.extract import extract_pages, text_audit
+    from ecokg_spark.operators.fused import fused_extract_triples
+    from ecokg_spark.operators.triples import extract_triples
+
+    rows = [(f"u{i}", h, "en") for i, h in enumerate(htmls)]
+    pages = spark.createDataFrame(rows, "url string, html binary, lang string")
+    fused = fused_extract_triples(pages).localCheckpoint(eager=True)
+
+    staged = extract_pages(pages).localCheckpoint(eager=True)
+    audit_want = {(r["url"], r["text_sha256"], r["n_sentences"])
+                  for r in text_audit(staged).collect()}
+    audit_got = {
+        (r["url"],
+         __import__("hashlib").sha256(r["extracted_text"].encode()).hexdigest(),
+         r["n_sentences"])
+        for r in fused.where(F.col("sent_id") == -1).collect()}
+    assert audit_got == audit_want
+
+    trip_want = {tuple(r) for r in extract_triples(staged).select(
+        "url", "sent_id", "subj_mention", "verb", "obj_mention").collect()}
+    trip_got = {tuple(r) for r in fused.where(F.col("sent_id") >= 0).select(
+        "url", "sent_id", "subj_mention", "verb", "obj_mention").collect()}
+    assert trip_got == trip_want
+
+
+_PHRASES = [
+    "Very_weak_all_plants_flat_", "Strong_no_lodging_", "Short__<30cm_",
+]
+_ae_frag = st.one_of(
+    st.sampled_from(["(", ")", "=", "_", "TRAIT", "purple", "12.5", "999",
+                     "EAR_DIAMETER", *_PHRASES]),
+    st.text(alphabet="abcXY_()=0123456789", max_size=6),
+)
+_ae = st.lists(_ae_frag, max_size=6).map("".join)
+
+
+def _pheno_py(ae: str | None) -> str | None:
+    """Python reference of the germplasm pheno parse
+    (planteome.py:317-332 semantics as implemented in gaf_kgx._parse_pheno)."""
+    from ecokg_spark.transforms.gaf_kgx import PHRASE_PHENOS
+
+    if not ae:
+        return None
+    if "=" in ae:
+        p = ae.split("=")[1].strip(")")
+        if "_" in p:
+            p = p.split("_")[0]
+    elif "(" in ae:
+        p = ae.split("(")[1].strip(")")
+        if p not in PHRASE_PHENOS and "_" in p:
+            p = p.split("_")[0]
+    else:
+        return None
+    return p
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_ae, min_size=1, max_size=50))
+def test_pheno_parse_matches_python_reference(spark, aes):
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.transforms.gaf_kgx import _parse_pheno
+
+    df = spark.createDataFrame([(i, a) for i, a in enumerate(aes)],
+                               "i long, ae string")
+    got = {r["i"]: r["p"] for r in
+           df.select("i", _parse_pheno(F.col("ae")).alias("p")).collect()}
+    for i, a in enumerate(aes):
+        assert got[i] == _pheno_py(a), (i, a)
+
+
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
