@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 from ecokg_spark.io import TableIO
 from ecokg_spark.operators.checkpoint import StageRunner
 from ecokg_spark.operators.components import canonical_map
-from ecokg_spark.operators.extract import extract_pages, text_audit
+from ecokg_spark.operators.fused import (
+    AUDIT_SENT_ID,
+    MENTION_SENT_ID,
+    SVO_SENT_ID,
+    fused_extract_triples,
+)
 from ecokg_spark.operators.linking import (
     alias_identity_edges,
     build_termlist,
@@ -28,7 +33,7 @@ from ecokg_spark.operators.linking import (
 )
 from ecokg_spark.operators.merge import merge_edges, merge_nodes
 from ecokg_spark.operators.stats import count_by_category, count_by_predicate
-from ecokg_spark.operators.triples import extract_triples, verb_map
+from ecokg_spark.operators.triples import verb_map
 from ecokg_spark.sources.pages import alias_table, category_table
 
 
@@ -42,32 +47,38 @@ def run_kg_job(
 ) -> StageRunner:
     """Run (or resume) the full pipeline, one durable table per stage.
 
-    Stage tables (under the TableIO warehouse): kg.termlist, kg.extracted,
-    kg.audit, kg.triples, kg.linked, kg.quarantine, kg.canonical, kg.nodes,
-    kg.edges, kg.stats_by_predicate, kg.stats_by_category; per-stage
-    lineage under kg._checkpoints.<stage>.
+    Stage tables (under the TableIO warehouse): kg.termlist, kg.fused (the
+    one corpus pass: audit + triple + combiner rows, columnar so each
+    consumer reads only its columns), kg.audit, kg.triples, kg.linked_raw,
+    kg.quarantine, kg.canonical, kg.nodes, kg.edges,
+    kg.stats_by_predicate, kg.stats_by_category; per-stage lineage under
+    kg._checkpoints.<stage>.
     """
     r = StageRunner(io, run_id=run_id, resume=resume)
     aliases = aliases if aliases is not None else alias_table(spark)
 
     termlist = r.run("termlist", lambda: build_termlist(aliases))
 
-    extracted = r.run(
-        "extracted",
-        lambda: extract_pages(pages).select(
-            "url", "warc_ts", "lang", "text", "extracted_text", "sentences"
+    fused = r.run(
+        "fused",
+        lambda: fused_extract_triples(pages).select(
+            "url", "sent_id", "subj_mention", "verb", "obj_mention",
+            "n_sentences",
+            F.when(
+                F.col("sent_id") == AUDIT_SENT_ID,
+                F.sha2(F.encode(F.col("extracted_text"), "UTF-8"), 256),
+            ).alias("text_sha256"),
         ),
     )
-    r.run("audit", lambda: text_audit(extracted))
-
-    triples = r.run("triples", lambda: extract_triples(extracted))
+    r.run("audit", lambda: fused.where(F.col("sent_id") == AUDIT_SENT_ID)
+          .select("url", "text_sha256", "n_sentences"))
+    triples = r.run("triples", lambda: fused.where(F.col("sent_id") >= 0)
+                    .select("url", "sent_id", "subj_mention", "verb",
+                            "obj_mention"))
 
     def _linked() -> DataFrame:
-        surfaces = (
-            triples.select(F.col("subj_mention").alias("mention"))
-            .unionByName(triples.select(F.col("obj_mention").alias("mention")))
-            .distinct()
-        )
+        surfaces = fused.where(F.col("sent_id") == MENTION_SENT_ID).select(
+            F.col("subj_mention").alias("mention")).distinct()
         resolved, _ = link_mentions(surfaces, termlist, "mention")
         res = resolved.select("mention", "curie", "match_kind").localCheckpoint(eager=True)
         s = res.select(F.col("mention").alias("subj_mention"),
@@ -80,7 +91,6 @@ def run_kg_job(
             F.broadcast(o), "obj_mention", "left")
 
     j = r.run("linked_raw", _linked)
-    linked = j.where(F.col("subj_curie").isNotNull() & F.col("obj_curie").isNotNull())
     r.run("quarantine", lambda: (
         j.where(F.col("subj_curie").isNull())
         .select("url", "sent_id", F.col("subj_mention").alias("mention"),
@@ -98,9 +108,27 @@ def run_kg_job(
     vmap = F.broadcast(verb_map(spark))
 
     def _edges() -> DataFrame:
+        # resolve via the durable linked_raw table's (mention -> curie)
+        # bindings; candidates = the fused pass's batch-distinct (s,v,o)
+        # combiner rows, so this never rescans per-sentence triples
+        res = (
+            j.select(F.col("subj_mention").alias("mention"),
+                     F.col("subj_curie").alias("curie"))
+            .unionByName(j.select(F.col("obj_mention").alias("mention"),
+                                  F.col("obj_curie").alias("curie")))
+            .where(F.col("curie").isNotNull()).distinct()
+        )
+        svo = fused.where(F.col("sent_id") == SVO_SENT_ID).select(
+            "subj_mention", "verb", "obj_mention")
         raw = (
-            linked.join(canon_b.withColumnRenamed("node", "subj_curie")
-                        .withColumnRenamed("canonical", "subject"), "subj_curie")
+            svo.join(F.broadcast(res.select(
+                F.col("mention").alias("subj_mention"),
+                F.col("curie").alias("subj_curie"))), "subj_mention")
+            .join(F.broadcast(res.select(
+                F.col("mention").alias("obj_mention"),
+                F.col("curie").alias("obj_curie"))), "obj_mention")
+            .join(canon_b.withColumnRenamed("node", "subj_curie")
+                  .withColumnRenamed("canonical", "subject"), "subj_curie")
             .join(canon_b.withColumnRenamed("node", "obj_curie")
                   .withColumnRenamed("canonical", "object"), "obj_curie")
             .join(vmap, "verb")

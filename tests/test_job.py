@@ -18,7 +18,7 @@ def test_job_runs_resumes_and_matches_pipeline(spark, tmp_path):
     io = TableIO(spark, warehouse=wh)
 
     r1 = run_kg_job(spark, pages, io, run_id="t1")
-    assert set(r1.timings) >= {"termlist", "extracted", "audit", "triples",
+    assert set(r1.timings) >= {"termlist", "fused", "audit", "triples",
                                "linked_raw", "quarantine", "canonical",
                                "edges", "nodes"}
     edges = io.read("kg.edges")
@@ -44,5 +44,5 @@ def test_job_runs_resumes_and_matches_pipeline(spark, tmp_path):
     shutil.rmtree(f"{wh}/kg/_done/edges")
     r3 = run_kg_job(spark, pages, io, run_id="t3")
     assert "edges" in r3.timings
-    assert "extracted" not in r3.timings and "linked_raw" not in r3.timings
+    assert "fused" not in r3.timings and "linked_raw" not in r3.timings
     assert io.read("kg.edges").count() == n_edges
