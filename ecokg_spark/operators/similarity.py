@@ -142,9 +142,19 @@ def train_ivf_centroids(
     target = n_centroids * sample_per_centroid
     n = corpus.count()
     p = max(n // max(target, 1), 1)
-    samp = corpus.where(
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(p)) == 0
-    ).select(vec_col).limit(target).collect()
+    # orderBy(hash, id) before limit: when the hash filter passes more than
+    # `target` rows, a bare limit would keep whichever rows ARRIVE first
+    # (partition-layout-dependent) — sorting by the hash value makes the
+    # sample, and therefore the codebook, layout-invariant (ADVICE r2).
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    samp = (
+        corpus.where(F.pmod(h, F.lit(p)) == 0)
+        .select(F.col(vec_col).alias("_v"), h.alias("_h"), F.col(id_col).alias("_i"))
+        .orderBy("_h", "_i")
+        .limit(target)
+        .select("_v")
+        .collect()
+    )
     X = np.array([r[0] for r in samp], dtype="float64")
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     k = min(n_centroids, len(X))

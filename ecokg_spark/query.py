@@ -105,6 +105,12 @@ def sparql_select(
             if p.startswith("?"):
                 binds.setdefault(p[1:], []).append(f"_p{i}")
         rel = _term_col(rel, f"_o{i}", o, binds)
+        # a variable repeated WITHIN one pattern (e.g. `?x ?p ?x`) is an
+        # equality constraint between its positions, not a free rename —
+        # filter on all extra bound columns (ADVICE r2)
+        for _v, cols in binds.items():
+            for extra in cols[1:]:
+                rel = rel.where(F.col(cols[0]) == F.col(extra))
         rels.append(rel)
         var_cols.append({v: cols[0] for v, cols in binds.items()})
 

@@ -158,7 +158,7 @@ def eol_traits_to_kgx(
         F.lit("").alias("has_qualitative_value"),
         "provided_by",
         F.col("eol_pk"),
-    ).dropDuplicates(["eol_pk"]).drop("eol_pk")
+    ).transform(lambda d: dedup_min(d, ["eol_pk"])).drop("eol_pk")
 
     trait_nodes = meas.select(
         F.col("curie").alias("id"), F.col("label").alias("name"),
@@ -190,7 +190,7 @@ def eol_traits_to_kgx(
         F.lit("").alias("has_qualitative_value"),
         "provided_by",
         F.col("eol_pk"),
-    ).dropDuplicates(["eol_pk"]).drop("eol_pk")
+    ).transform(lambda d: dedup_min(d, ["eol_pk"])).drop("eol_pk")
 
     assoc_nodes = assoc.select(
         F.col("assoc_curie").alias("id"), F.col("_assoc_label").alias("name"),

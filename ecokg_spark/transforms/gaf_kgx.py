@@ -484,9 +484,12 @@ def germplasm_to_kgx(
         F.col("onto").alias("id"), F.col("num_label").alias("name"),
         F.lit(TRAIT_CATEGORY).alias("category"), "provided_by")
     # measurement dedup key r = ECO:DB_Object_ID-<RAW onto suffix>-pheno
-    # (planteome.py:450 — keyed on the raw Ontology_ID column)
-    num_edges = num_rows.dropDuplicates(
-        ["DB_Object_ID", "Ontology_ID", "pheno"]
+    # (planteome.py:450 — keyed on the raw Ontology_ID column). Rows sharing
+    # the key can still differ in the REMAPPED onto / num_label / unit
+    # (compound-trait Annotation_Extension variants), so the survivor must
+    # be picked deterministically — dedup_min, not dropDuplicates.
+    num_edges = dedup_min(
+        num_rows, ["DB_Object_ID", "Ontology_ID", "pheno"]
     ).select(
         F.col("germ_id").alias("subject"),
         F.lit(HAS_PHENOTYPE[0]).alias("predicate"),

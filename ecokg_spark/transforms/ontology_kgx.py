@@ -103,7 +103,10 @@ def ontology_to_kgx(
     )
     return (
         dedup_min(nodes, ["id"]).select(*ONTO_NODE_COLS),
-        edges.dropDuplicates(["subject", "predicate", "object"]).select(*ONTO_EDGE_COLS),
+        # two distinct raw preds can bucket to the same biolink predicate
+        # with different `relation` values — dedup_min keeps the pick
+        # deterministic across partitionings
+        dedup_min(edges, ["subject", "predicate", "object"]).select(*ONTO_EDGE_COLS),
     )
 
 
