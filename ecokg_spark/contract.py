@@ -658,16 +658,78 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
 
 
 def q_minhash_neardup(spark, sf):
-    """MinHash-LSH near-dup candidate pairs (rows-only check: xxhash64 has
-    no DuckDB twin; determinism guaranteed by fixed seeds)."""
+    """MinHash-LSH candidates + exact-Jaccard verification: the returned
+    relation is pairs with EXACT 3-shingle Jaccard >= 0.4, so the DuckDB
+    all-pairs oracle recomputes it verbatim. Candidate recall at the 1-row
+    banding is 1 - (1-j)^64 (> 1 - 1e-13 at j >= 0.4) — exhaustive on this
+    corpus, asserted by the oracle itself. The estimated-Jaccard production
+    path (minhash_lsh_pairs, 16x4 banding) keeps its pytest recall check
+    vs this exact ground truth (tests/test_dedup.py)."""
+    from ecokg_spark.operators.dedup import minhash_verified_pairs
+
     d = t(spark, sf, "documents")
-    return minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+    return minhash_verified_pairs(d, "text", "doc_id", threshold=0.4)
+
+
+SQL_MINHASH_NEARDUP = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS s FROM documents
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
+"""
 
 
 def q_simhash_neardup(spark, sf):
-    """SimHash hamming<=3 near-dup pairs (rows-only check)."""
+    """SimHash hamming<=3 near-dup pairs over the PORTABLE md5 token-hash
+    spec (bit i of token hash = bit (i%4) of hex digit (i//4) of
+    md5(token)): the 16-bit-chunk pigeonhole bucketing has exact recall by
+    construction, so the DuckDB oracle recomputes the identical relation
+    from scratch (md5 + substring are engine-portable, unlike xxhash64 —
+    which the production default still uses for speed)."""
     d = t(spark, sf, "documents")
-    return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3,
+                         token_hash="md5").withColumn(
+        "hamming", F.col("hamming").cast("int"))
+
+
+_TOK_SQL = ("unnest(list_distinct(string_split(lower("
+            + _NORM_SQL.format(c="text") + "), ' ')))")
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+bits AS (
+  SELECT doc_id, r.i AS i,
+         SUM(((strpos('0123456789abcdef', substr(h, CAST(r.i // 4 AS INT) + 1, 1)) - 1)
+              >> CAST(r.i % 4 AS INT)) & 1) AS ones,
+         COUNT(*) AS n
+  FROM th CROSS JOIN range(64) r(i)
+  GROUP BY doc_id, r.i
+),
+sh AS (
+  SELECT doc_id,
+         list(CASE WHEN ones * 2 > n THEN 1 ELSE 0 END ORDER BY i) AS b
+  FROM bits GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         list_sum(list_transform(range(1, 65),
+                  j -> CASE WHEN a.b[j] != b.b[j] THEN 1 ELSE 0 END)) AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3
+"""
 
 
 # --------------------------------------------------------------------------
@@ -757,10 +819,15 @@ WHERE list_dot_product(a.embedding, b.embedding)
 
 
 def q_ann_lsh_topk(spark, sf):
-    """Approximate top-k via random-hyperplane LSH (rows-only check)."""
+    """RP-LSH top-k run in its exhaustive configuration (planes=0 -> one
+    bucket, every row a candidate): the result must equal the exact cosine
+    top-k, so the brute-force SQL oracle checks the whole bucket -> join ->
+    dedup -> re-rank machinery end to end (same degeneration trick as
+    ann_ivf_topk). Production configs use planes>0; their recall floor is
+    pytest-asserted vs brute force (tests/test_similarity.py)."""
     e = t(spark, sf, "embeddings")
     qs = e.where(F.col("vec_id").isin(0, 1, 2))
-    return lsh_topk(e, qs, k=10, dim=64).select(
+    return lsh_topk(e, qs, k=10, planes=0, tables=1).select(
         "query_id", "vec_id", F.col("rank").cast("int").alias("rank")
     )
 
@@ -1560,8 +1627,11 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_neardup": SQL_MINHASH_NEARDUP,
+    "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_ivf_topk": SQL_COSINE_TOPK,  # exhaustive IVF == exact top-k
+    "ann_lsh_topk": SQL_COSINE_TOPK,  # exhaustive LSH == exact top-k
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "extract_html": SQL_EXTRACT_HTML,
     "triple_extract": SQL_TRIPLE_EXTRACT,
@@ -1581,6 +1651,8 @@ ORACLES: dict[str, str] = {
     "graph_two_hop": SQL_GRAPH_TWO_HOP,
     "sparql_select": SQL_SPARQL_SELECT,
     "multimodal_meta": SQL_MULTIMODAL_META,
-    # rows-only (non-SQL-expressible): minhash_neardup, simhash_neardup,
-    # ann_lsh_topk, kg_pipeline
+    # rows-only (non-SQL-expressible): kg_pipeline (multi-stage Arrow-UDF
+    # pipeline — its component stages each have their own oracle rows:
+    # extract_html, triple_extract, entity_link, connected_components,
+    # kg_materialize)
 }

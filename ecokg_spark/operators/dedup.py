@@ -99,30 +99,95 @@ def minhash_lsh_pairs(
     return cand.select("id_a", "id_b", est).where(F.col("jaccard_est") >= threshold)
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard) with EXACT shingle-set
+    Jaccard >= threshold — the deployable LSH-then-verify pattern whose
+    output relation is exactly recomputable by a SQL oracle.
+
+    Candidate generation bands at one row per band (a pair is a candidate
+    if ANY of the k minhashes agree), so a true pair at Jaccard j is missed
+    with probability (1-j)^k — < 1e-19 at j=0.5, k=64: exhaustive recall in
+    practice at any verification threshold >= ~0.3, while still a bucketed
+    equi-join (no all-pairs product; low-similarity pairs do surface as
+    candidates more often than the production 16x4 banding, which is the
+    price of verifiable recall — use `minhash_lsh_pairs` when an estimated
+    Jaccard is enough). Verification joins each candidate pair to its
+    materialized distinct-shingle array and computes the exact Jaccard
+    JVM-side (array_intersect — per-pair O(shingles), no extra shuffle
+    beyond the two id joins)."""
+    from ecokg_spark.functions.text import shingles_from_tokens
+
+    sigs = _minhash_sigs(df, text_col, id_col, k)
+    banded = sigs.select(
+        id_col, F.posexplode("_sig").alias("band_idx", "band_hash"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = (
+        df.select(F.col(id_col), F.split(F.lower(normalize_ws(F.col(text_col))), " ").alias("_toks"))
+        .select(id_col, F.array_distinct(shingles_from_tokens(F.col("_toks"), n)).alias("_set"))
+    )
+    pa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_seta"))
+    pb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_setb"))
+    inter = F.size(F.array_intersect("_seta", "_setb"))
+    jac = inter / (F.size("_seta") + F.size("_setb") - inter)
+    return (
+        cand.join(pa, "id_a").join(pb, "id_b")
+        .select("id_a", "id_b", jac.cast("double").alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def _mask(i: int) -> int:
     return (1 << i) if i < 63 else -(1 << 63)  # sign bit as min-long
 
 
 def with_simhash(df: DataFrame, text_col: str, out_col: str = "simhash",
-                 bits: int = 64) -> DataFrame:
+                 bits: int = 64, token_hash: str = "xxhash64") -> DataFrame:
     """Add a 64-bit Charikar SimHash column (majority vote of bit i over
-    xxhash64(token), assembled by bitwise OR — overflow-free).
+    hash(token), assembled by bitwise OR — overflow-free).
 
     Staged projections (tokens -> hashes -> votes -> hash) keep every
     codegen expression small; the vote layer is `bits` tiny exprs over ONE
-    materialized hash-array column."""
-    staged = df.withColumn(
-        "_th",
-        F.transform(
-            F.array_distinct(F.split(F.lower(normalize_ws(F.col(text_col))), " ")),
-            lambda t: F.xxhash64(t),
-        ),
-    )
-    def vote(i: int):
-        # NB: single-arg lambda — a second lambda param would make Spark pass
-        # the element index into it
-        ones = F.size(F.filter(F.col("_th"), lambda h: h.bitwiseAND(F.lit(_mask(i))) != 0))
-        return ones * 2 > F.size(F.col("_th"))
+    materialized hash-array column.
+
+    token_hash: 'xxhash64' (default — fastest, JVM codegen) or 'md5'
+    (PORTABLE spec: bit i of a token's hash = bit (i mod 4) of hex digit
+    (i div 4) of md5(token) — recomputable verbatim in any engine with
+    md5 + substring, which is what makes `simhash_pairs` oracle-checkable
+    cross-engine; same pigeonhole guarantees, ~2x slower)."""
+    toks = F.array_distinct(F.split(F.lower(normalize_ws(F.col(text_col))), " "))
+    if token_hash == "md5":
+        staged = df.withColumn("_th", F.transform(toks, lambda t: F.md5(t)))
+
+        def vote(i: int):
+            d, b = i // 4, i % 4
+            ones = F.size(F.filter(
+                F.col("_th"),
+                lambda h: F.conv(F.substring(h, d + 1, 1), 16, 10)
+                .cast("int").bitwiseAND(F.lit(1 << b)) != 0,
+            ))
+            return ones * 2 > F.size(F.col("_th"))
+    else:
+        staged = df.withColumn("_th", F.transform(toks, lambda t: F.xxhash64(t)))
+
+        def vote(i: int):
+            # NB: single-arg lambda — a second lambda param would make Spark
+            # pass the element index into it
+            ones = F.size(F.filter(F.col("_th"), lambda h: h.bitwiseAND(F.lit(_mask(i))) != 0))
+            return ones * 2 > F.size(F.col("_th"))
 
     votes = staged.withColumn("_votes", F.array(*[vote(i) for i in range(bits)]))
     out = F.lit(0).cast("long")
@@ -142,13 +207,17 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
 
     Candidate generation: split the 64-bit hash into 4 x 16-bit chunks —
     any pair within hamming 3 agrees on >= 1 chunk (pigeonhole), so a
-    bucket join on (chunk_idx, chunk_value) finds all of them."""
-    h = with_simhash(df.select(id_col, text_col), text_col, "_sh").select(id_col, "_sh")
+    bucket join on (chunk_idx, chunk_value) finds all of them — EXACT
+    recall by construction, for either token_hash spec (see with_simhash;
+    'md5' makes the output relation recomputable by a SQL oracle)."""
+    h = with_simhash(df.select(id_col, text_col), text_col, "_sh",
+                     token_hash=token_hash).select(id_col, "_sh")
     chunks = h.select(
         id_col,
         "_sh",
@@ -251,18 +320,29 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     planes: int = 8,
     tables: int = 4,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs >= threshold.
 
-    Candidate generation is ALWAYS blocked — never an all-pairs product:
-    with `block_col` given (a label / precomputed bucket) pairs come from a
-    same-block equi-join; otherwise a random-hyperplane LSH bucket is
-    derived internally (`tables` tables x `planes` sign bits, dynamic-dim,
-    no driver action) and pairs come from the (table, bucket) equi-join.
-    Every candidate is verified with the exact cosine. At threshold 0.95
-    (~18 deg) the default 8-plane/4-table setup keeps per-pair recall
-    >= ~0.9, -> 1 as cos -> 1; exact duplicates are never missed."""
-    if block_col:
+    Candidate generation is blocked by default — never an all-pairs
+    product: with `block_col` given (a label / precomputed bucket) pairs
+    come from a same-block equi-join; otherwise a random-hyperplane LSH
+    bucket is derived internally (`tables` tables x `planes` sign bits,
+    dynamic-dim, no driver action) and pairs come from the (table, bucket)
+    equi-join. Every candidate is verified with the exact cosine. At
+    threshold 0.95 (~18 deg) the default 8-plane/4-table setup keeps
+    per-pair recall >= ~0.9, -> 1 as cos -> 1; exact duplicates are never
+    missed.
+
+    ``exact=True`` (no block_col) keeps the exhaustive all-pairs crossJoin
+    — 100% recall for SMALL inputs only (O(N^2) rows; never use at corpus
+    scale). Callers that relied on the pre-r2 no-block behavior being exact
+    should pass this explicitly (ADVICE r2)."""
+    if exact and not block_col:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        j = a.crossJoin(b)
+    elif block_col:
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
                       F.col(block_col))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),

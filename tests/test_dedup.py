@@ -153,3 +153,65 @@ def test_stats_yaml_null_category_safe(spark, tmp_path):
     text = open(out).read()
     assert "    '':" in text  # empty key quoted, not a bare ':' line
     assert "    biolink:OrganismTaxon:" in text  # curie keys stay plain
+
+
+def test_minhash_verified_pairs_equals_exact_jaccard(spark):
+    """minhash_verified_pairs (1-row banding + exact verify — the contract
+    query's shape) must return EXACTLY the exact-Jaccard pair relation:
+    candidate recall at k=64 single-hash bands is 1-(1-j)^64 (~1 at any
+    j >= 0.3), and the verification step recomputes the true Jaccard."""
+    from ecokg_spark.operators.dedup import minhash_verified_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank {} while birds sing in the tall green trees")
+    docs = []
+    for i in range(20):
+        docs.append((2 * i, base.format(f"day{i}")))
+        docs.append((2 * i + 1, base.format(f"day{i}") + " extra"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    gold = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(df, threshold=0.4).collect()}
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+           for r in minhash_verified_pairs(df, threshold=0.4).collect()}
+    assert gold and got == gold
+
+
+def test_simhash_md5_spec_matches_python_reference(spark):
+    """The portable md5 token-hash spec (bit i = bit (i%4) of hex digit
+    (i//4) of md5(token)) must agree with an independent pure-Python
+    implementation — this is the spec the DuckDB oracle recomputes."""
+    import hashlib
+
+    docs = [(0, "alpha beta gamma"), (1, "alpha beta gamma delta"),
+            (2, ""), (3, "  Alpha   BETA  gamma ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in with_simhash(df, "text", token_hash="md5").collect()}
+
+    def py_simhash(text):
+        toks = list(dict.fromkeys(" ".join(text.split()).lower().split(" ")))
+        hashes = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+        out = 0
+        for i in range(64):
+            ones = sum(1 for h in hashes
+                       if (int(h[i // 4], 16) >> (i % 4)) & 1)
+            if ones * 2 > len(hashes):
+                out |= (1 << i) if i < 63 else -(1 << 63)
+        return out
+
+    for doc_id, text in docs:
+        assert got[doc_id] == py_simhash(text), (doc_id, text)
+
+
+def test_embedding_neardup_exact_escape_hatch(spark):
+    """exact=True (no block_col) must find ALL pairs — including ones the
+    internal RP-LSH buckets could miss (ADVICE r2 behavior-change note)."""
+    from ecokg_spark.operators.dedup import embedding_neardup_pairs
+
+    vecs = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.04, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [0.01, 0.999, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"])
+           for r in embedding_neardup_pairs(df, threshold=0.99, exact=True).collect()}
+    assert got == {(0, 1), (2, 3)}
