@@ -2,6 +2,11 @@
 
     python scripts/run_phases.py transform --source gaf --input assoc.gaf \
         --output out/planteome [--ortho] [--germplasm-cat cat.json ...]
+    python scripts/run_phases.py transform --source eol-pages \
+        --input pages.csv --output out/eol_hierarchy
+    python scripts/run_phases.py transform --source eol-traits \
+        --input traits.csv --pages pages.csv --trait-dim td.csv \
+        --value-dim vd.csv [--unit-dim ud.csv] --output out/eol_traits
     python scripts/run_phases.py merge --config merge.yaml --base-dir data/
     python scripts/run_phases.py query --sparql "SELECT ..." \
         --nodes merged/nodes --edges merged/edges --output result.tsv
@@ -39,6 +44,13 @@ def _write_kgx(nodes, edges, out_dir: str) -> None:
     io.export_kgx_tsv(edges, os.path.join(out_dir, "edges"), compress=False)
 
 
+def _csv(spark, path):
+    """Quoted-CSV scan (S3 semantics — the EOL inputs are QUOTE_ALL CSVs,
+    eol_traits.py:192-210)."""
+    return (spark.read.option("header", True).option("quote", '"')
+            .csv(path))
+
+
 def cmd_transform(args) -> None:
     spark = _spark()
     from ecokg_spark.transforms.gaf_kgx import GAF_COLS
@@ -71,6 +83,22 @@ def cmd_transform(args) -> None:
         from ecokg_spark.transforms.ontology_kgx import read_obograph
 
         nodes, edges = read_obograph(spark, args.input)
+    elif args.source == "eol-pages":
+        from ecokg_spark.transforms.eol_kgx import eol_pages_to_kgx
+
+        nodes, edges = eol_pages_to_kgx(_csv(spark, args.input))
+    elif args.source == "eol-traits":
+        from ecokg_spark.transforms.eol_kgx import eol_traits_to_kgx
+
+        nodes, edges = eol_traits_to_kgx(
+            _csv(spark, args.input),
+            _csv(spark, args.pages),
+            _csv(spark, args.trait_dim),
+            _csv(spark, args.value_dim),
+            unit_dim=_csv(spark, args.unit_dim) if args.unit_dim else None,
+            location_uris=(args.location_uris or "").split(",") if args.location_uris else None,
+            skip_uris=(args.skip_uris or "").split(",") if args.skip_uris else None,
+        )
     else:
         raise SystemExit(f"unknown source {args.source!r}")
     _write_kgx(nodes, edges, args.output)
@@ -115,12 +143,22 @@ def main() -> None:
 
     t = sub.add_parser("transform")
     t.add_argument("--source", required=True,
-                   choices=["gaf", "germplasm", "qtl", "gea", "ontology"])
+                   choices=["gaf", "germplasm", "qtl", "gea", "ontology",
+                            "eol-pages", "eol-traits"])
     t.add_argument("--input", required=True)
     t.add_argument("--output", required=True)
     t.add_argument("--ortho", action="store_true")
     t.add_argument("--cat-traits")
     t.add_argument("--num-traits")
+    # eol-traits inputs (reference eol_traits.py:36-534 CSV surfaces)
+    t.add_argument("--pages", help="pages CSV (page_id,parent_id,rank,canonical)")
+    t.add_argument("--trait-dim",
+                   help="trait dim CSV (trait_uri,trait_type,data_type,label,curie)")
+    t.add_argument("--value-dim",
+                   help="categorical value dim CSV (trait_uri,value_uri,label,curie)")
+    t.add_argument("--unit-dim", help="unit dim CSV (unit_uri,label)")
+    t.add_argument("--location-uris", help="comma-separated URIs to exclude")
+    t.add_argument("--skip-uris", help="comma-separated URIs to exclude")
     t.set_defaults(fn=cmd_transform)
 
     m = sub.add_parser("merge")
