@@ -1205,6 +1205,42 @@ FROM documents
 """
 
 
+def q_multimodal_dims(spark, sf):
+    """Real stdlib media decode (multimodal.decode_image_real): PNG/GIF/JPEG
+    payloads synthesized with dims planted arithmetically from the id, then
+    header-parsed back out by the mapInPandas meta extractor — the oracle
+    recomputes the dims from the id alone, so a green row proves the parser
+    recovers exactly what the containers encode."""
+    from ecokg_spark.operators.multimodal import with_synth_image_payload
+
+    n = t(spark, sf, "nation")
+    media = with_synth_image_payload(
+        n.select(F.col("n_nationkey").cast("long").alias("media_id")))
+    media = media.withColumn(
+        "kind",
+        F.when(F.col("media_id") % 3 == 0, "png")
+        .when(F.col("media_id") % 3 == 1, "gif").otherwise("jpeg"))
+    return extract_media_meta(media).select(
+        "media_id", "kind", "width", "height", "n_channels")
+
+
+SQL_MULTIMODAL_DIMS = """
+SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+       CASE CAST(n_nationkey % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            ELSE 'jpeg' END AS kind,
+       CAST(CASE CAST(n_nationkey % 3 AS INT)
+            WHEN 0 THEN n_nationkey % 64 + 1
+            WHEN 1 THEN n_nationkey % 64 + 5
+            ELSE (n_nationkey * 3) % 64 + 1 END AS INT) AS width,
+       CAST(CASE CAST(n_nationkey % 3 AS INT)
+            WHEN 0 THEN (n_nationkey * 7) % 64 + 1
+            WHEN 1 THEN n_nationkey % 32 + 2
+            ELSE n_nationkey % 64 + 9 END AS INT) AS height,
+       CAST(3 AS INT) AS n_channels
+FROM nation
+"""
+
+
 def q_gaf_germplasm(spark, sf):
     """Planteome germplasm path (planteome.py:283-478): pheno parse,
     compound-trait remap, 1-9 banding, categorical value decode, numerical
@@ -1595,6 +1631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_two_hop": q_graph_two_hop,
     "sparql_select": q_sparql_select,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_dims": q_multimodal_dims,
     "kg_pipeline": q_kg_pipeline,
 }
 
@@ -1651,6 +1688,7 @@ ORACLES: dict[str, str] = {
     "graph_two_hop": SQL_GRAPH_TWO_HOP,
     "sparql_select": SQL_SPARQL_SELECT,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_dims": SQL_MULTIMODAL_DIMS,
     # rows-only (non-SQL-expressible): kg_pipeline (multi-stage Arrow-UDF
     # pipeline — its component stages each have their own oracle rows:
     # extract_html, triple_extract, entity_link, connected_components,

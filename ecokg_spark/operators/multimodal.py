@@ -27,13 +27,47 @@ MEDIA_META_SCHEMA = (
 )
 
 
+# color type -> sample channels, PNG spec 11.2.2 (IHDR)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOFn markers that carry frame dimensions (C0-CF minus C4/C8/CC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
 def decode_image_real(payload: bytes) -> tuple[int, int, int]:
-    """Integration point for a real decoder (PIL / libvips / ffmpeg).
-    Not available in this environment."""
-    raise NotImplementedError(
-        "real image decode requires an image library not present in this "
-        "container; wire PIL.Image.open(io.BytesIO(payload)) here"
-    )
+    """(width, height, n_channels) from the container HEADER — pure stdlib
+    `struct`, no image library needed:
+
+      PNG : 8-byte signature, then the IHDR chunk (width/height as
+            big-endian u32 at offsets 16/20; channels from color type).
+      GIF : 'GIF87a'/'GIF89a', logical-screen width/height as
+            little-endian u16 at offset 6; palettes decode to RGB.
+      JPEG: SOI then marker scan to the first SOFn segment
+            (precision u8, height u16be, width u16be, n_components u8).
+
+    Raises ValueError on anything else — full PIXEL decode still needs a
+    real codec (PIL/libvips), but dimensions/channels never did."""
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        color_type = payload[25]
+        return (w, h, _PNG_CHANNELS.get(color_type, 3))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return (w, h, 3)
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                break
+            marker = payload[pos + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+                return (w, h, payload[pos + 9])
+            seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+            pos += 2 + seg_len
+        raise ValueError("JPEG without SOF frame header")
+    raise ValueError("unknown image container")
 
 
 def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
@@ -44,6 +78,18 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
     w = 16 + (payload[0] % 64) * 16
     h = 16 + (payload[-1] % 64) * 16
     return (w, h, 3)
+
+
+def decode_dims(payload: bytes) -> tuple[int, int, int]:
+    """Header parse when the payload is a recognized image container,
+    deterministic stub otherwise (audio/video/opaque blobs — a real codec
+    integration would extend decode_image_real, not this dispatch)."""
+    import struct
+
+    try:
+        return decode_image_real(payload)
+    except (ValueError, IndexError, struct.error):
+        return decode_image_stub(payload)
 
 
 def extract_media_meta(
@@ -61,7 +107,7 @@ def extract_media_meta(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
-            dims = payloads.map(lambda b: decode_image_stub(bytes(b) if b is not None else b""))
+            dims = payloads.map(lambda b: decode_dims(bytes(b) if b is not None else b""))
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
@@ -92,6 +138,47 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10,
             F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def synth_image_payload(media_id: int) -> bytes:
+    """Deterministic minimal-but-REAL image container headers whose
+    dimensions derive arithmetically from the id — the SQL oracle
+    recomputes width/height from media_id alone, so a driver-green row
+    proves the stdlib header parser actually recovers the planted dims.
+
+    id % 3 == 0 -> PNG (RGB),  w = id%64+1,     h = (id*7)%64+1
+    id % 3 == 1 -> GIF89a,     w = id%64+5,     h = id%32+2
+    id % 3 == 2 -> JPEG SOF0,  w = (id*3)%64+1, h = id%64+9   (3 comps)"""
+    import struct
+
+    k = media_id % 3
+    if k == 0:
+        w, h = media_id % 64 + 1, (media_id * 7) % 64 + 1
+        ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + ihdr + b"\x00" * 4)
+    if k == 1:
+        w, h = media_id % 64 + 5, media_id % 32 + 2
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+    w, h = (media_id * 3) % 64 + 1, media_id % 64 + 9
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+            + struct.pack(">HH", h, w) + bytes([3]) + b"\x00" * 9)
+    return b"\xff\xd8" + app0 + sof0
+
+
+def with_synth_image_payload(df: DataFrame, id_col: str = "media_id",
+                             out_col: str = "payload") -> DataFrame:
+    """+ binary `out_col` built distributed (Arrow-batched pandas UDF) from
+    the id via synth_image_payload."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_image_payload(int(i)))
+
+    return df.withColumn(out_col, gen(F.col(id_col)))
 
 
 def synth_media(spark, n: int = 100) -> DataFrame:
