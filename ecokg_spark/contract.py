@@ -1565,6 +1565,63 @@ SELECT CAST(COUNT(*) AS BIGINT) AS v1, p_brand AS v0 FROM part GROUP BY p_brand
 """
 
 
+def _kg_tables_from_part(spark, sf):
+    """nodes(id, category) + edges(s,p,o) synthesized from part/supplier —
+    shared input for the beyond-parity SPARQL contract rows."""
+    p = t(spark, sf, "part")
+    nodes = p.select(
+        F.concat(F.lit("P:"), F.col("p_partkey")).alias("id"),
+        F.col("p_brand").alias("category"),
+    )
+    edges = p.select(
+        F.concat(F.lit("P:"), F.col("p_partkey")).alias("subject"),
+        F.lit("biolink:has_size").alias("predicate"),
+        F.concat(F.lit("SZ:"), F.col("p_size").cast("string")).alias("object"),
+    )
+    return nodes, edges
+
+
+def q_sparql_filter(spark, sf):
+    """SPARQL FILTER + conjunctive join (beyond-parity grammar, VERDICT r2
+    #5): category pattern joined to an edge pattern, equality filter on the
+    object variable and inequality on the category."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        'SELECT ?x ?cat WHERE { ?x biolink:category ?cat . '
+        '?x biolink:has_size ?m . FILTER(?m = "SZ:5") '
+        'FILTER(?cat != Brand#13) }',
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_FILTER = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x, p_brand AS cat
+FROM part
+WHERE 'SZ:' || CAST(p_size AS VARCHAR) = 'SZ:5' AND p_brand != 'Brand#13'
+"""
+
+
+def q_sparql_distinct(spark, sf):
+    """SPARQL SELECT DISTINCT projection (beyond-parity grammar)."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT DISTINCT ?cat ?m WHERE { ?x biolink:category ?cat . "
+        "?x biolink:has_size ?m }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_DISTINCT = """
+SELECT DISTINCT p_brand AS cat, 'SZ:' || CAST(p_size AS VARCHAR) AS m FROM part
+"""
+
+
 def q_kg_pipeline(spark, sf):
     """Full north-star pipeline on the synthetic CC corpus (rows-only:
     multi-stage UDF pipeline is not SQL-expressible)."""
@@ -1630,6 +1687,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gea_transform": q_gea_transform,
     "graph_two_hop": q_graph_two_hop,
     "sparql_select": q_sparql_select,
+    "sparql_filter": q_sparql_filter,
+    "sparql_distinct": q_sparql_distinct,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_dims": q_multimodal_dims,
     "kg_pipeline": q_kg_pipeline,
@@ -1687,6 +1746,8 @@ ORACLES: dict[str, str] = {
     "gea_transform": SQL_GEA_TRANSFORM,
     "graph_two_hop": SQL_GRAPH_TWO_HOP,
     "sparql_select": SQL_SPARQL_SELECT,
+    "sparql_filter": SQL_SPARQL_FILTER,
+    "sparql_distinct": SQL_SPARQL_DISTINCT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_dims": SQL_MULTIMODAL_DIMS,
     # rows-only (non-SQL-expressible): kg_pipeline (multi-stage Arrow-UDF

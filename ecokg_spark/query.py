@@ -6,13 +6,16 @@ The reference's 4th phase sends a SPARQL SELECT to an external triplestore
 the same queries compile straight to Catalyst plans — no endpoint:
 
   supported grammar (the reference's published query shape,
-  tests/test_query.py:29-40, plus conjunctive patterns):
+  tests/test_query.py:29-40, plus conjunctive patterns and one notch
+  beyond parity — DISTINCT and equality FILTERs):
 
-    SELECT (COUNT(?x) AS ?alias)* ?var* WHERE { pattern ('.' pattern)* }
+    SELECT [DISTINCT] (COUNT(?x) AS ?alias)* ?var*
+    WHERE { pattern (('.' pattern) | filter)* }
     [GROUP BY ?var*]
 
     pattern := term term term
-    term    := ?var | CURIE            (e.g. biolink:category, TO:0000433)
+    term    := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
+    filter  := FILTER( ?var (=|!=) value )   value := "quoted" | token
 
   semantics:
     - predicate `biolink:category` reads the NODES table (id, category) —
@@ -36,9 +39,11 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_SELECT_RE = re.compile(r"(?is)^\s*SELECT\s+(.*?)\s+WHERE\s*\{(.*?)\}\s*(?:GROUP\s+BY\s+(.*?))?\s*$")
+_SELECT_RE = re.compile(
+    r"(?is)^\s*SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*?)\}\s*(?:GROUP\s+BY\s+(.*?))?\s*$")
 _AGG_RE = re.compile(r"\(\s*COUNT\s*\(\s*\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)", re.I)
 _VAR_RE = re.compile(r"\?(\w+)")
+_FILTER_RE = re.compile(r'(?i)FILTER\s*\(\s*\?(\w+)\s*(!=|=)\s*("[^"]*"|[^\s)]+)\s*\)')
 
 CATEGORY_PRED = "biolink:category"
 
@@ -51,9 +56,12 @@ def _parse(query: str):
     m = _SELECT_RE.match(query)
     if not m:
         raise SparqlError(f"unsupported SPARQL shape: {query!r}")
-    select_raw, where_raw, group_raw = m.groups()
+    distinct_raw, select_raw, where_raw, group_raw = m.groups()
     aggs = [(v, alias) for v, alias in _AGG_RE.findall(select_raw)]
     plain = _VAR_RE.findall(_AGG_RE.sub(" ", select_raw))
+    filters = [(v, op, val[1:-1] if val.startswith('"') else val)
+               for v, op, val in _FILTER_RE.findall(where_raw)]
+    where_raw = _FILTER_RE.sub(" ", where_raw)
     patterns = []
     for part in re.split(r"\s*\.\s*(?![\w])|\s*\.\s*$", where_raw.strip()):
         part = part.strip().rstrip(".").strip()
@@ -64,7 +72,7 @@ def _parse(query: str):
             raise SparqlError(f"bad triple pattern: {part!r}")
         patterns.append(tuple(terms))
     group = _VAR_RE.findall(group_raw) if group_raw else []
-    return aggs, plain, patterns, group
+    return aggs, plain, patterns, group, filters, bool(distinct_raw)
 
 
 def _term_col(df: DataFrame, col: str, term: str, binds: dict[str, list]):
@@ -83,7 +91,7 @@ def sparql_select(
     edges: DataFrame,
 ) -> DataFrame:
     """Compile + run a (restricted) SPARQL SELECT over the KG tables."""
-    aggs, plain, patterns, group = _parse(query)
+    aggs, plain, patterns, group, filters, distinct = _parse(query)
     if not patterns:
         raise SparqlError("empty WHERE clause")
 
@@ -130,9 +138,16 @@ def sparql_select(
         for v, c in var_cols[i].items():
             bound.setdefault(v, c)
 
-    missing = [v for v in plain + [a for a, _ in aggs] + group if v not in bound]
+    missing = [v for v in plain + [a for a, _ in aggs] + group
+               + [v for v, _, _ in filters] if v not in bound]
     if missing:
         raise SparqlError(f"unbound variables: {missing}")
+
+    # FILTER(?v = literal / != literal) — plain post-join predicates;
+    # Catalyst pushes them below the joins where legal
+    for v, op, val in filters:
+        c = F.col(bound[v])
+        out = out.where(c == val if op == "=" else c != val)
 
     if aggs:
         keys = group or plain
@@ -142,4 +157,5 @@ def sparql_select(
         # SELECT order: aggregates and plain vars as written
         order = [alias for _, alias in aggs] + [v for v in plain]
         return out.select(*order)
-    return out.select(*[F.col(bound[v]).alias(v) for v in plain])
+    out = out.select(*[F.col(bound[v]).alias(v) for v in plain])
+    return out.distinct() if distinct else out

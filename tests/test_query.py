@@ -73,3 +73,60 @@ def test_unsupported_shapes_raise(spark, kg):
         sparql_select(spark, "SELECT ?x WHERE { }", nodes, edges)
     with pytest.raises(SparqlError):
         sparql_select(spark, "SELECT ?x WHERE { ?a ?b }", nodes, edges)
+
+
+def _kg(spark):
+    nodes = spark.createDataFrame(
+        [("A:1", "cat1"), ("A:2", "cat2"), ("A:3", "cat1")],
+        "id string, category string")
+    edges = spark.createDataFrame(
+        [("A:1", "rel:x", "A:2"), ("A:2", "rel:x", "A:2"),
+         ("A:3", "rel:y", "A:1")],
+        "subject string, predicate string, object string")
+    return nodes, edges
+
+
+def test_sparql_filter_eq_and_neq(spark):
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg(spark)
+    got = sparql_select(
+        spark,
+        'SELECT ?s ?o WHERE { ?s rel:x ?o . FILTER(?o = "A:2") '
+        "FILTER(?s != A:2) }",
+        nodes, edges).collect()
+    assert [(r["s"], r["o"]) for r in got] == [("A:1", "A:2")]
+
+
+def test_sparql_distinct(spark):
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg(spark)
+    got = sparql_select(
+        spark,
+        "SELECT DISTINCT ?cat WHERE { ?x biolink:category ?cat }",
+        nodes, edges).collect()
+    assert sorted(r["cat"] for r in got) == ["cat1", "cat2"]
+
+
+def test_sparql_repeated_var_in_pattern_is_equality(spark):
+    """?s ?p ?s must bind only self-loops (ADVICE r2: the equality
+    constraint was silently dropped)."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg(spark)
+    got = sparql_select(
+        spark, "SELECT ?s WHERE { ?s rel:x ?s }", nodes, edges).collect()
+    assert [r["s"] for r in got] == ["A:2"]
+
+
+def test_sparql_filter_on_unbound_var_raises(spark):
+    import pytest as _pytest
+
+    from ecokg_spark.query import SparqlError, sparql_select
+
+    nodes, edges = _kg(spark)
+    with _pytest.raises(SparqlError):
+        sparql_select(spark,
+                      'SELECT ?s WHERE { ?s rel:x ?o . FILTER(?zz = "1") }',
+                      nodes, edges)
