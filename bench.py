@@ -142,6 +142,9 @@ def timed_pipeline(spark, n_pages: int, reps: int = 1,
             "all_reps_sec": [round(t, 3) for t in times]}
 
 
+BENCH_REPS = int(os.environ.get("ECOKG_BENCH_REPS", "3"))
+
+
 def main_bench():
     spark = _spark(CPUS)
     from ecokg_spark.contract import QUERIES
@@ -151,16 +154,24 @@ def main_bench():
     for name in HEADLINE:
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    # min-of-REPS, INTERLEAVED (q1..qn, q1..qn, ...): this host's co-tenant
+    # noise swings ±30% for seconds at a time (BENCH/BASELINE.md), so a
+    # single sequential pass can charge one slow window to one query —
+    # BENCH_r02 recorded 28.3s that way vs 13.0s steady-state (VERDICT r2)
+    all_reps: dict[str, list] = {name: [] for name in HEADLINE}
+    for _ in range(BENCH_REPS):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            all_reps[name].append(round(time.time() - t0, 3))
+    timings = {name: min(reps) for name, reps in all_reps.items()}
 
-    pipe = timed_pipeline(spark, PIPELINE_PAGES, reps=1)
-    timings[f"kg_pipeline_{PIPELINE_PAGES // 1000}k_pages"] = pipe["sec"]
+    pipe = timed_pipeline(spark, PIPELINE_PAGES, reps=BENCH_REPS)
+    pipe_key = f"kg_pipeline_{PIPELINE_PAGES // 1000}k_pages"
+    timings[pipe_key] = pipe["sec"]
+    all_reps[pipe_key] = pipe["all_reps_sec"]
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -168,6 +179,8 @@ def main_bench():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "all_reps": all_reps,
+        "reps": BENCH_REPS,
         "sf": SF_DIR,
         "pages_per_sec": pipe["pages_per_sec"],
         "cpus": int(CPUS),
