@@ -903,6 +903,66 @@ FROM nation
 """
 
 
+def q_link_ambiguity(spark, sf):
+    """Fuzzy-linking ambiguity metrics (VERDICT r2 #7): per mention, min
+    edit distance and distinct-curie count at that distance. Ambiguity is
+    planted: each nation gets two surface forms (name and name+'Q' under
+    different curies); even-keyed mentions append 'z' -> distance 1 to
+    BOTH (a tie the resolver breaks by min(curie)); odd-keyed mentions are
+    exact (distance 0, one candidate). Near-name nations (IRAN/IRAQ) add
+    natural collisions the oracle reproduces identically."""
+    from ecokg_spark.operators.linking import build_termlist, link_ambiguity
+
+    n = t(spark, sf, "nation")
+    key2 = F.lpad(F.col("n_nationkey").cast("string"), 2, "0")
+    aliases = n.select(
+        make_curie("NAT", key2).alias("curie"),
+        F.col("n_name").alias("name"),
+        F.lit(None).cast("string").alias("synonym"),
+        F.lit("biolink:OrganismTaxon").alias("category"),
+        F.lit("tpch").alias("provided_by"),
+    ).unionByName(n.select(
+        make_curie("ALT", key2).alias("curie"),
+        F.concat(F.col("n_name"), F.lit("Q")).alias("name"),
+        F.lit(None).cast("string").alias("synonym"),
+        F.lit("biolink:OrganismTaxon").alias("category"),
+        F.lit("tpch").alias("provided_by"),
+    ))
+    mentions = n.select(
+        F.when(F.col("n_nationkey") % 2 == 0,
+               F.concat(F.lower("n_name"), F.lit("z")))
+        .otherwise(F.lower("n_name")).alias("mention"))
+    return link_ambiguity(mentions, build_termlist(aliases))
+
+
+SQL_LINK_AMBIGUITY = """
+WITH terms AS (
+  SELECT lower(n_name) AS term_norm,
+         'NAT:' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS curie
+  FROM nation
+  UNION ALL
+  SELECT lower(n_name || 'Q'),
+         'ALT:' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0')
+  FROM nation
+),
+dim AS (SELECT term_norm, min(curie) AS curie FROM terms GROUP BY term_norm),
+mentions AS (
+  SELECT DISTINCT CASE WHEN n_nationkey % 2 = 0 THEN lower(n_name) || 'z'
+                       ELSE lower(n_name) END AS mention
+  FROM nation
+),
+pairs AS (
+  SELECT m.mention, d.curie, levenshtein(m.mention, d.term_norm) AS dist
+  FROM mentions m JOIN dim d ON levenshtein(m.mention, d.term_norm) <= 2
+),
+mind AS (SELECT mention, min(dist) AS min_dist FROM pairs GROUP BY mention)
+SELECT p.mention, CAST(mind.min_dist AS INT) AS min_dist,
+       CAST(COUNT(DISTINCT p.curie) AS BIGINT) AS n_candidates
+FROM pairs p JOIN mind ON p.mention = mind.mention AND p.dist = mind.min_dist
+GROUP BY 1, 2
+"""
+
+
 def q_termlist_explode(spark, sf):
     """Termlist builder: synonym explode + Publication exclusion (U1/P8)."""
     n = t(spark, sf, "nation")
@@ -1673,6 +1733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_html": q_extract_html,
     "triple_extract": q_triple_extract,
     "entity_link": q_entity_link,
+    "link_ambiguity": q_link_ambiguity,
     "termlist_explode": q_termlist_explode,
     "connected_components": q_connected_components,
     "kgx_merge": q_kgx_merge,
@@ -1732,6 +1793,7 @@ ORACLES: dict[str, str] = {
     "extract_html": SQL_EXTRACT_HTML,
     "triple_extract": SQL_TRIPLE_EXTRACT,
     "entity_link": SQL_ENTITY_LINK,
+    "link_ambiguity": SQL_LINK_AMBIGUITY,
     "termlist_explode": SQL_TERMLIST_EXPLODE,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "kgx_merge": SQL_KGX_MERGE,

@@ -187,6 +187,38 @@ def link_mentions(
     return hit.drop("_norm").unionByName(fuzzy_hit.drop("_norm")), quarantine.drop("_norm")
 
 
+def link_ambiguity(
+    mentions: DataFrame,
+    termlist: DataFrame,
+    mention_col: str = "mention",
+    max_distance: int = MAX_EDIT_DISTANCE,
+) -> DataFrame:
+    """Observability for the fuzzy resolver's min(curie) tie-break
+    (link_mentions resolves ambiguous surfaces silently): per DISTINCT
+    normalized mention, the minimum edit distance to any surface form and
+    how many distinct curies sit at exactly that distance — n_candidates
+    > 1 marks a mention whose resolution was a tie-break, making linking
+    precision measurable instead of assumed (VERDICT r2 #7).
+
+    Returns (mention, min_dist, n_candidates); mentions with no surface
+    within max_distance are absent (they quarantine, not tie-break).
+    Cost: one broadcast nested-loop over distinct surfaces x dim — the
+    same bounded shape as the gated fuzzy path."""
+    m = mentions.select(
+        F.lower(F.trim(F.col(mention_col))).alias("mention")).distinct()
+    dim = termlist.groupBy("term_norm").agg(F.min("curie").alias("curie"))
+    d = F.levenshtein(F.col("mention"), F.col("term_norm"))
+    pairs = m.join(F.broadcast(dim), d <= max_distance).select(
+        "mention", "curie", d.alias("_d"))
+    mind = pairs.groupBy("mention").agg(F.min("_d").alias("min_dist"))
+    return (
+        pairs.join(mind, "mention")
+        .where(F.col("_d") == F.col("min_dist"))
+        .groupBy("mention", F.col("min_dist").cast("int").alias("min_dist"))
+        .agg(F.countDistinct("curie").cast("long").alias("n_candidates"))
+    )
+
+
 def ner_postfilter(
     hits: DataFrame,
     token_col: str = "TokenizedTerm",

@@ -112,3 +112,21 @@ def test_ner_postfilter(spark):
     )
     out = ner_postfilter(df, keep_cols=["TokenizedTerm", "CURIE"])
     assert [tuple(r) for r in out.collect()] == [("tomato", "TAX:1")]
+
+
+def test_link_ambiguity_counts_ties(spark):
+    """Mentions equidistant to two curies must surface n_candidates=2 at
+    the min distance; exact matches show (0, 1); unresolvable mentions
+    are absent."""
+    from ecokg_spark.operators.linking import link_ambiguity
+
+    termlist = spark.createDataFrame(
+        [("A:1", "berry", "berry", "berry", "c"),
+         ("B:2", "berrx", "berrx", "berrx", "c"),
+         ("C:3", "unrelated", "unrelated", "unrelated", "c")],
+        "curie string, term string, term_norm string, preferred string, category string")
+    mentions = spark.createDataFrame(
+        [("berrz",), ("berry",), ("zzzzzzzzz",)], "mention string")
+    got = {r["mention"]: (r["min_dist"], r["n_candidates"])
+           for r in link_ambiguity(mentions, termlist).collect()}
+    assert got == {"berrz": (1, 2), "berry": (0, 1)}
