@@ -486,6 +486,67 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+_STREAM_SEQ = [0]  # unique memory-sink names across repeated driver calls
+
+
+def q_events_window_streaming(spark, sf):
+    """The events_window aggregation run THROUGH Structured Streaming
+    (file-source readStream -> availableNow drain -> complete-mode memory
+    sink) and checked against the identical batch oracle — streaming
+    execution surfaces in CORRECTNESS, not just pytest (VERDICT r2 #9)."""
+    import tempfile
+
+    e = t(spark, sf, "events")
+    src = tempfile.mkdtemp(prefix="ecokg_evw_src_")
+    e.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    agg = (
+        stream.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                       "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             dec_sum("value").alias("sum_value"))
+    )
+    _STREAM_SEQ[0] += 1
+    name = f"evw_stream_{_STREAM_SEQ[0]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def q_sessionize_streaming(spark, sf):
+    """Stateful streaming sessionization (applyInPandasWithState,
+    EventTimeTimeout) drained over the events table and rolled up to the
+    batch sessionizer's exact output shape — same oracle as `sessionize`.
+    A far-future sentinel file pushes the watermark past every session's
+    close point; the availableNow drain's final no-data batch fires the
+    remaining event-time timeouts."""
+    import tempfile
+
+    from ecokg_spark.streaming.sessions import streaming_sessions
+
+    e = t(spark, sf, "events").select("user_id", "ts")
+    src = tempfile.mkdtemp(prefix="ecokg_sess_src_")
+    e.repartition(1).sortWithinPartitions("ts").write.mode("append").parquet(src)
+    sentinel = -999
+    tick = e.agg((F.max("ts") + F.expr("INTERVAL 3650 DAYS")).alias("ts"))
+    tick.select(F.lit(sentinel).cast("long").alias("user_id"), "ts") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = tempfile.mkdtemp(prefix="ecokg_sess_out_")
+    ck = tempfile.mkdtemp(prefix="ecokg_sess_ck_")
+    q = (streaming_sessions(stream, gap_s=1800)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    closed = spark.read.parquet(out).where(F.col("user_id") != sentinel)
+    return closed.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
 
 def q_sessionize(spark, sf):
     """Gap-based sessionization (30-min inactivity) per user via lag."""
@@ -1717,7 +1778,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "count_by_spo": q_count_by_spo,
     "events_window": q_events_window,
+    "events_window_streaming": q_events_window_streaming,
     "sessionize": q_sessionize,
+    "sessionize_streaming": q_sessionize_streaming,
     "token_count": q_token_count,
     "quality_buckets": q_quality_buckets,
     "lang_id": q_lang_id,
@@ -1777,7 +1840,9 @@ ORACLES: dict[str, str] = {
     "json_extract": SQL_JSON_EXTRACT,
     "count_by_spo": SQL_COUNT_BY_SPO,
     "events_window": SQL_EVENTS_WINDOW,
+    "events_window_streaming": SQL_EVENTS_WINDOW,  # stream == batch agg
     "sessionize": SQL_SESSIONIZE,
+    "sessionize_streaming": SQL_SESSIONIZE,  # drained stream == batch lag
     "token_count": SQL_TOKEN_COUNT,
     "quality_buckets": SQL_QUALITY_BUCKETS,
     "lang_id": SQL_LANG_ID,

@@ -50,10 +50,15 @@ DEFAULT_GAP_S = 1800
 
 
 def _emit(closed: list[tuple[Any, float, float, int]]):
+    # round float-seconds state to whole MICROseconds before building the
+    # datetime column: float64 ns residue would otherwise make the ns->us
+    # Arrow conversion unsafe (PySparkValueError) on sub-second event times
     yield pd.DataFrame({
         "user_id": [c[0] for c in closed],
-        "session_start": pd.to_datetime([c[1] for c in closed], unit="s"),
-        "session_end": pd.to_datetime([c[2] for c in closed], unit="s"),
+        "session_start": pd.to_datetime([round(c[1] * 1e6) for c in closed],
+                                        unit="us"),
+        "session_end": pd.to_datetime([round(c[2] * 1e6) for c in closed],
+                                      unit="us"),
         "n_events": [c[3] for c in closed],
     })
 
