@@ -651,6 +651,24 @@ FROM m GROUP BY 1
 """
 
 
+def q_repetition_ratio(spark, sf):
+    """Gopher-style repetition signal: duplicate-token fraction per doc."""
+    from ecokg_spark.functions.text import repetition_ratio
+
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", repetition_ratio("text").alias("rep_ratio"))
+
+
+_LOWTOK_SQL = "string_split(lower(" + _NORM_SQL.format(c="text") + "), ' ')"
+
+SQL_REPETITION_RATIO = f"""
+SELECT doc_id,
+       CAST(1.0 - len(list_distinct({_LOWTOK_SQL}))
+                  / len({_LOWTOK_SQL}) AS DOUBLE) AS rep_ratio
+FROM documents
+"""
+
+
 def q_fingerprint(spark, sf):
     """Row-level md5 fingerprint parity."""
     d = t(spark, sf, "documents")
@@ -1784,6 +1802,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "quality_buckets": q_quality_buckets,
     "lang_id": q_lang_id,
+    "repetition_ratio": q_repetition_ratio,
     "fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1846,6 +1865,7 @@ ORACLES: dict[str, str] = {
     "token_count": SQL_TOKEN_COUNT,
     "quality_buckets": SQL_QUALITY_BUCKETS,
     "lang_id": SQL_LANG_ID,
+    "repetition_ratio": SQL_REPETITION_RATIO,
     "fingerprint": SQL_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

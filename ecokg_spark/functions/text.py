@@ -92,6 +92,20 @@ def lang_id(col: Column | str) -> Column:
     )
 
 
+def repetition_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 - distinct/total over lower-cased whitespace tokens) — the
+    Gopher-style repetition quality signal; 0.0 for empty text."""
+    n = normalize_ws(col)
+    toks = F.split(F.lower(n), " ")
+    total = F.size(toks)
+    return (
+        F.when(F.length(n) == 0, F.lit(0.0))
+        .otherwise(1.0 - F.size(F.array_distinct(toks)) / total)
+        .cast("double")
+    )
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the lower-cased,
     whitespace-collapsed text. Exact-dedup key for web text."""

@@ -93,3 +93,18 @@ def test_word_shingles(spark):
 def test_quality_score_bounds(spark):
     v = one(spark, quality_score("x"), x="the quick brown fox jumps over the lazy dog today")
     assert 0.0 <= v <= 1.0 and v >= 0.7  # long enough, low punct, has stopwords
+
+
+def test_repetition_ratio(spark):
+    from ecokg_spark.functions.text import repetition_ratio
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a a a a"), (2, "A  a\tb"), (3, "")],
+        "i long, text string")
+    got = {r["i"]: r["r"] for r in
+           df.select("i", repetition_ratio("text").alias("r")).collect()}
+    assert got[0] == 0.0
+    assert got[1] == 0.75
+    assert abs(got[2] - (1 - 2 / 3)) < 1e-12   # case-folded 'A'=='a'
+    assert got[3] == 0.0
