@@ -736,6 +736,64 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
 """
 
 
+def q_line_dedup(spark, sf):
+    """CCNet-style inter-document line dedup (boilerplate removal,
+    operators/dedup.py line_dedup). The synthetic corpus carries no
+    newlines, so each document is first re-chunked deterministically into
+    8-token lines; a line whose normalized form occurs in >= 2 distinct
+    documents is boilerplate and dropped, and the text is rebuilt from the
+    surviving lines in order."""
+    from ecokg_spark.operators.dedup import line_dedup
+
+    d = t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    nline = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), nline - F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(8) + F.lit(1), 8)),
+            ),
+        ).alias("text"),
+    )
+    out = line_dedup(lined, "text", "doc_id", min_docs=2)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.col("text").alias("kept_text")
+    )
+
+
+SQL_LINE_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+idx AS (
+  SELECT doc_id, tk,
+         unnest(range(1, CAST(ceil(len(tk) / 8.0) AS BIGINT) + 1)) AS pos
+  FROM toks
+),
+lines AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(tk, (pos - 1) * 8 + 1, pos * 8), ' ') AS line
+  FROM idx
+),
+dup AS (
+  SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, d.line IS NOT NULL AS is_dup
+  FROM lines l LEFT JOIN dup d USING (line)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(CASE WHEN NOT is_dup THEN 1 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, chr(10)
+                           ORDER BY pos), '') AS kept_text
+FROM flagged GROUP BY doc_id
+"""
+
+
 def q_minhash_neardup(spark, sf):
     """MinHash-LSH candidates + exact-Jaccard verification: the returned
     relation is pairs with EXACT 3-shingle Jaccard >= 0.4, so the DuckDB
@@ -1806,6 +1864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
+    "line_dedup": q_line_dedup,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "cosine_topk": q_cosine_topk,
@@ -1869,6 +1928,7 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "line_dedup": SQL_LINE_DEDUP,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "cosine_topk": SQL_COSINE_TOPK,

@@ -382,3 +382,56 @@ def embedding_neardup_pairs(
                        F.col("_vb").cast("array<double>")).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style inter-document line dedup: drop every line whose
+    whitespace-normalized form occurs in >= ``min_docs`` DISTINCT documents
+    (classic boilerplate removal — nav bars, cookie banners, footers repeat
+    across a site's pages; real content lines don't). A line repeated only
+    WITHIN one document is kept.
+
+    Returns (id_col, n_lines, n_kept, text) with text rebuilt from the
+    surviving lines in their original order (empty string when every line
+    was boilerplate).
+
+    100-TB shape: lines explode narrow; the duplicate-line census is ONE
+    hash aggregate on an 8-byte xxhash64 key — uniform by construction and
+    partial-agg-immune, so planet-scale boilerplate lines (the head of the
+    Zipf curve) collapse map-side. The census is then equi-joined back on
+    the same key (left join, build side distinct per key -> no fanout; AQE
+    handles probe-side skew), and the rebuild is one groupBy(id) whose
+    collect_list is bounded by document size. No cross join, no driver
+    materialization.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_key", F.xxhash64(normalize_ws("_line")))
+    dup = (
+        lines.groupBy("_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_key", F.lit(True).alias("_dup"))
+    )
+    flagged = lines.join(dup, "_key", "left")
+    keep_struct = F.when(F.col("_dup").isNull(), F.struct("_pos", "_line"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.count(keep_struct).cast("long").alias("n_kept"),
+            F.array_sort(F.collect_list(keep_struct)).alias("_ls"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_kept",
+            F.concat_ws("\n", F.transform("_ls", lambda s: s["_line"])).alias(text_col),
+        )
+    )

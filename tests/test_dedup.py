@@ -215,3 +215,35 @@ def test_embedding_neardup_exact_escape_hatch(spark):
     got = {(r["id_a"], r["id_b"])
            for r in embedding_neardup_pairs(df, threshold=0.99, exact=True).collect()}
     assert got == {(0, 1), (2, 3)}
+
+
+def test_line_dedup_boilerplate_removal(spark):
+    """Inter-document line dedup: lines shared by >= 2 DISTINCT docs are
+    boilerplate and dropped; a line repeated only within one document is
+    kept (both copies); surviving lines keep their original order."""
+    from ecokg_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "accept cookies\nreal content one\naccept cookies\nfooter nav"),
+        (2, "accept  cookies\nreal content two\nfooter nav"),
+        (3, "unique page\nonly here\nonly here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, "text", "doc_id").collect()}
+    # "accept cookies" (ws-normalized) and "footer nav" span docs 1+2 -> dropped
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 1
+    assert out[1]["text"] == "real content one"
+    assert out[2]["text"] == "real content two"
+    # intra-doc repeat survives, order preserved
+    assert out[3]["n_kept"] == 3
+    assert out[3]["text"] == "unique page\nonly here\nonly here"
+
+
+def test_line_dedup_all_boilerplate_empty(spark):
+    from ecokg_spark.operators.dedup import line_dedup
+
+    rows = [(1, "same line"), (2, "same line")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, "text", "doc_id").collect()}
+    assert out[1]["text"] == "" and out[1]["n_kept"] == 0
+    assert out[2]["n_lines"] == 1
