@@ -794,6 +794,214 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# --- URL / domain ops (functions/url.py, operators/web.py) -----------------
+# documents.parquet carries no URL column, so each query first synthesizes a
+# deterministic URL from (doc_id, source) — the SAME arithmetic runs in the
+# DuckDB oracle, so the parse/canonicalize/aggregate semantics (not the
+# synthesis) are what the cross-check proves.
+
+def _synth_url_rich():
+    """Deterministic URL exercising every parser branch: mixed-case scheme,
+    subdomains, a 2-level public suffix, an explicit default port, utm and
+    non-utm query params, and a fragment."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 7 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(d % 3 == 0, F.lit("www."))
+        .when(d % 3 == 1, F.lit("cdn."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.when(d % 5 == 0, F.lit(".co.uk")).otherwise(F.lit(".example.com")),
+        F.when(d % 11 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/sec"), (d % 4).cast("string"),
+        F.lit("/page-"), (d % 37).cast("string"),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (d % 6).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(d % 9 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+_SYNTH_URL_RICH_SQL = """(
+  (CASE WHEN doc_id % 7 = 0 THEN 'HTTP://' ELSE 'https://' END)
+  || (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+           WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END)
+  || source
+  || (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.example.com' END)
+  || (CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END)
+  || '/sec' || CAST(doc_id % 4 AS VARCHAR)
+  || '/page-' || CAST(doc_id % 37 AS VARCHAR)
+  || (CASE WHEN doc_id % 2 = 0
+           THEN '?utm_source=feed&id=' || CAST(doc_id % 6 AS VARCHAR)
+           ELSE '' END)
+  || (CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END))"""
+
+
+_SQL_URL_PARTS = """
+  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+  lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+  lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)) AS hostport,
+  regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+  regexp_extract(url, '\\?([^#]*)', 1) AS query
+"""
+
+_SQL_2L_SUFFIXES = (
+    "('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',"
+    "'co.jp','ne.jp','or.jp','com.br','com.cn','com.mx','co.in',"
+    "'co.kr','co.nz')"
+)
+
+_SQL_REG_DOMAIN = f"""(
+  CASE WHEN len(string_split(host, '.')) < 2 THEN host
+       WHEN len(string_split(host, '.')) >= 3
+            AND (string_split(host, '.')[-2] || '.' ||
+                 string_split(host, '.')[-1]) IN {_SQL_2L_SUFFIXES}
+       THEN string_split(host, '.')[-3] || '.' ||
+            string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+       ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+  END)"""
+
+# NB: DuckDB array_to_string([]) is NULL (Spark array_join is '') — coalesce
+_SQL_KEPT_Q = """coalesce(array_to_string(list_filter(
+                       string_split(query, '&'),
+                       p -> p <> '' AND NOT starts_with(p, 'utm_')), '&'), '')"""
+
+_SQL_CANONICAL = f"""(
+  CASE WHEN scheme = '' THEN url
+       ELSE scheme || '://'
+            || (CASE WHEN scheme = 'http'
+                     THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https'
+                     THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END)
+            || (CASE WHEN path = '/' THEN '' ELSE path END)
+            || (CASE WHEN {_SQL_KEPT_Q} = ''
+                     THEN ''
+                     ELSE '?' || {_SQL_KEPT_Q} END)
+  END)"""
+
+
+def q_url_parse(spark, sf):
+    """URL parsing as pure Catalyst expressions (functions/url.py): scheme,
+    host, registered domain (public-suffix-aware), path depth, and the
+    canonical dedup key — every branch oracle-recomputed in DuckDB with
+    the identical RE2-safe regexes."""
+    from ecokg_spark.functions.url import (
+        url_canonicalize,
+        url_host,
+        url_path,
+        url_path_depth,
+        url_registered_domain,
+        url_scheme,
+    )
+
+    d = t(spark, sf, "documents").withColumn("url", _synth_url_rich())
+    return d.select(
+        "doc_id",
+        "url",
+        url_scheme("url").alias("scheme"),
+        url_host("url").alias("host"),
+        url_registered_domain("url").alias("domain"),
+        url_path("url").alias("path"),
+        url_path_depth("url").alias("depth"),
+        url_canonicalize("url").alias("canonical"),
+    )
+
+
+SQL_URL_PARSE = f"""
+WITH u AS (
+  SELECT doc_id, {_SYNTH_URL_RICH_SQL} AS url FROM documents
+),
+p AS (SELECT doc_id, url, {_SQL_URL_PARTS} FROM u)
+SELECT doc_id, url, scheme, host,
+       {_SQL_REG_DOMAIN} AS domain,
+       path,
+       CAST(len(list_filter(string_split(path, '/'), s -> s <> ''))
+            AS BIGINT) AS depth,
+       {_SQL_CANONICAL} AS canonical
+FROM p
+"""
+
+
+def q_url_dedup(spark, sf):
+    """Exact URL dedup on the canonical form (operators/web.py url_dedup):
+    the synthesized corpus hides each logical URL behind case-varied
+    hosts, default ports, utm params and fragments; dedup keeps the min
+    doc_id per canonical URL with the collapse count."""
+    from ecokg_spark.operators.web import url_dedup
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (d % 5).cast("string"),
+        F.when(d % 2 == 1, F.lit("?utm_medium=social")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    docs = t(spark, sf, "documents").withColumn("url", url)
+    return url_dedup(docs, "url", "doc_id")
+
+
+SQL_URL_DEDUP = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END)
+         || source || '.example.com'
+         || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+         || '/p/' || CAST(doc_id % 5 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 1 THEN '?utm_medium=social' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END) AS url
+  FROM documents
+),
+p AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+  lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)) AS hostport,
+  regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+  regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u)
+SELECT
+""" + _SQL_CANONICAL + """ AS canonical_url,
+  CAST(min(doc_id) AS BIGINT) AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM p GROUP BY 1
+"""
+
+
+def q_domain_stats(spark, sf):
+    """Per-registered-domain census (operators/web.py domain_stats):
+    document count and char totals keyed by the public-suffix-aware
+    domain — the table a blocklist / per-site sampling policy reads."""
+    from ecokg_spark.operators.web import domain_stats
+
+    docs = t(spark, sf, "documents").withColumn("url", _synth_url_rich())
+    return domain_stats(docs, "url", "doc_id", chars_col="n_chars")
+
+
+SQL_DOMAIN_STATS = f"""
+WITH u AS (
+  SELECT doc_id, n_chars, {_SYNTH_URL_RICH_SQL} AS url FROM documents
+),
+p AS (SELECT doc_id, n_chars,
+  lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+  FROM u)
+SELECT {_SQL_REG_DOMAIN} AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       AVG(n_chars) AS avg_chars
+FROM p GROUP BY 1
+"""
+
+
 def q_minhash_neardup(spark, sf):
     """MinHash-LSH candidates + exact-Jaccard verification: the returned
     relation is pairs with EXACT 3-shingle Jaccard >= 0.4, so the DuckDB
@@ -1865,6 +2073,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "line_dedup": q_line_dedup,
+    "url_parse": q_url_parse,
+    "url_dedup": q_url_dedup,
+    "domain_stats": q_domain_stats,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "cosine_topk": q_cosine_topk,
@@ -1929,6 +2140,9 @@ ORACLES: dict[str, str] = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "line_dedup": SQL_LINE_DEDUP,
+    "url_parse": SQL_URL_PARSE,
+    "url_dedup": SQL_URL_DEDUP,
+    "domain_stats": SQL_DOMAIN_STATS,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "cosine_topk": SQL_COSINE_TOPK,

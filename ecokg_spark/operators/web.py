@@ -1,0 +1,66 @@
+"""Web-corpus operators: exact URL dedup and per-domain aggregation.
+
+Beyond-reference surface (the reference ingests curated dumps and never
+sees URLs); these are the standard first passes of a CommonCrawl-scale
+training-data pipeline. Both are single hash aggregates on keys that are
+uniform by construction (canonical URL / registered domain), so they hold
+at 100 TB: the map-side partial collapses duplicate URLs where they are
+read, and domain skew (a giant site) is bounded because every aggregate
+here is algebraic (count/sum/avg) — no collect_list, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ecokg_spark.functions.url import url_canonicalize, url_registered_domain
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact URL dedup on the canonical form (fragment/utm/default-port
+    stripped, host lowercased): one survivor per canonical URL with a
+    deterministic min-id pick, plus the collapse count.
+
+    Returns (canonical_url, id_col = min id, n_dups).
+    """
+    return (
+        df.select(
+            url_canonicalize(url_col).alias("canonical_url"), F.col(id_col)
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    chars_col: str | None = None,
+) -> DataFrame:
+    """Per-registered-domain corpus census: document count and (when a
+    length column is given) total/mean characters — the table a domain
+    blocklist or a per-site sampling policy is built from.
+
+    Returns (domain, n_docs[, n_chars, avg_chars]).
+    """
+    keyed = df.select(
+        url_registered_domain(url_col).alias("domain"),
+        F.col(id_col),
+        *([F.col(chars_col)] if chars_col else []),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    if chars_col:
+        aggs += [
+            F.sum(chars_col).cast("long").alias("n_chars"),
+            F.avg(chars_col).alias("avg_chars"),
+        ]
+    return keyed.groupBy("domain").agg(*aggs)

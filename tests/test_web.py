@@ -1,0 +1,102 @@
+"""URL functions (functions/url.py) and web-corpus operators
+(operators/web.py): host/domain parsing, canonicalization, URL dedup,
+domain stats."""
+
+from pyspark.sql import functions as F
+
+from ecokg_spark.functions.url import (
+    url_canonicalize,
+    url_host,
+    url_path,
+    url_path_depth,
+    url_registered_domain,
+    url_scheme,
+)
+from ecokg_spark.operators.web import domain_stats, url_dedup
+
+URLS = [
+    (1, "https://www.Example.COM/a/b/c?x=1&utm_source=tw#frag"),
+    (2, "HTTP://user:pw@news.bbc.co.uk:8080/story?id=2"),
+    (3, "https://cdn.example.com:443/"),
+    (4, "http://example.com:80"),
+    (5, "not a url at all"),
+    (6, "ftp://files.example.org/pub/file.txt"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(URLS, "doc_id long, url string")
+
+
+def _col(spark, expr):
+    rows = _df(spark).select("doc_id", expr.alias("v")).collect()
+    return {r["doc_id"]: r["v"] for r in rows}
+
+
+def test_url_scheme_host(spark):
+    sch = _col(spark, url_scheme("url"))
+    assert sch[1] == "https" and sch[2] == "http" and sch[6] == "ftp"
+    assert sch[5] == ""
+    host = _col(spark, url_host("url"))
+    assert host[1] == "www.example.com"      # lowercased
+    assert host[2] == "news.bbc.co.uk"       # userinfo + port stripped
+    assert host[3] == "cdn.example.com"
+    assert host[5] == ""
+
+
+def test_url_path_depth(spark):
+    path = _col(spark, url_path("url"))
+    assert path[1] == "/a/b/c" and path[3] == "/" and path[4] == ""
+    depth = _col(spark, url_path_depth("url"))
+    assert depth[1] == 3 and depth[3] == 0 and depth[6] == 2
+
+
+def test_url_registered_domain(spark):
+    dom = _col(spark, url_registered_domain("url"))
+    assert dom[1] == "example.com"
+    assert dom[2] == "bbc.co.uk"             # public-suffix-aware
+    assert dom[3] == "example.com"
+    assert dom[6] == "example.org"
+
+
+def test_url_canonicalize(spark):
+    canon = _col(spark, url_canonicalize("url"))
+    # utm stripped, other params kept, fragment dropped, host lowercased
+    assert canon[1] == "https://www.example.com/a/b/c?x=1"
+    # non-default port survives; scheme lowercased; userinfo dropped
+    # (credentialed URLs are noise in a web corpus — same resource)
+    assert canon[2] == "http://news.bbc.co.uk:8080/story?id=2"
+    # default ports dropped; bare "/" root path dropped
+    assert canon[3] == "https://cdn.example.com"
+    assert canon[4] == "http://example.com"
+    # non-URLs canonicalize to themselves
+    assert canon[5] == "not a url at all"
+
+
+def test_url_dedup_collapses_variants(spark):
+    rows = [
+        (1, "https://Example.com/p?utm_source=a"),
+        (2, "https://example.com:443/p#frag"),
+        (3, "https://example.com/p"),
+        (4, "https://example.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["canonical_url"]: r for r in url_dedup(df).collect()}
+    assert out["https://example.com/p"]["doc_id"] == 1
+    assert out["https://example.com/p"]["n_dups"] == 3
+    assert out["https://example.com/q"]["n_dups"] == 1
+
+
+def test_domain_stats(spark):
+    rows = [
+        (1, "https://a.example.com/x", 10),
+        (2, "https://b.example.com/y", 20),
+        (3, "https://shop.bbc.co.uk/z", 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n long")
+    out = {r["domain"]: r for r in
+           domain_stats(df, "url", "doc_id", chars_col="n").collect()}
+    assert out["example.com"]["n_docs"] == 2
+    assert out["example.com"]["n_chars"] == 30
+    assert out["example.com"]["avg_chars"] == 15.0
+    assert out["bbc.co.uk"]["n_docs"] == 1
