@@ -2027,6 +2027,58 @@ SELECT DISTINCT p_brand AS cat, 'SZ:' || CAST(p_size AS VARCHAR) AS m FROM part
 """
 
 
+def q_sparql_optional(spark, sf):
+    """SPARQL OPTIONAL -> LEFT OUTER join (beyond-parity grammar): only
+    parts with p_size < 25 get a has_size edge, so the optional variable
+    binds NULL for the rest."""
+    from ecokg_spark.query import sparql_select
+
+    p = t(spark, sf, "part")
+    nodes = p.select(
+        F.concat(F.lit("P:"), F.col("p_partkey")).alias("id"),
+        F.col("p_brand").alias("category"),
+    )
+    edges = p.where(F.col("p_size") < 25).select(
+        F.concat(F.lit("P:"), F.col("p_partkey")).alias("subject"),
+        F.lit("biolink:has_size").alias("predicate"),
+        F.concat(F.lit("SZ:"), F.col("p_size").cast("string")).alias("object"),
+    )
+    return sparql_select(
+        spark,
+        "SELECT ?x ?cat ?m WHERE { ?x biolink:category ?cat . "
+        "OPTIONAL { ?x biolink:has_size ?m } }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_OPTIONAL = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x, p_brand AS cat,
+       CASE WHEN p_size < 25 THEN 'SZ:' || CAST(p_size AS VARCHAR) END AS m
+FROM part
+"""
+
+
+def q_sparql_order_limit(spark, sf):
+    """SPARQL ORDER BY DESC + LIMIT (beyond-parity grammar); the sort key
+    is unique, so the limited set is deterministic and exactly
+    SQL-recomputable."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT ?x ?cat WHERE { ?x biolink:category ?cat } "
+        "ORDER BY DESC(?x) LIMIT 20",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_ORDER_LIMIT = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x, p_brand AS cat
+FROM part ORDER BY x DESC LIMIT 20
+"""
+
+
 def q_kg_pipeline(spark, sf):
     """Full north-star pipeline on the synthetic CC corpus (rows-only:
     multi-stage UDF pipeline is not SQL-expressible)."""
@@ -2102,6 +2154,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_select": q_sparql_select,
     "sparql_filter": q_sparql_filter,
     "sparql_distinct": q_sparql_distinct,
+    "sparql_optional": q_sparql_optional,
+    "sparql_order_limit": q_sparql_order_limit,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_dims": q_multimodal_dims,
     "kg_pipeline": q_kg_pipeline,
@@ -2169,6 +2223,8 @@ ORACLES: dict[str, str] = {
     "sparql_select": SQL_SPARQL_SELECT,
     "sparql_filter": SQL_SPARQL_FILTER,
     "sparql_distinct": SQL_SPARQL_DISTINCT,
+    "sparql_optional": SQL_SPARQL_OPTIONAL,
+    "sparql_order_limit": SQL_SPARQL_ORDER_LIMIT,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_dims": SQL_MULTIMODAL_DIMS,
     # rows-only (non-SQL-expressible): kg_pipeline (multi-stage Arrow-UDF

@@ -7,15 +7,24 @@ the same queries compile straight to Catalyst plans — no endpoint:
 
   supported grammar (the reference's published query shape,
   tests/test_query.py:29-40, plus conjunctive patterns and one notch
-  beyond parity — DISTINCT and equality FILTERs):
+  beyond parity — DISTINCT, equality FILTERs, OPTIONAL, ORDER BY/LIMIT):
 
     SELECT [DISTINCT] (COUNT(?x) AS ?alias)* ?var*
-    WHERE { pattern (('.' pattern) | filter)* }
-    [GROUP BY ?var*]
+    WHERE { pattern (('.' pattern) | filter | optional)* }
+    [GROUP BY ?var*] [ORDER BY (?var | ASC(?var) | DESC(?var))*] [LIMIT n]
 
-    pattern := term term term
-    term    := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
-    filter  := FILTER( ?var (=|!=) value )   value := "quoted" | token
+    pattern  := term term term
+    term     := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
+    filter   := FILTER( ?var (=|!=) value )   value := "quoted" | token
+    optional := OPTIONAL { pattern (. pattern)* }
+
+  OPTIONAL compiles to a LEFT OUTER join on the variables shared with the
+  required patterns (unmatched rows bind the optional-only variables to
+  NULL); an OPTIONAL block sharing no variable with the required part is
+  rejected (a left cross product is never what a user means). FILTERs
+  always apply after all joins — FILTER placement *inside* an OPTIONAL
+  block (which scopes the filter to the join in full SPARQL) is rejected
+  rather than silently reinterpreted.
 
   semantics:
     - predicate `biolink:category` reads the NODES table (id, category) —
@@ -40,10 +49,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SELECT_RE = re.compile(
-    r"(?is)^\s*SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*\{(.*?)\}\s*(?:GROUP\s+BY\s+(.*?))?\s*$")
+    r"(?is)^\s*SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*"
+    r"\{((?:[^{}]|\{[^{}]*\})*)\}"          # WHERE body, one nesting level
+    r"\s*(?:GROUP\s+BY\s+(.*?))?"
+    r"\s*(?:ORDER\s+BY\s+(.*?))?"
+    r"\s*(?:LIMIT\s+(\d+))?\s*$")
 _AGG_RE = re.compile(r"\(\s*COUNT\s*\(\s*\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)", re.I)
 _VAR_RE = re.compile(r"\?(\w+)")
 _FILTER_RE = re.compile(r'(?i)FILTER\s*\(\s*\?(\w+)\s*(!=|=)\s*("[^"]*"|[^\s)]+)\s*\)')
+_OPTIONAL_RE = re.compile(r"(?is)OPTIONAL\s*\{([^{}]*)\}")
+_ORDER_RE = re.compile(r"(?i)(?:(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+))")
 
 CATEGORY_PRED = "biolink:category"
 
@@ -52,18 +67,9 @@ class SparqlError(ValueError):
     pass
 
 
-def _parse(query: str):
-    m = _SELECT_RE.match(query)
-    if not m:
-        raise SparqlError(f"unsupported SPARQL shape: {query!r}")
-    distinct_raw, select_raw, where_raw, group_raw = m.groups()
-    aggs = [(v, alias) for v, alias in _AGG_RE.findall(select_raw)]
-    plain = _VAR_RE.findall(_AGG_RE.sub(" ", select_raw))
-    filters = [(v, op, val[1:-1] if val.startswith('"') else val)
-               for v, op, val in _FILTER_RE.findall(where_raw)]
-    where_raw = _FILTER_RE.sub(" ", where_raw)
+def _split_patterns(raw: str) -> list[tuple[str, str, str]]:
     patterns = []
-    for part in re.split(r"\s*\.\s*(?![\w])|\s*\.\s*$", where_raw.strip()):
+    for part in re.split(r"\s*\.\s*(?![\w])|\s*\.\s*$", raw.strip()):
         part = part.strip().rstrip(".").strip()
         if not part:
             continue
@@ -71,8 +77,35 @@ def _parse(query: str):
         if len(terms) != 3:
             raise SparqlError(f"bad triple pattern: {part!r}")
         patterns.append(tuple(terms))
+    return patterns
+
+
+def _parse(query: str):
+    m = _SELECT_RE.match(query)
+    if not m:
+        raise SparqlError(f"unsupported SPARQL shape: {query!r}")
+    (distinct_raw, select_raw, where_raw, group_raw, order_raw,
+     limit_raw) = m.groups()
+    aggs = [(v, alias) for v, alias in _AGG_RE.findall(select_raw)]
+    plain = _VAR_RE.findall(_AGG_RE.sub(" ", select_raw))
+    optionals = []
+    for block in _OPTIONAL_RE.findall(where_raw):
+        if re.search(r"(?i)FILTER", block):
+            raise SparqlError(
+                "FILTER inside OPTIONAL is unsupported (its SPARQL scope "
+                "differs from a post-join filter); move it outside")
+        optionals.append(_split_patterns(block))
+    where_raw = _OPTIONAL_RE.sub(" ", where_raw)
+    filters = [(v, op, val[1:-1] if val.startswith('"') else val)
+               for v, op, val in _FILTER_RE.findall(where_raw)]
+    where_raw = _FILTER_RE.sub(" ", where_raw)
+    patterns = _split_patterns(where_raw)
     group = _VAR_RE.findall(group_raw) if group_raw else []
-    return aggs, plain, patterns, group, filters, bool(distinct_raw)
+    order = [(d.upper() if d else "ASC", v1 or v2)
+             for d, v1, v2 in _ORDER_RE.findall(order_raw)] if order_raw else []
+    limit = int(limit_raw) if limit_raw else None
+    return (aggs, plain, patterns, group, filters, bool(distinct_raw),
+            optionals, order, limit)
 
 
 def _term_col(df: DataFrame, col: str, term: str, binds: dict[str, list]):
@@ -84,6 +117,43 @@ def _term_col(df: DataFrame, col: str, term: str, binds: dict[str, list]):
     return df.where(F.col(col) == term)
 
 
+def _compile_pattern(nodes: DataFrame, edges: DataFrame, i: int,
+                     pattern: tuple[str, str, str]):
+    """One triple pattern -> (relation with _s{i}/_p{i}/_o{i} columns,
+    {var: first bound column})."""
+    s, p, o = pattern
+    if not p.startswith("?") and p == CATEGORY_PRED:
+        rel = nodes.select(F.col("id").alias(f"_s{i}"),
+                           F.col("category").alias(f"_o{i}"))
+    else:
+        rel = edges.select(F.col("subject").alias(f"_s{i}"),
+                           F.col("predicate").alias(f"_p{i}"),
+                           F.col("object").alias(f"_o{i}"))
+        if not p.startswith("?"):
+            rel = rel.where(F.col(f"_p{i}") == p)
+    binds: dict[str, list] = {}
+    rel = _term_col(rel, f"_s{i}", s, binds)
+    if p.startswith("?"):
+        binds.setdefault(p[1:], []).append(f"_p{i}")
+    rel = _term_col(rel, f"_o{i}", o, binds)
+    # a variable repeated WITHIN one pattern (e.g. `?x ?p ?x`) is an
+    # equality constraint between its positions, not a free rename —
+    # filter on all extra bound columns (ADVICE r2)
+    for _v, cols in binds.items():
+        for extra in cols[1:]:
+            rel = rel.where(F.col(cols[0]) == F.col(extra))
+    return rel, {v: cols[0] for v, cols in binds.items()}
+
+
+def _shared_cond(bound: dict[str, str], cols: dict[str, str]):
+    shared = [(bound[v], c) for v, c in cols.items() if v in bound]
+    cond = None
+    for a, b in shared:
+        piece = F.col(a) == F.col(b)
+        cond = piece if cond is None else (cond & piece)
+    return cond
+
+
 def sparql_select(
     spark: SparkSession,
     query: str,
@@ -91,53 +161,56 @@ def sparql_select(
     edges: DataFrame,
 ) -> DataFrame:
     """Compile + run a (restricted) SPARQL SELECT over the KG tables."""
-    aggs, plain, patterns, group, filters, distinct = _parse(query)
+    (aggs, plain, patterns, group, filters, distinct, optionals, order,
+     limit) = _parse(query)
     if not patterns:
         raise SparqlError("empty WHERE clause")
 
     rels: list[DataFrame] = []
     var_cols: list[dict[str, str]] = []
-    for i, (s, p, o) in enumerate(patterns):
-        if not p.startswith("?") and p == CATEGORY_PRED:
-            rel = nodes.select(F.col("id").alias(f"_s{i}"),
-                               F.col("category").alias(f"_o{i}"))
-        else:
-            rel = edges.select(F.col("subject").alias(f"_s{i}"),
-                               F.col("predicate").alias(f"_p{i}"),
-                               F.col("object").alias(f"_o{i}"))
-            if not p.startswith("?"):
-                rel = rel.where(F.col(f"_p{i}") == p)
-        binds: dict[str, list] = {}
-        rel = _term_col(rel, f"_s{i}", s, binds)
-        if p.startswith("?") or p != CATEGORY_PRED:
-            if p.startswith("?"):
-                binds.setdefault(p[1:], []).append(f"_p{i}")
-        rel = _term_col(rel, f"_o{i}", o, binds)
-        # a variable repeated WITHIN one pattern (e.g. `?x ?p ?x`) is an
-        # equality constraint between its positions, not a free rename —
-        # filter on all extra bound columns (ADVICE r2)
-        for _v, cols in binds.items():
-            for extra in cols[1:]:
-                rel = rel.where(F.col(cols[0]) == F.col(extra))
+    for i, pattern in enumerate(patterns):
+        rel, cols = _compile_pattern(nodes, edges, i, pattern)
         rels.append(rel)
-        var_cols.append({v: cols[0] for v, cols in binds.items()})
+        var_cols.append(cols)
 
-    # join patterns on shared variables, left to right
+    # join required patterns on shared variables, left to right
     out = rels[0]
     bound: dict[str, str] = dict(var_cols[0])
     for i in range(1, len(rels)):
-        shared = [(bound[v], c) for v, c in var_cols[i].items() if v in bound]
-        if shared:
-            cond = None
-            for a, b in shared:
-                piece = F.col(a) == F.col(b)
-                cond = piece if cond is None else (cond & piece)
-            out = out.join(rels[i], cond)
-        else:
-            out = out.crossJoin(rels[i])
+        cond = _shared_cond(bound, var_cols[i])
+        out = out.join(rels[i], cond) if cond is not None \
+            else out.crossJoin(rels[i])
         for v, c in var_cols[i].items():
             bound.setdefault(v, c)
 
+    # OPTIONAL groups: inner-join the group's own patterns, then LEFT
+    # OUTER join it to the required part on the shared variables
+    idx = len(rels)
+    for gi, opt_patterns in enumerate(optionals):
+        grp = None
+        grp_bound: dict[str, str] = {}
+        for pattern in opt_patterns:
+            rel, cols = _compile_pattern(nodes, edges, idx, pattern)
+            idx += 1
+            if grp is None:
+                grp, grp_bound = rel, dict(cols)
+            else:
+                cond = _shared_cond(grp_bound, cols)
+                grp = grp.join(rel, cond) if cond is not None \
+                    else grp.crossJoin(rel)
+                for v, c in cols.items():
+                    grp_bound.setdefault(v, c)
+        cond = _shared_cond(bound, grp_bound)
+        if cond is None:
+            raise SparqlError(
+                f"OPTIONAL group {gi} shares no variable with the required "
+                "patterns (left cross product unsupported)")
+        out = out.join(grp, cond, "left")
+        for v, c in grp_bound.items():
+            bound.setdefault(v, c)
+
+    # ORDER BY vars are checked against the PROJECTED columns below (they
+    # may name an aggregate alias, which is never pattern-bound)
     missing = [v for v in plain + [a for a, _ in aggs] + group
                + [v for v, _, _ in filters] if v not in bound]
     if missing:
@@ -155,7 +228,18 @@ def sparql_select(
             *[F.count(bound[v]).cast("long").alias(alias) for v, alias in aggs]
         )
         # SELECT order: aggregates and plain vars as written
-        order = [alias for _, alias in aggs] + [v for v in plain]
-        return out.select(*order)
-    out = out.select(*[F.col(bound[v]).alias(v) for v in plain])
-    return out.distinct() if distinct else out
+        out = out.select(*([alias for _, alias in aggs] + list(plain)))
+    else:
+        out = out.select(*[F.col(bound[v]).alias(v) for v in plain])
+        if distinct:
+            out = out.distinct()
+    if order:
+        exposed = set(out.columns)
+        bad = [v for _, v in order if v not in exposed]
+        if bad:
+            raise SparqlError(f"ORDER BY on unprojected variables: {bad}")
+        out = out.orderBy(*[F.col(v).desc() if d == "DESC" else F.col(v).asc()
+                            for d, v in order])
+    if limit is not None:
+        out = out.limit(limit)
+    return out

@@ -130,3 +130,78 @@ def test_sparql_filter_on_unbound_var_raises(spark):
         sparql_select(spark,
                       'SELECT ?s WHERE { ?s rel:x ?o . FILTER(?zz = "1") }',
                       nodes, edges)
+
+
+def test_optional_left_join(spark, kg):
+    """OPTIONAL binds matched rows and leaves NULL where the optional
+    pattern has no match (G:2 has no phenotype edge)."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?g ?p WHERE { ?g biolink:in_taxon T:1 . "
+        "OPTIONAL { ?g biolink:has_phenotype ?p } }",
+        nodes, edges)
+    got = {r["g"]: r["p"] for r in out.collect()}
+    assert got == {"G:1": "P:1", "G:2": None}
+
+
+def test_optional_multi_pattern_group(spark, kg):
+    """An OPTIONAL block with two patterns inner-joins within the block
+    before the left join."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?g ?p ?cat WHERE { ?g biolink:in_taxon T:1 . OPTIONAL { "
+        "?g biolink:has_phenotype ?p . ?p biolink:category ?cat } }",
+        nodes, edges)
+    got = {r["g"]: (r["p"], r["cat"]) for r in out.collect()}
+    assert got == {"G:1": ("P:1", "biolink:PhenotypicFeature"),
+                   "G:2": (None, None)}
+
+
+def test_optional_rejects_disjoint_and_inner_filter(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="shares no variable"):
+        sparql_select(
+            spark,
+            "SELECT ?g ?x WHERE { ?g biolink:in_taxon T:1 . "
+            "OPTIONAL { ?x biolink:category ?c } }",
+            nodes, edges).collect()
+    with pytest.raises(SparqlError, match="FILTER inside OPTIONAL"):
+        sparql_select(
+            spark,
+            "SELECT ?g WHERE { ?g biolink:in_taxon T:1 . OPTIONAL { "
+            '?g biolink:has_phenotype ?p . FILTER(?p = "P:1") } }',
+            nodes, edges)
+
+
+def test_order_by_limit(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?n ?cat WHERE { ?n biolink:category ?cat } "
+        "ORDER BY DESC(?n) LIMIT 2",
+        nodes, edges)
+    assert [tuple(r) for r in out.collect()] == [
+        ("T:1", "biolink:OrganismTaxon"), ("P:1", "biolink:PhenotypicFeature")]
+
+
+def test_order_by_agg_alias(spark, kg):
+    """ORDER BY may name the COUNT alias (a projected, not pattern-bound,
+    variable)."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT (COUNT(?n) AS ?c) ?cat WHERE { ?n biolink:category ?cat } "
+        "GROUP BY ?cat ORDER BY DESC(?c) ASC(?cat) LIMIT 1",
+        nodes, edges)
+    assert [tuple(r) for r in out.collect()] == [(2, "biolink:GenomicEntity")]
+
+
+def test_order_by_unprojected_rejected(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="unprojected"):
+        sparql_select(
+            spark,
+            "SELECT ?cat WHERE { ?n biolink:category ?cat } ORDER BY ?n",
+            nodes, edges)
