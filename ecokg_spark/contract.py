@@ -1002,6 +1002,123 @@ FROM p GROUP BY 1
 """
 
 
+def q_pii_redact(spark, sf):
+    """PII scrubbing (functions/pii.py): the corpus carries no PII, so a
+    deterministic email + IPv4 + phone string is appended per document;
+    the query returns the redacted text and per-kind counts, all
+    recomputed verbatim by the oracle with the same RE2-safe regexes."""
+    from ecokg_spark.functions.pii import pii_counts, redact_pii
+
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.substring(F.col("text"), 1, 50),
+        F.lit(" Contact user"), d.cast("string"),
+        F.lit("@mail.example.com now. Server 10.0."),
+        (d % 200).cast("string"),
+        F.lit(".7 up. Call +1 (415) 555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" today."),
+    )
+    docs = t(spark, sf, "documents").withColumn("text", pii_text)
+    return docs.select(
+        "doc_id",
+        redact_pii("text").alias("clean_text"),
+        *pii_counts("text"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    from ecokg_spark.functions.pii import (
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        PHONE_TOKEN,
+        RE_EMAIL,
+        RE_IPV4,
+        RE_PHONE,
+    )
+
+    synth = """(
+      substr(text, 1, 50)
+      || ' Contact user' || CAST(doc_id AS VARCHAR)
+      || '@mail.example.com now. Server 10.0.'
+      || CAST(doc_id % 200 AS VARCHAR)
+      || '.7 up. Call +1 (415) 555-'
+      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      || ' today.')"""
+    return f"""
+WITH u AS (SELECT doc_id, {synth} AS text FROM documents),
+s1 AS (SELECT doc_id, text,
+              regexp_replace(text, '{RE_EMAIL}', '{EMAIL_TOKEN}', 'g') AS t1
+       FROM u),
+s2 AS (SELECT *, regexp_replace(t1, '{RE_IPV4}', '{IP_TOKEN}', 'g') AS t2
+       FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '{RE_PHONE}', '{PHONE_TOKEN}', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{RE_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{RE_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '{RE_PHONE}')) AS BIGINT) AS n_phones
+FROM s2
+"""
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+
+def q_hash_sample(spark, sf):
+    """Deterministic Bernoulli(0.25) content-hash sample (operators/
+    sample.py hash_sample): keep iff md5(doc_id) 8-hex prefix sorts below
+    the rate threshold — layout-independent, exactly recomputable."""
+    from ecokg_spark.operators.sample import hash_sample
+
+    return hash_sample(t(spark, sf, "documents"), 0.25, "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _sql_hash_sample() -> str:
+    from ecokg_spark.operators.sample import sample_threshold_hex
+
+    return f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{sample_threshold_hex(0.25)}'
+"""
+
+
+SQL_HASH_SAMPLE = _sql_hash_sample()
+
+
+def q_domain_quota(spark, sf):
+    """Per-domain quota sampling (operators/sample.py
+    domain_quota_sample): cap every registered domain at 3 documents,
+    picked by md5 order. The salted two-phase top-k equals the plain
+    per-domain row_number the oracle computes (stage 1's per-salt top-q
+    is a superset of the overall top-q)."""
+    from ecokg_spark.operators.sample import domain_quota_sample
+
+    docs = t(spark, sf, "documents").withColumn("url", _synth_url_rich())
+    out = domain_quota_sample(docs, "url", "doc_id", quota=3)
+    return out.select("doc_id", "domain", "rank")
+
+
+SQL_DOMAIN_QUOTA = f"""
+WITH u AS (
+  SELECT doc_id, {_SYNTH_URL_RICH_SQL} AS url FROM documents
+),
+p AS (SELECT doc_id,
+  lower(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+  FROM u),
+d AS (SELECT doc_id, {_SQL_REG_DOMAIN} AS domain FROM p),
+r AS (SELECT doc_id, domain,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             AS rank
+      FROM d)
+SELECT doc_id, domain, rank FROM r WHERE rank <= 3
+"""
+
+
 def q_minhash_neardup(spark, sf):
     """MinHash-LSH candidates + exact-Jaccard verification: the returned
     relation is pairs with EXACT 3-shingle Jaccard >= 0.4, so the DuckDB
@@ -2128,6 +2245,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_parse": q_url_parse,
     "url_dedup": q_url_dedup,
     "domain_stats": q_domain_stats,
+    "pii_redact": q_pii_redact,
+    "hash_sample": q_hash_sample,
+    "domain_quota": q_domain_quota,
     "minhash_neardup": q_minhash_neardup,
     "simhash_neardup": q_simhash_neardup,
     "cosine_topk": q_cosine_topk,
@@ -2197,6 +2317,9 @@ ORACLES: dict[str, str] = {
     "url_parse": SQL_URL_PARSE,
     "url_dedup": SQL_URL_DEDUP,
     "domain_stats": SQL_DOMAIN_STATS,
+    "pii_redact": SQL_PII_REDACT,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "domain_quota": SQL_DOMAIN_QUOTA,
     "minhash_neardup": SQL_MINHASH_NEARDUP,
     "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "cosine_topk": SQL_COSINE_TOPK,

@@ -1,0 +1,78 @@
+"""Deterministic sampling operators for corpus curation.
+
+Training-data pipelines need samples that are (a) reproducible across
+runs and cluster layouts — `df.sample()` is neither — and (b) exactly
+recomputable by an independent engine for auditing. Both operators here
+key on md5 of a stable id, so the DuckDB oracle reproduces the selected
+set verbatim.
+
+100-TB shape: hash_sample is a narrow filter (no shuffle at all).
+domain_quota_sample is the salted two-phase top-k: stage 1 windows over
+(domain, salt) so a mega-site's rows split across `salts` partitions and
+each keeps at most `quota`; stage 2 windows over domain on the <=
+salts*quota survivors. No single task ever sorts a whole hot domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecokg_spark.functions.url import url_registered_domain
+
+
+def sample_threshold_hex(rate: float) -> str:
+    """8-hex-digit threshold for a Bernoulli(rate) content-hash sample:
+    keep rows whose md5-prefix sorts below it (lowercase fixed-width hex
+    compares lexicographically == numerically)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the first 8 hex
+    chars of md5(key) fall below the rate threshold. Same input -> same
+    sample, on any cluster, in any engine with md5."""
+    if rate >= 1.0:
+        return df
+    th = sample_threshold_hex(rate)
+    return df.where(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8) < F.lit(th)
+    )
+
+
+def domain_quota_sample(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quota: int = 100,
+) -> DataFrame:
+    """Cap each registered domain's contribution at `quota` documents,
+    picked uniformly-by-hash (order by md5(id), tie-broken by id — fully
+    deterministic). The standard guard against one mega-site dominating a
+    crawl-derived corpus.
+
+    Returns the input columns plus (domain, rank), rank in [1, quota].
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    keyed = (
+        df.withColumn("_dom", url_registered_domain(url_col))
+        .withColumn("_h", h)
+        .withColumn("_salt", F.substring("_h", 1, 1))
+    )
+    # stage 1: per (domain, salt) — bounds any single window partition
+    w1 = Window.partitionBy("_dom", "_salt").orderBy("_h", id_col)
+    stage1 = (
+        keyed.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= quota)
+        .drop("_r1")
+    )
+    # stage 2: exact top-quota over the <= 16*quota survivors per domain
+    w2 = Window.partitionBy("_dom").orderBy("_h", id_col)
+    return (
+        stage1.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= quota)
+        .withColumnRenamed("_dom", "domain")
+        .drop("_h", "_salt")
+    )

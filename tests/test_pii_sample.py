@@ -1,0 +1,81 @@
+"""PII redaction (functions/pii.py) and deterministic sampling
+(operators/sample.py)."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ecokg_spark.functions.pii import pii_counts, redact_pii
+from ecokg_spark.operators.sample import (
+    domain_quota_sample,
+    hash_sample,
+    sample_threshold_hex,
+)
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(redact_pii("text").alias("t"), *pii_counts("text")).first()
+    return row
+
+
+def test_redact_email_ip_phone(spark):
+    r = _one(spark, "mail a.b+c@sub.example.org, host 192.168.0.1, "
+                    "call +1 (415) 555-0100 ok")
+    assert r["t"] == "mail [EMAIL], host [IP], call [PHONE] ok"
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 1, 1)
+
+
+def test_redact_order_no_cross_matching(spark):
+    # digits in an email local part must not leak a phone match; a bare
+    # IP must not half-match the phone pattern
+    r = _one(spark, "user4155550100@example.com and 10.0.200.7 only")
+    assert r["t"] == "[EMAIL] and [IP] only"
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (1, 1, 0)
+
+
+def test_redact_clean_text_untouched(spark):
+    r = _one(spark, "no private data here, just words and the number 42")
+    assert r["t"] == "no private data here, just words and the number 42"
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (0, 0, 0)
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    s25 = {r["id"] for r in hash_sample(df, 0.25, "id").collect()}
+    s25b = {r["id"] for r in
+            hash_sample(df.repartition(7), 0.25, "id").collect()}
+    assert s25 == s25b                      # layout-independent
+    assert 0.18 < len(s25) / 2000 < 0.32    # ~rate
+    s10 = {r["id"] for r in hash_sample(df, 0.10, "id").collect()}
+    assert s10 <= s25                       # nested samples (same hash axis)
+    assert hash_sample(df, 1.0, "id").count() == 2000
+
+
+def test_sample_threshold_hex_bounds():
+    assert sample_threshold_hex(0.0) == "00000000"
+    assert sample_threshold_hex(0.25) == "40000000"
+    assert sample_threshold_hex(1.0) == "ffffffff"
+
+
+def _skewed_docs(spark):
+    rows = [(i, "https://big.example.com/p%d" % i) for i in range(200)]
+    rows += [(1000 + i, "https://tiny.example.org/p%d" % i) for i in range(2)]
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_domain_quota_caps_and_matches_naive_window(spark):
+    df = _skewed_docs(spark)
+    out = domain_quota_sample(df, "url", "doc_id", quota=5)
+    got = out.groupBy("domain").count().collect()
+    counts = {r["domain"]: r["count"] for r in got}
+    assert counts == {"example.com": 5, "example.org": 2}
+    # salted two-phase == naive single-window top-k
+    exp = (
+        df.withColumn("_h", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("_dom", F.regexp_extract("url", "https://(?:big\\.|tiny\\.)?([a-z.]+)/", 1))
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("_dom").orderBy("_h", "doc_id")))
+        .where(F.col("rank") <= 5)
+    )
+    assert ({(r["doc_id"], r["rank"]) for r in out.collect()}
+            == {(r["doc_id"], r["rank"]) for r in exp.collect()})
