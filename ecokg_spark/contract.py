@@ -669,6 +669,107 @@ FROM documents
 """
 
 
+def q_bpe_token_count(spark, sf):
+    """Subword-ish (BPE-style pre-tokenizer) vs whitespace token counts —
+    the LLM-cost-proxy counter the training-data brief asks for; pure
+    Catalyst regexp pass, pattern shared verbatim with the oracle."""
+    from ecokg_spark.functions.text import bpe_token_count
+
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(CASE WHEN length(norm) = 0 THEN 0
+                 ELSE len(string_split(norm, ' ')) END AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(norm, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))
+            AS BIGINT) AS bpe_tokens
+FROM (SELECT doc_id, {_NORM_SQL.format(c='text')} AS norm FROM documents)
+"""
+
+
+def q_gopher_rules(spark, sf):
+    """Gopher-style quality rules (word count / mean word length / alpha
+    ratio / bullet + ellipsis line ratios / stopword floor). The corpus
+    text has no newlines, so a deterministic 3-line document is rebuilt
+    from (text, doc_id) — both engines recompute it exactly."""
+    from ecokg_spark.functions.text import gopher_quality_flags
+
+    d = t(spark, sf, "documents")
+    did = F.col("doc_id")
+    txt = F.concat(
+        F.col("text"), F.lit("\n"),
+        F.when(did % 3 == 0, F.lit("- bullet item"))
+         .otherwise(F.lit("plain tail line")),
+        F.lit("\n"),
+        F.when(did % 4 == 0, F.lit("trailing..."))
+         .otherwise(F.lit("solid end")),
+    )
+    fl = gopher_quality_flags(txt)
+    return d.select(
+        "doc_id",
+        fl["word_count"].alias("word_count"),
+        fl["mean_word_len"].alias("mean_word_len"),
+        fl["alpha_word_ratio"].alias("alpha_word_ratio"),
+        fl["bullet_line_ratio"].alias("bullet_line_ratio"),
+        fl["ellipsis_line_ratio"].alias("ellipsis_line_ratio"),
+        fl["passes_gopher"].cast("int").alias("passes_gopher"),
+    )
+
+
+SQL_GOPHER_RULES = """
+WITH x AS (
+  SELECT doc_id,
+         text || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN '- bullet item'
+              ELSE 'plain tail line' END || chr(10) ||
+         CASE WHEN doc_id % 4 = 0 THEN 'trailing...'
+              ELSE 'solid end' END AS txt
+  FROM documents
+), w AS (
+  SELECT doc_id, txt,
+         trim(regexp_replace(txt, '[ \\t\\r\\n]+', ' ', 'g')) AS norm,
+         string_split(txt, chr(10)) AS lines
+  FROM x
+), m AS (
+  SELECT doc_id,
+         len(string_split(norm, ' ')) AS wc,
+         CAST(length(norm) - (len(string_split(norm, ' ')) - 1) AS DOUBLE)
+             / greatest(len(string_split(norm, ' ')), 1) AS mwl,
+         CAST(len(list_filter(string_split(lower(norm), ' '),
+                              tk -> regexp_matches(tk, '[a-z]'))) AS DOUBLE)
+             / greatest(len(string_split(norm, ' ')), 1) AS alpha,
+         CAST(len(list_filter(lines,
+                              l -> regexp_matches(ltrim(l), '^[-*•]')))
+              AS DOUBLE) / greatest(len(lines), 1) AS bullet,
+         CAST(len(list_filter(lines,
+                              l -> regexp_matches(rtrim(l),
+                                                  '(\\.\\.\\.|…)$')))
+              AS DOUBLE) / greatest(len(lines), 1) AS ellipsis,
+         len(list_filter(string_split(lower(norm), ' '),
+             tk -> list_contains(['the','and','of','to','is'], tk))) AS sw
+  FROM w
+)
+SELECT doc_id,
+       CAST(wc AS BIGINT) AS word_count,
+       mwl AS mean_word_len,
+       alpha AS alpha_word_ratio,
+       bullet AS bullet_line_ratio,
+       ellipsis AS ellipsis_line_ratio,
+       CAST(CASE WHEN wc BETWEEN 50 AND 100000
+                  AND mwl BETWEEN 3.0 AND 10.0
+                  AND alpha > 0.8 AND bullet < 0.9 AND ellipsis < 0.3
+                  AND sw >= 2
+            THEN 1 ELSE 0 END AS INT) AS passes_gopher
+FROM m
+"""
+
+
 def q_fingerprint(spark, sf):
     """Row-level md5 fingerprint parity."""
     d = t(spark, sf, "documents")
@@ -2196,6 +2297,51 @@ FROM part ORDER BY x DESC LIMIT 20
 """
 
 
+def q_sparql_union(spark, sf):
+    """SPARQL UNION -> per-branch conjunctive joins + bag unionByName
+    (beyond-parity grammar): category bindings unioned with size-edge
+    bindings; ?x appears in both branches, ?v carries the branch value."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT ?x ?v WHERE { { ?x biolink:category ?v } UNION "
+        "{ ?x biolink:has_size ?v } }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_UNION = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x, p_brand AS v FROM part
+UNION ALL
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x,
+       'SZ:' || CAST(p_size AS VARCHAR) AS v FROM part
+"""
+
+
+def q_sparql_values(spark, sf):
+    """SPARQL VALUES inline data on a pattern-bound variable -> IN-list
+    filter (beyond-parity grammar)."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT ?x ?m WHERE { ?x biolink:has_size ?m . "
+        "VALUES ?m { SZ:1 SZ:5 SZ:10 } }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_VALUES = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x,
+       'SZ:' || CAST(p_size AS VARCHAR) AS m
+FROM part
+WHERE 'SZ:' || CAST(p_size AS VARCHAR) IN ('SZ:1', 'SZ:5', 'SZ:10')
+"""
+
+
 def q_kg_pipeline(spark, sf):
     """Full north-star pipeline on the synthetic CC corpus (rows-only:
     multi-stage UDF pipeline is not SQL-expressible)."""
@@ -2238,6 +2384,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_buckets": q_quality_buckets,
     "lang_id": q_lang_id,
     "repetition_ratio": q_repetition_ratio,
+    "bpe_token_count": q_bpe_token_count,
+    "gopher_rules": q_gopher_rules,
     "fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -2276,6 +2424,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_distinct": q_sparql_distinct,
     "sparql_optional": q_sparql_optional,
     "sparql_order_limit": q_sparql_order_limit,
+    "sparql_union": q_sparql_union,
+    "sparql_values": q_sparql_values,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_dims": q_multimodal_dims,
     "kg_pipeline": q_kg_pipeline,
@@ -2310,6 +2460,8 @@ ORACLES: dict[str, str] = {
     "quality_buckets": SQL_QUALITY_BUCKETS,
     "lang_id": SQL_LANG_ID,
     "repetition_ratio": SQL_REPETITION_RATIO,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "gopher_rules": SQL_GOPHER_RULES,
     "fingerprint": SQL_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
@@ -2348,6 +2500,8 @@ ORACLES: dict[str, str] = {
     "sparql_distinct": SQL_SPARQL_DISTINCT,
     "sparql_optional": SQL_SPARQL_OPTIONAL,
     "sparql_order_limit": SQL_SPARQL_ORDER_LIMIT,
+    "sparql_union": SQL_SPARQL_UNION,
+    "sparql_values": SQL_SPARQL_VALUES,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_dims": SQL_MULTIMODAL_DIMS,
     # rows-only (non-SQL-expressible): kg_pipeline (multi-stage Arrow-UDF

@@ -106,6 +106,76 @@ def repetition_ratio(col: Column | str) -> Column:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs, over
+# single-space-normalized text. The three classes are disjoint, so Java
+# regex (Spark) and RE2 (DuckDB) produce identical matches — the pattern is
+# shared verbatim with the SQL oracle.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword-ish token count: GPT-2-style pre-tokenization classes
+    (letter runs / digit runs / symbol runs) counted with one JVM-side
+    regex pass. A closer LLM-cost proxy than whitespace tokens ('don't'
+    counts 3, '2024-01' counts 3); 0 for empty text."""
+    n = normalize_ws(col)
+    return F.size(
+        F.regexp_extract_all(n, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    ).cast("long")
+
+
+def gopher_quality_flags(col: Column | str) -> dict[str, Column]:
+    """Gopher-style (Rae et al. 2021, public) document quality rules as a
+    dict of named column expressions — pure Catalyst, no UDF, each with an
+    exact DuckDB twin (contract row `gopher_rules`):
+
+      word_count         whitespace tokens
+      mean_word_len      avg token length; single-spaced text makes this
+                         (length(norm) - (wc-1)) / wc — no per-token pass
+      alpha_word_ratio   fraction of tokens containing a letter
+      bullet_line_ratio  fraction of lines starting with -, * or •
+      ellipsis_line_ratio fraction of lines ending with ... or …
+      passes_gopher      conjunction of the published thresholds:
+                         50 <= wc <= 100000, 3 <= mwl <= 10,
+                         alpha > 0.8, bullets < 0.9, ellipsis < 0.3,
+                         >= 2 stopword hits
+    """
+    c = _c(col)
+    n = normalize_ws(c)
+    wc = token_count(c)
+    wc1 = F.greatest(wc, F.lit(1))
+    mwl = ((F.length(n) - (wc - 1)) / wc1).cast("double")
+    toks = F.split(F.lower(n), " ")
+    alpha = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / wc1
+    ).cast("double")
+    lines = F.split(c, "\n")
+    nlines = F.greatest(F.size(lines), F.lit(1))
+    bullet = (
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*•]")))
+        / nlines
+    ).cast("double")
+    ellipsis = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$")))
+        / nlines
+    ).cast("double")
+    sw_hits = _marker_hits(c, _EN_MARKERS)
+    passes = (
+        (wc >= 50) & (wc <= 100000)
+        & (mwl >= 3.0) & (mwl <= 10.0)
+        & (alpha > 0.8) & (bullet < 0.9) & (ellipsis < 0.3)
+        & (sw_hits >= 2)
+    )
+    return {
+        "word_count": wc,
+        "mean_word_len": mwl,
+        "alpha_word_ratio": alpha,
+        "bullet_line_ratio": bullet,
+        "ellipsis_line_ratio": ellipsis,
+        "passes_gopher": passes,
+    }
+
+
 def doc_fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the lower-cased,
     whitespace-collapsed text. Exact-dedup key for web text."""

@@ -10,13 +10,24 @@ the same queries compile straight to Catalyst plans — no endpoint:
   beyond parity — DISTINCT, equality FILTERs, OPTIONAL, ORDER BY/LIMIT):
 
     SELECT [DISTINCT] (COUNT(?x) AS ?alias)* ?var*
-    WHERE { pattern (('.' pattern) | filter | optional)* }
+    WHERE { pattern (('.' pattern) | filter | optional | union | values)* }
     [GROUP BY ?var*] [ORDER BY (?var | ASC(?var) | DESC(?var))*] [LIMIT n]
 
     pattern  := term term term
     term     := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
     filter   := FILTER( ?var (=|!=) value )   value := "quoted" | token
     optional := OPTIONAL { pattern (. pattern)* }
+    union    := { pattern+ } UNION { pattern+ } (UNION { pattern+ })*
+    values   := VALUES ?var { value+ }
+
+  UNION compiles each branch to its own conjunctive join, aligns branches
+  on variable name (a variable absent from a branch binds NULL, per SPARQL
+  solution-mapping semantics) and unions them bag-style (unionByName,
+  duplicates kept); the union block then joins the required patterns on
+  shared variables like any other pattern. VALUES requires its variable to
+  be pattern-bound and compiles to an IN-list filter — equivalent to the
+  SPARQL inline-data join for DISTINCT value lists (duplicate values in
+  the block, which real SPARQL would multiply rows by, are rejected).
 
   OPTIONAL compiles to a LEFT OUTER join on the variables shared with the
   required patterns (unmatched rows bind the optional-only variables to
@@ -58,6 +69,9 @@ _AGG_RE = re.compile(r"\(\s*COUNT\s*\(\s*\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)", re.I
 _VAR_RE = re.compile(r"\?(\w+)")
 _FILTER_RE = re.compile(r'(?i)FILTER\s*\(\s*\?(\w+)\s*(!=|=)\s*("[^"]*"|[^\s)]+)\s*\)')
 _OPTIONAL_RE = re.compile(r"(?is)OPTIONAL\s*\{([^{}]*)\}")
+_VALUES_RE = re.compile(r"(?is)VALUES\s+\?(\w+)\s*\{([^{}]*)\}")
+_UNION_CHAIN_RE = re.compile(r"(?is)\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+")
+_BRACE_RE = re.compile(r"\{([^{}]*)\}")
 _ORDER_RE = re.compile(r"(?i)(?:(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+))")
 
 CATEGORY_PRED = "biolink:category"
@@ -96,6 +110,21 @@ def _parse(query: str):
                 "differs from a post-join filter); move it outside")
         optionals.append(_split_patterns(block))
     where_raw = _OPTIONAL_RE.sub(" ", where_raw)
+    values: list[tuple[str, list[str]]] = []
+    for var, block in _VALUES_RE.findall(where_raw):
+        vals = [v[1:-1] if v.startswith('"') else v for v in block.split()]
+        if not vals:
+            raise SparqlError(f"empty VALUES block for ?{var}")
+        if len(vals) != len(set(vals)):
+            raise SparqlError(
+                f"duplicate entries in VALUES ?{var} are unsupported (the "
+                "SPARQL bag-join multiplicity differs from an IN filter)")
+        values.append((var, vals))
+    where_raw = _VALUES_RE.sub(" ", where_raw)
+    unions: list[list[list[tuple[str, str, str]]]] = []
+    for chain in _UNION_CHAIN_RE.findall(where_raw):
+        unions.append([_split_patterns(b) for b in _BRACE_RE.findall(chain)])
+    where_raw = _UNION_CHAIN_RE.sub(" ", where_raw)
     filters = [(v, op, val[1:-1] if val.startswith('"') else val)
                for v, op, val in _FILTER_RE.findall(where_raw)]
     where_raw = _FILTER_RE.sub(" ", where_raw)
@@ -105,7 +134,7 @@ def _parse(query: str):
              for d, v1, v2 in _ORDER_RE.findall(order_raw)] if order_raw else []
     limit = int(limit_raw) if limit_raw else None
     return (aggs, plain, patterns, group, filters, bool(distinct_raw),
-            optionals, order, limit)
+            optionals, order, limit, unions, values)
 
 
 def _term_col(df: DataFrame, col: str, term: str, binds: dict[str, list]):
@@ -154,6 +183,26 @@ def _shared_cond(bound: dict[str, str], cols: dict[str, str]):
     return cond
 
 
+def _compile_group(nodes: DataFrame, edges: DataFrame, idx: int,
+                   patterns: list[tuple[str, str, str]]):
+    """Conjunctive-join a pattern group (an OPTIONAL block or one UNION
+    branch) -> (relation, {var: column}, next free pattern index)."""
+    grp = None
+    grp_bound: dict[str, str] = {}
+    for pattern in patterns:
+        rel, cols = _compile_pattern(nodes, edges, idx, pattern)
+        idx += 1
+        if grp is None:
+            grp, grp_bound = rel, dict(cols)
+        else:
+            cond = _shared_cond(grp_bound, cols)
+            grp = grp.join(rel, cond) if cond is not None \
+                else grp.crossJoin(rel)
+            for v, c in cols.items():
+                grp_bound.setdefault(v, c)
+    return grp, grp_bound, idx
+
+
 def sparql_select(
     spark: SparkSession,
     query: str,
@@ -162,8 +211,8 @@ def sparql_select(
 ) -> DataFrame:
     """Compile + run a (restricted) SPARQL SELECT over the KG tables."""
     (aggs, plain, patterns, group, filters, distinct, optionals, order,
-     limit) = _parse(query)
-    if not patterns:
+     limit, unions, values) = _parse(query)
+    if not patterns and not unions:
         raise SparqlError("empty WHERE clause")
 
     rels: list[DataFrame] = []
@@ -172,8 +221,42 @@ def sparql_select(
         rel, cols = _compile_pattern(nodes, edges, i, pattern)
         rels.append(rel)
         var_cols.append(cols)
+    idx = len(rels)
 
-    # join required patterns on shared variables, left to right
+    # UNION chains: each branch compiles to its own conjunctive join,
+    # branches align on variable NAME (missing vars -> NULL columns) and
+    # union bag-style; the result joins the required part like a pattern
+    for gi, branches in enumerate(unions):
+        prior_vars = set().union(*[set(vc) for vc in var_cols]) \
+            if var_cols else set()
+        branch_dfs = []
+        branch_sets: list[set[str]] = []
+        branch_vars: set[str] = set()
+        for branch in branches:
+            grp, grp_bound, idx = _compile_group(nodes, edges, idx, branch)
+            branch_dfs.append(grp.select(
+                *[F.col(c).alias(f"_u{gi}_{v}") for v, c in grp_bound.items()]
+            ))
+            branch_sets.append(set(grp_bound))
+            branch_vars.update(grp_bound)
+        # a variable shared with the outer join must be bound by EVERY
+        # branch: an unbound SPARQL variable is join-compatible with any
+        # value, but a NULL column equality would silently drop rows —
+        # reject rather than reinterpret
+        partial = sorted(v for v in (branch_vars & prior_vars)
+                         if any(v not in bs for bs in branch_sets))
+        if partial:
+            raise SparqlError(
+                f"UNION branches bind join variables {partial} only "
+                "partially (unbound-is-compatible semantics unsupported)")
+        u = branch_dfs[0]
+        for b in branch_dfs[1:]:
+            u = u.unionByName(b, allowMissingColumns=True)
+        rels.append(u)
+        var_cols.append({v: f"_u{gi}_{v}" for v in branch_vars})
+
+    # join required patterns (and union blocks) on shared variables,
+    # left to right
     out = rels[0]
     bound: dict[str, str] = dict(var_cols[0])
     for i in range(1, len(rels)):
@@ -185,21 +268,8 @@ def sparql_select(
 
     # OPTIONAL groups: inner-join the group's own patterns, then LEFT
     # OUTER join it to the required part on the shared variables
-    idx = len(rels)
     for gi, opt_patterns in enumerate(optionals):
-        grp = None
-        grp_bound: dict[str, str] = {}
-        for pattern in opt_patterns:
-            rel, cols = _compile_pattern(nodes, edges, idx, pattern)
-            idx += 1
-            if grp is None:
-                grp, grp_bound = rel, dict(cols)
-            else:
-                cond = _shared_cond(grp_bound, cols)
-                grp = grp.join(rel, cond) if cond is not None \
-                    else grp.crossJoin(rel)
-                for v, c in cols.items():
-                    grp_bound.setdefault(v, c)
+        grp, grp_bound, idx = _compile_group(nodes, edges, idx, opt_patterns)
         cond = _shared_cond(bound, grp_bound)
         if cond is None:
             raise SparqlError(
@@ -212,7 +282,8 @@ def sparql_select(
     # ORDER BY vars are checked against the PROJECTED columns below (they
     # may name an aggregate alias, which is never pattern-bound)
     missing = [v for v in plain + [a for a, _ in aggs] + group
-               + [v for v, _, _ in filters] if v not in bound]
+               + [v for v, _, _ in filters] + [v for v, _ in values]
+               if v not in bound]
     if missing:
         raise SparqlError(f"unbound variables: {missing}")
 
@@ -221,6 +292,10 @@ def sparql_select(
     for v, op, val in filters:
         c = F.col(bound[v])
         out = out.where(c == val if op == "=" else c != val)
+
+    # VALUES ?v { ... } on a pattern-bound variable == IN-list join
+    for v, vals in values:
+        out = out.where(F.col(bound[v]).isin(vals))
 
     if aggs:
         keys = group or plain

@@ -108,3 +108,32 @@ def test_repetition_ratio(spark):
     assert got[1] == 0.75
     assert abs(got[2] - (1 - 2 / 3)) < 1e-12   # case-folded 'A'=='a'
     assert got[3] == 0.0
+
+
+def test_bpe_token_count(spark):
+    from ecokg_spark.functions.text import bpe_token_count
+    df = spark.createDataFrame(
+        [("don't stop",), ("2024-01 x",), ("",), ("plain words here",)],
+        "t string")
+    got = [r[0] for r in
+           df.select(bpe_token_count("t")).collect()]
+    # don|'|t|stop ; 2024|-|01|x ; "" ; plain|words|here
+    assert got == [4, 4, 0, 3]
+
+
+def test_gopher_quality_flags(spark):
+    from ecokg_spark.functions.text import gopher_quality_flags
+    good = ("the quick brown fox jumps over the lazy dog and runs to " * 5
+            ).strip()
+    bullets = "- a\n- b\n- c"
+    df = spark.createDataFrame([(good,), (bullets,), ("x y z",)], "t string")
+    fl = gopher_quality_flags("t")
+    rows = df.select(*[c.alias(k) for k, c in fl.items()]).collect()
+    assert rows[0]["passes_gopher"] is True
+    assert rows[0]["word_count"] == 60
+    # bullet doc: every line starts with '-', fails bullet rule
+    assert rows[1]["bullet_line_ratio"] == 1.0
+    assert rows[1]["passes_gopher"] is False
+    # tiny doc: fails word-count floor
+    assert rows[2]["word_count"] == 3
+    assert rows[2]["passes_gopher"] is False

@@ -205,3 +205,102 @@ def test_order_by_unprojected_rejected(spark, kg):
             spark,
             "SELECT ?cat WHERE { ?n biolink:category ?cat } ORDER BY ?n",
             nodes, edges)
+
+
+def test_union_two_branches(spark, kg):
+    """UNION = bag union of branch solutions; both branches bind ?x ?v."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?v WHERE { { ?x biolink:category ?v } UNION "
+        "{ ?x biolink:in_taxon ?v } }",
+        nodes, edges)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == sorted([
+        ("G:1", "biolink:GenomicEntity"), ("G:2", "biolink:GenomicEntity"),
+        ("T:1", "biolink:OrganismTaxon"), ("P:1", "biolink:PhenotypicFeature"),
+        ("G:1", "T:1"), ("G:2", "T:1")])
+
+
+def test_union_null_aligns_missing_branch_vars(spark, kg):
+    """A variable bound in only one branch is NULL for the other branch's
+    rows (SPARQL solution-mapping alignment)."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?cat ?tax WHERE { { ?x biolink:category ?cat } UNION "
+        "{ ?x biolink:in_taxon ?tax } }",
+        nodes, edges)
+    rows = [tuple(r) for r in out.collect()]
+    assert ("G:1", "biolink:GenomicEntity", None) in rows
+    assert ("G:1", None, "T:1") in rows
+    assert len(rows) == 6
+
+
+def test_union_joins_required_pattern(spark, kg):
+    """A union block joins the required patterns on its shared variable."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?v WHERE { ?x biolink:in_taxon T:1 . "
+        "{ ?x biolink:category ?v } UNION { ?x biolink:has_phenotype ?v } }",
+        nodes, edges)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == sorted([
+        ("G:1", "biolink:GenomicEntity"), ("G:2", "biolink:GenomicEntity"),
+        ("G:1", "P:1")])
+
+
+def test_union_three_branches(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x WHERE { { ?x biolink:category biolink:OrganismTaxon } "
+        "UNION { ?x biolink:category biolink:PhenotypicFeature } "
+        "UNION { ?x biolink:has_phenotype P:1 } }",
+        nodes, edges)
+    assert sorted(r["x"] for r in out.collect()) == ["G:1", "P:1", "T:1"]
+
+
+def test_union_partial_join_var_rejected(spark, kg):
+    """A join-shared variable bound by only SOME branches must error, not
+    silently NULL-drop (unbound-is-compatible semantics unsupported)."""
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="partially"):
+        sparql_select(
+            spark,
+            "SELECT ?x ?v WHERE { ?x biolink:in_taxon T:1 . "
+            "{ ?x biolink:category ?v } UNION { ?y biolink:has_phenotype ?v } }",
+            nodes, edges)
+
+
+def test_values_in_filter(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?cat WHERE { ?x biolink:category ?cat . "
+        "VALUES ?cat { biolink:GenomicEntity biolink:OrganismTaxon } }",
+        nodes, edges)
+    assert sorted(r["x"] for r in out.collect()) == ["G:1", "G:2", "T:1"]
+
+
+def test_values_quoted_literals_and_errors(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        'SELECT ?x WHERE { ?x biolink:category ?cat . '
+        'VALUES ?cat { "biolink:OrganismTaxon" } }',
+        nodes, edges)
+    assert [r["x"] for r in out.collect()] == ["T:1"]
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(
+            spark,
+            "SELECT ?x WHERE { ?x biolink:category ?cat . "
+            "VALUES ?other { z } }",
+            nodes, edges)
+    with pytest.raises(SparqlError, match="duplicate"):
+        sparql_select(
+            spark,
+            "SELECT ?x WHERE { ?x biolink:category ?cat . "
+            "VALUES ?cat { a a } }",
+            nodes, edges)
