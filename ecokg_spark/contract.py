@@ -574,6 +574,73 @@ FROM (
 """
 
 
+def q_asof_join(spark, sf):
+    """As-of join (union + running-window formulation, ONE shuffle on the
+    key): every event gets the latest marker event (event_id % 10 == 0)
+    at-or-before it for the same user; DuckDB recomputes with its native
+    ASOF LEFT JOIN."""
+    from ecokg_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf, "events")
+    markers = ev.where(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", F.col("event_id").alias("marker_id"))
+    out = asof_join(ev.select("event_id", "user_id", "ts"), markers,
+                    on=["user_id"], right_cols=["marker_id"],
+                    tiebreak="marker_id")
+    return out.select(
+        "event_id", "marker_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("_asof_ts").cast("timestamp")))
+        .cast("long").alias("gap_us"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH m AS (
+  SELECT user_id, ts, event_id AS marker_id,
+         row_number() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id % 10 = 0
+), md AS (SELECT user_id, ts, marker_id FROM m WHERE rn = 1)
+SELECT e.event_id, md.marker_id,
+       CAST(date_diff('microsecond', md.ts, e.ts) AS BIGINT) AS gap_us
+FROM events e ASOF LEFT JOIN md
+  ON e.user_id = md.user_id AND e.ts >= md.ts
+"""
+
+
+def q_range_join_agg(spark, sf):
+    """Range join via time-bin bucketed equi-join (right side replicated
+    to 3 adjacent bins — bounded fanout, no theta-join cartesian): events
+    within +-600s of each marker event per user, aggregated per marker."""
+    from ecokg_spark.operators.temporal import range_join
+
+    ev = t(spark, sf, "events")
+    markers = ev.where(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", F.col("event_id").alias("marker_id"))
+    j = range_join(markers, ev.select("user_id", "ts", "value"),
+                   on=["user_id"], range_s=600.0, right_cols=["value"])
+    return j.groupBy("marker_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_range"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_val"),
+    )
+
+
+SQL_RANGE_JOIN_AGG = """
+WITH m AS (
+  SELECT user_id, ts, event_id AS marker_id
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT m.marker_id,
+       CAST(COUNT(*) AS BIGINT) AS n_in_range,
+       SUM(CAST(e.value AS DECIMAL(18,2))) AS sum_val
+FROM m JOIN events e
+  ON m.user_id = e.user_id
+ AND abs(date_diff('microsecond', e.ts, m.ts)) <= 600000000
+GROUP BY m.marker_id
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis / training-data ops (documents table)
 # --------------------------------------------------------------------------
@@ -1864,6 +1931,89 @@ FROM nation
 """
 
 
+def q_media_features(spark, sf):
+    """Codec-free byte-level feature extraction (multimodal
+    'feature-extract' stage): length / mean byte / marker-byte stats over
+    payloads synthesized from doc_id, recomputed by the oracle from the
+    identical string construction."""
+    from ecokg_spark.operators.multimodal import byte_features
+
+    d = t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("payload-"), F.col("doc_id"), F.lit("-"),
+                     F.repeat(F.lit("x"),
+                              (F.col("doc_id") % 50 + 1).cast("int"))),
+            "UTF-8").alias("payload"),
+    )
+    return byte_features(media).select(
+        "media_id", "byte_len", "mean_byte", "n_marker", "frac_marker")
+
+
+SQL_MEDIA_FEATURES = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         'payload-' || CAST(doc_id AS VARCHAR) || '-'
+             || repeat('x', CAST(doc_id % 50 + 1 AS INT)) AS s
+  FROM documents
+)
+SELECT media_id,
+       CAST(length(s) AS BIGINT) AS byte_len,
+       CAST(list_sum(list_transform(string_split(s, ''),
+                                    c -> ascii(c))) AS DOUBLE)
+           / length(s) AS mean_byte,
+       CAST(length(s) - length(replace(s, 'x', '')) AS BIGINT) AS n_marker,
+       CAST(length(s) - length(replace(s, 'x', '')) AS DOUBLE)
+           / length(s) AS frac_marker
+FROM p
+"""
+
+
+def q_media_resize_plan(spark, sf):
+    """Aspect-preserving resize planning (multimodal 'resize' stage) over
+    header-decoded dims: payloads synthesized with id-derived dimensions,
+    parsed back by the stdlib header reader, then the target box computed
+    as Catalyst arithmetic the oracle repeats from the id alone."""
+    from ecokg_spark.operators.multimodal import (
+        resize_plan, with_synth_image_payload)
+
+    n = t(spark, sf, "nation")
+    media = with_synth_image_payload(
+        n.select(F.col("n_nationkey").cast("long").alias("media_id")))
+    meta = extract_media_meta(
+        media.withColumn("kind", F.lit("image")))
+    out = resize_plan(meta, max_side=48)
+    return out.select("media_id", "width", "height", "out_w", "out_h",
+                      F.col("resized").cast("int").alias("resized"))
+
+
+SQL_MEDIA_RESIZE_PLAN = """
+WITH d AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS media_id,
+         CAST(CASE CAST(n_nationkey % 3 AS INT)
+              WHEN 0 THEN n_nationkey % 64 + 1
+              WHEN 1 THEN n_nationkey % 64 + 5
+              ELSE (n_nationkey * 3) % 64 + 1 END AS INT) AS width,
+         CAST(CASE CAST(n_nationkey % 3 AS INT)
+              WHEN 0 THEN (n_nationkey * 7) % 64 + 1
+              WHEN 1 THEN n_nationkey % 32 + 2
+              ELSE n_nationkey % 64 + 9 END AS INT) AS height
+  FROM nation
+), s AS (
+  SELECT *, least(CAST(1.0 AS DOUBLE),
+                  CAST(48.0 AS DOUBLE) / greatest(width, height)) AS sc
+  FROM d
+)
+SELECT media_id, width, height,
+       CAST(greatest(floor(width * sc), 1) AS INT) AS out_w,
+       CAST(greatest(floor(height * sc), 1) AS INT) AS out_h,
+       CAST(CASE WHEN greatest(width, height) > 48 THEN 1 ELSE 0 END
+            AS INT) AS resized
+FROM s
+"""
+
+
 def q_gaf_germplasm(spark, sf):
     """Planteome germplasm path (planteome.py:283-478): pheno parse,
     compound-trait remap, 1-9 banding, categorical value decode, numerical
@@ -2379,6 +2529,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window": q_events_window,
     "events_window_streaming": q_events_window_streaming,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "range_join_agg": q_range_join_agg,
     "sessionize_streaming": q_sessionize_streaming,
     "token_count": q_token_count,
     "quality_buckets": q_quality_buckets,
@@ -2428,6 +2580,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_values": q_sparql_values,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_dims": q_multimodal_dims,
+    "media_features": q_media_features,
+    "media_resize_plan": q_media_resize_plan,
     "kg_pipeline": q_kg_pipeline,
 }
 
@@ -2455,6 +2609,8 @@ ORACLES: dict[str, str] = {
     "events_window": SQL_EVENTS_WINDOW,
     "events_window_streaming": SQL_EVENTS_WINDOW,  # stream == batch agg
     "sessionize": SQL_SESSIONIZE,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join_agg": SQL_RANGE_JOIN_AGG,
     "sessionize_streaming": SQL_SESSIONIZE,  # drained stream == batch lag
     "token_count": SQL_TOKEN_COUNT,
     "quality_buckets": SQL_QUALITY_BUCKETS,
@@ -2504,6 +2660,8 @@ ORACLES: dict[str, str] = {
     "sparql_values": SQL_SPARQL_VALUES,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_dims": SQL_MULTIMODAL_DIMS,
+    "media_features": SQL_MEDIA_FEATURES,
+    "media_resize_plan": SQL_MEDIA_RESIZE_PLAN,
     # rows-only (non-SQL-expressible): kg_pipeline (multi-stage Arrow-UDF
     # pipeline — its component stages each have their own oracle rows:
     # extract_html, triple_extract, entity_link, connected_components,

@@ -140,6 +140,73 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10,
     )
 
 
+def byte_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    marker_byte: int = 0x78,
+    bins: int = 16,
+) -> DataFrame:
+    """Codec-free feature extraction over opaque binary payloads (the
+    'feature-extract' stage of the multimodal pipeline): byte length, mean
+    byte value, the count/fraction of a marker byte, and a normalized
+    `bins`-bin byte-value histogram usable as a crude similarity embedding.
+    One Arrow-batched pass (mapInPandas + numpy.bincount) — REAL
+    computation, no decode stub involved, works for image/audio/video
+    alike because it never interprets the container."""
+    import numpy as np
+
+    schema = (f"{id_col} long, byte_len long, mean_byte double, "
+              f"n_marker long, frac_marker double, hist array<double>")
+    width = 256 // bins
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                a = np.frombuffer(bytes(b) if b is not None else b"",
+                                  dtype=np.uint8)
+                n = len(a)
+                counts = np.bincount(a // width, minlength=bins).astype("f8")
+                rows.append({
+                    id_col: mid,
+                    "byte_len": n,
+                    "mean_byte": float(a.sum()) / n if n else 0.0,
+                    "n_marker": int((a == marker_byte).sum()),
+                    "frac_marker": float((a == marker_byte).sum()) / n
+                    if n else 0.0,
+                    "hist": (counts / n).tolist() if n
+                    else [0.0] * bins,
+                })
+            yield pd.DataFrame(rows, columns=[
+                id_col, "byte_len", "mean_byte", "n_marker", "frac_marker",
+                "hist"])
+
+    return media.select(id_col, payload_col).mapInPandas(
+        batches, schema=schema)
+
+
+def resize_plan(
+    meta: DataFrame,
+    max_side: int = 224,
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Aspect-preserving resize PLAN (the 'resize' stage): target
+    dimensions computed as pure Catalyst arithmetic from extracted
+    metadata — images already within the box keep their size. The pixel
+    resample itself would be one more mapInPandas over (media_id,
+    out_w, out_h) once a codec is present; planning never needed one."""
+    w = F.greatest(F.col(width_col), F.lit(1))
+    h = F.greatest(F.col(height_col), F.lit(1))
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h))
+    return meta.withColumns({
+        "out_w": F.greatest(F.floor(w * scale), F.lit(1)).cast("int"),
+        "out_h": F.greatest(F.floor(h * scale), F.lit(1)).cast("int"),
+        "resized": (F.greatest(w, h) > max_side),
+    })
+
+
 def synth_image_payload(media_id: int) -> bytes:
     """Deterministic minimal-but-REAL image container headers whose
     dimensions derive arithmetically from the id — the SQL oracle

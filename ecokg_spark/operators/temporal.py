@@ -1,0 +1,159 @@
+"""Temporal joins the built-in operator set lacks: as-of join and range
+join, composed from DataFrame primitives (no UDF, no cross join).
+
+The reference has no temporal operators (SURVEY.md §2.3 "theta/range/as-of
+joins — none in reference"); these are beyond-parity additions for the
+event/feature side of a training-data pipeline (latest-feature-as-of
+lookup, neighborhood aggregation around anchor events).
+
+Scale shape:
+  * `asof_join` is the classic union + running-window formulation: both
+    sides shuffle ONCE on the join key, then a single windowed pass fills
+    the most recent right-side payload forward. No per-left-row probe, no
+    range explosion — at 100 TB this is one key-partitioned sort, the same
+    cost class as sessionization.
+  * `range_join` buckets time into `range`-sized bins and equi-joins on
+    (key, bin), with the right side replicated to its 3 adjacent bins —
+    candidate fanout is bounded by 3x the right side instead of the
+    |left| x |right| theta join a naive BETWEEN predicate degenerates to.
+    Catalyst sees a plain equi-join, so AQE/skew handling apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_MICROS = 1_000_000
+
+
+def _us(c) -> "F.Column":
+    """Epoch microseconds; the cast makes TIMESTAMP_NTZ inputs (what
+    parquet timestamps load as) acceptable to unix_micros — both join
+    sides shift by the same session offset, so gaps and bins agree."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def _dedup_right(right: DataFrame, on: list[str], ts: str,
+                 tiebreak: str | None) -> DataFrame:
+    """At most one right row per (key, ts): without this, the as-of match
+    at an exactly-tied timestamp would be partition-dependent. Tiebreak
+    keeps the MAX of `tiebreak` (deterministic); None asserts uniqueness
+    is the caller's contract."""
+    if tiebreak is None:
+        return right
+    w = Window.partitionBy(*on, ts).orderBy(F.col(tiebreak).desc())
+    return (right.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    `right_ts` <= `left_ts` (direction='backward', inclusive) or the
+    smallest `right_ts` >= `left_ts` ('forward') sharing the `on` keys.
+
+    Unmatched left rows keep NULL right columns (left-outer semantics).
+    `tolerance_s` voids matches further than that many seconds away.
+    Returns all left columns + `right_cols` + `_asof_ts` (the matched
+    right timestamp, NULL when unmatched).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(on) | {right_ts}]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols clash with left columns: {sorted(clash)}")
+
+    r = _dedup_right(right, on, right_ts, tiebreak).select(
+        *on, F.col(right_ts).alias("_asof_ts"), *right_cols)
+
+    lu = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_l"),
+        F.lit(None).cast(r.schema["_asof_ts"].dataType).alias("_asof_ts"),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    ru = r.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in on],
+        *on,
+        F.col("_asof_ts").alias("_t"),
+        F.lit(0).alias("_is_l"),
+        "_asof_ts",
+        *right_cols,
+    )
+    u = lu.unionByName(ru)
+
+    # at equal timestamps the right row must precede the left row so the
+    # inclusive match is visible to last(ignorenulls); forward scans the
+    # timeline in reverse
+    order = [F.col("_t").asc(), F.col("_is_l").asc()] \
+        if direction == "backward" else \
+        [F.col("_t").desc(), F.col("_is_l").asc()]
+    w = (Window.partitionBy(*on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    fill = {c: F.last(c, ignorenulls=True).over(w)
+            for c in ["_asof_ts", *right_cols]}
+    out = u.withColumns(fill).where(F.col("_is_l") == 1)
+
+    if tolerance_s is not None:
+        tol = int(tolerance_s * _MICROS)
+        gap = F.abs(_us(F.col("_t")) - _us(F.col("_asof_ts")))
+        keep = F.col("_asof_ts").isNotNull() & (gap <= tol)
+        out = out.withColumns({
+            c: F.when(keep, F.col(c)) for c in ["_asof_ts", *right_cols]})
+    return out.drop("_t", "_is_l")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    range_s: float = 300.0,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """All (left, right) pairs sharing `on` with |left_ts - right_ts| <=
+    range_s, produced by a BUCKETED equi-join: left lands in its own
+    time bin, right replicates to bins {b-1, b, b+1}, the bin becomes
+    part of the join key, and the exact band predicate filters after.
+    Each qualifying pair appears exactly once (left sits in one bin).
+
+    Returns left columns + right_cols + `_r_ts` (the right timestamp).
+    """
+    range_us = int(range_s * _MICROS)
+    if range_us <= 0:
+        raise ValueError("range_s must be positive")
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(on) | {right_ts}]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols clash with left columns: {sorted(clash)}")
+
+    # floor, not cast: truncation would mis-bin pre-1970 timestamps
+    lbin = F.floor(_us(F.col(left_ts)) / F.lit(range_us)) \
+        .cast("long").alias("_bin")
+    l_ = left.select("*", lbin)
+    rbin = F.floor(_us(F.col(right_ts)) / F.lit(range_us)).cast("long")
+    r_ = (right.select(*on, F.col(right_ts).alias("_r_ts"), *right_cols,
+                       rbin.alias("_rbin"))
+          .withColumn("_bin", F.explode(F.array(
+              F.col("_rbin") - 1, F.col("_rbin"), F.col("_rbin") + 1)))
+          .drop("_rbin"))
+
+    j = l_.join(r_, [*on, "_bin"])
+    band = (F.abs(_us(F.col(left_ts)) - _us(F.col("_r_ts"))) <= range_us)
+    return j.where(band).drop("_bin")

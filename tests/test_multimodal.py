@@ -89,3 +89,46 @@ def test_decode_image_real_headers():
     # truncated PNG signature -> stub, not crash
     assert decode_dims(b"\x89PNG\r\n\x1a\n\x00\x00") == decode_image_stub(
         b"\x89PNG\r\n\x1a\n\x00\x00")
+
+
+def test_byte_features_matches_numpy(spark):
+    import numpy as np
+    from ecokg_spark.operators.multimodal import byte_features, synth_media
+
+    media = synth_media(spark, 20)
+    got = {r["media_id"]: r for r in byte_features(media).collect()}
+    for row in media.select("media_id", "payload").collect():
+        a = np.frombuffer(bytes(row["payload"]), dtype=np.uint8)
+        r = got[row["media_id"]]
+        assert r["byte_len"] == len(a)
+        assert abs(r["mean_byte"] - a.sum() / len(a)) < 1e-12
+        assert r["n_marker"] == int((a == 0x78).sum())
+        assert len(r["hist"]) == 16
+        assert abs(sum(r["hist"]) - 1.0) < 1e-9
+
+
+def test_byte_features_empty_payload(spark):
+    from ecokg_spark.operators.multimodal import byte_features
+
+    df = spark.createDataFrame([(1, bytearray(b""))],
+                               "media_id long, payload binary")
+    r = byte_features(df).collect()[0]
+    assert (r["byte_len"], r["mean_byte"], r["n_marker"]) == (0, 0.0, 0)
+    assert r["hist"] == [0.0] * 16
+
+
+def test_resize_plan_aspect_preserving(spark):
+    from ecokg_spark.operators.multimodal import resize_plan
+
+    meta = spark.createDataFrame(
+        [(1, 640, 480), (2, 100, 200), (3, 50, 50), (4, 0, 300)],
+        "media_id long, width int, height int")
+    got = {r["media_id"]: r for r in
+           resize_plan(meta, max_side=224).collect()}
+    assert (got[1]["out_w"], got[1]["out_h"], got[1]["resized"]) \
+        == (224, 168, True)
+    assert (got[2]["out_w"], got[2]["out_h"]) == (100, 200)  # within box
+    assert got[2]["resized"] is False
+    assert (got[3]["out_w"], got[3]["out_h"]) == (50, 50)
+    # zero width clamps to 1 before scaling, never emits 0
+    assert got[4]["out_w"] >= 1 and got[4]["out_h"] == 224

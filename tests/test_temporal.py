@@ -1,0 +1,139 @@
+"""As-of and range joins (beyond-reference temporal operators)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecokg_spark.operators.temporal import asof_join, range_join
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", ts("2024-01-01 10:00:05"), 100.0),
+         (2, "A", ts("2024-01-01 10:00:10"), 101.0),
+         (3, "B", ts("2024-01-01 10:00:07"), 50.0),
+         (4, "C", ts("2024-01-01 10:00:07"), 7.0)],
+        "trade_id long, sym string, ts timestamp, px double")
+    quotes = spark.createDataFrame(
+        [(10, "A", ts("2024-01-01 10:00:03"), 99.5),
+         (11, "A", ts("2024-01-01 10:00:10"), 100.5),   # equal-ts match
+         (12, "A", ts("2024-01-01 10:00:20"), 102.0),
+         (13, "B", ts("2024-01-01 10:00:01"), 49.0)],
+        "quote_id long, sym string, ts timestamp, bid double")
+    return trades, quotes
+
+
+def test_asof_backward_inclusive(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on=["sym"],
+                    right_cols=["quote_id", "bid"]).collect()
+    got = {r["trade_id"]: (r["quote_id"], r["bid"]) for r in out}
+    assert got[1] == (10, 99.5)
+    assert got[2] == (11, 100.5)      # ties at equal ts match inclusively
+    assert got[3] == (13, 49.0)
+    assert got[4] == (None, None)     # no C quotes -> left outer NULLs
+    assert len(out) == 4
+
+
+def test_asof_forward(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on=["sym"], direction="forward",
+                    right_cols=["quote_id"]).collect()
+    got = {r["trade_id"]: r["quote_id"] for r in out}
+    assert got[1] == 11       # next quote at/after 10:00:05
+    assert got[2] == 11       # equal ts inclusive
+    assert got[3] is None     # no B quote after 10:00:07
+
+
+def test_asof_tolerance_voids_stale_match(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, on=["sym"], tolerance_s=3.0,
+                    right_cols=["quote_id"]).collect()
+    got = {r["trade_id"]: r["quote_id"] for r in out}
+    assert got[1] == 10       # 2s gap, within tolerance
+    assert got[2] == 11       # 0s gap
+    assert got[3] is None     # 6s gap voided; row kept
+    assert len(out) == 4
+
+
+def test_asof_tiebreak_deterministic(spark):
+    left = spark.createDataFrame(
+        [(1, "A", ts("2024-01-01 00:00:10"))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(7, "A", ts("2024-01-01 00:00:05")),
+         (9, "A", ts("2024-01-01 00:00:05"))],
+        "rid long, k string, ts timestamp")
+    out = asof_join(left, right, on=["k"], right_cols=["rid"],
+                    tiebreak="rid").collect()
+    assert out[0]["rid"] == 9     # max tiebreak survives the tie
+
+
+def test_range_join_band(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = range_join(trades, quotes, on=["sym"], range_s=5.0,
+                     right_cols=["quote_id"]).collect()
+    pairs = sorted((r["trade_id"], r["quote_id"]) for r in out)
+    # trade1 A@05: quotes @03 (2s) and @10 (5s, inclusive); trade2 A@10:
+    # quote @10 only; trade3 B@07: quote @01 is 6s away -> excluded
+    assert pairs == [(1, 10), (1, 11), (2, 11)]
+
+
+def test_range_join_matches_theta_join(spark):
+    """Bucketed equi-join == naive theta join on a randomized-ish grid."""
+    left = spark.range(0, 40).select(
+        (F.col("id") % 4).cast("string").alias("k"),
+        F.col("id").alias("lid"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 37).alias("ts"))
+    right = spark.range(0, 40).select(
+        (F.col("id") % 4).cast("string").alias("k"),
+        F.col("id").alias("rid"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 53 + 11).alias("ts"))
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, on=["k"], range_s=60.0,
+                            right_cols=["rid"]).collect())
+    naive = sorted(
+        (r["lid"], r["rid"])
+        for r in left.alias("l").join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.abs(F.unix_micros(F.col("l.ts"))
+                     - F.unix_micros(F.col("r.ts"))) <= 60_000_000),
+        ).select(F.col("l.lid"), F.col("r.rid")).collect())
+    assert got == naive and len(got) > 0
+
+
+def test_column_clash_rejected(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(trades, quotes.withColumnRenamed("bid", "px"),
+                  on=["sym"], right_cols=["px"])
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_plan_single_shuffle_without_tiebreak(spark, trades_quotes):
+    """The union+window formulation shuffles ONCE on the key (the tiebreak
+    dedup adds a second, differently-keyed exchange only when requested)."""
+    trades, quotes = trades_quotes
+    p = _plan(asof_join(trades, quotes, on=["sym"], right_cols=["bid"]))
+    assert p.count("Exchange") == 1
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_range_join_plan_no_cartesian(spark, trades_quotes):
+    """The bucketed formulation must reach Catalyst as an equi-join — a
+    BETWEEN-style theta join would degenerate to nested-loop."""
+    trades, quotes = trades_quotes
+    p = _plan(range_join(trades, quotes, on=["sym"], range_s=5.0,
+                         right_cols=["bid"]))
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert ("SortMergeJoin" in p) or ("HashJoin" in p)
