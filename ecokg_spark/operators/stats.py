@@ -45,21 +45,38 @@ def node_degree(edges: DataFrame) -> DataFrame:
     return salted_count(edges, ["subject"], out_col="degree")
 
 
+def _rollup_counts(df: DataFrame, col: str) -> tuple[int, dict]:
+    """(total, {facet_value: count}) in ONE aggregation job: ROLLUP emits
+    the per-value rows and the grand total from a single scan+shuffle
+    (map-side partials cover both granularities), where separate count()
+    + groupBy() jobs would scan the table twice. grouping_id
+    distinguishes the total row from a genuine NULL facet value; NULLs
+    map to '' (summed with any literal-'' rows) so keys stay strings."""
+    rows = (
+        df.rollup(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.grouping_id().alias("_g"))
+        .collect()
+    )
+    total = next(r["n"] for r in rows if r["_g"] == 1)
+    facet: dict = {}
+    for r in rows:
+        if r["_g"] == 0:
+            k = r[col] or ""
+            facet[k] = facet.get(k, 0) + r["n"]
+    return total, facet
+
+
 def graph_summary(nodes: DataFrame, edges: DataFrame) -> dict:
     """Driver-side dict in merged-kg_stats.yaml spirit (totals + facets).
-    NULL predicates/categories map to '' so the dict keys are always
-    strings (sortable, YAML-safe)."""
+    Two rollup jobs (one per table) instead of four scans."""
+    total_edges, by_pred = _rollup_counts(edges, "predicate")
+    total_nodes, by_cat = _rollup_counts(nodes, "category")
     return {
-        "total_nodes": nodes.count(),
-        "total_edges": edges.count(),
-        "count_by_predicate": {
-            (r["predicate"] or ""): r["n"]
-            for r in count_by_predicate(edges).collect()
-        },
-        "count_by_category": {
-            (r["category"] or ""): r["n"]
-            for r in count_by_category(nodes).collect()
-        },
+        "total_nodes": total_nodes,
+        "total_edges": total_edges,
+        "count_by_predicate": by_pred,
+        "count_by_category": by_cat,
     }
 
 
