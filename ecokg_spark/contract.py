@@ -736,6 +736,38 @@ FROM documents
 """
 
 
+def q_dup_ngram_ratio(spark, sf):
+    """Gopher duplicate-3-gram fraction per document; the token array is
+    staged as a real column (no per-shingle re-tokenization)."""
+    from ecokg_spark.functions.text import dup_ngram_ratio, normalize_ws
+
+    d = t(spark, sf, "documents").withColumn(
+        "_toks", F.split(F.lower(normalize_ws("text")), " "))
+    return d.select(
+        "doc_id", dup_ngram_ratio(F.col("_toks"), 3).alias("dup3_ratio"))
+
+
+SQL_DUP_NGRAM_RATIO = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(lower({_NORM_SQL.format(c='text')}), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(list_slice(toks, i, i + 2),
+                                             ' ')) AS sh
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(toks) <= 3 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(1 AS DOUBLE)
+                 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) END
+           AS dup3_ratio
+FROM s
+"""
+
+
 def q_bpe_token_count(spark, sf):
     """Subword-ish (BPE-style pre-tokenizer) vs whitespace token counts —
     the LLM-cost-proxy counter the training-data brief asks for; pure
@@ -2536,6 +2568,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_buckets": q_quality_buckets,
     "lang_id": q_lang_id,
     "repetition_ratio": q_repetition_ratio,
+    "dup_ngram_ratio": q_dup_ngram_ratio,
     "bpe_token_count": q_bpe_token_count,
     "gopher_rules": q_gopher_rules,
     "fingerprint": q_fingerprint,
@@ -2616,6 +2649,7 @@ ORACLES: dict[str, str] = {
     "quality_buckets": SQL_QUALITY_BUCKETS,
     "lang_id": SQL_LANG_ID,
     "repetition_ratio": SQL_REPETITION_RATIO,
+    "dup_ngram_ratio": SQL_DUP_NGRAM_RATIO,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "gopher_rules": SQL_GOPHER_RULES,
     "fingerprint": SQL_FINGERPRINT,

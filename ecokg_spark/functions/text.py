@@ -208,6 +208,20 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     return shingles_from_tokens(F.split(F.lower(normalize_ws(col)), " "), k)
 
 
+def dup_ngram_ratio(toks: Column, k: int = 3) -> Column:
+    """Gopher's duplicate n-gram fraction at token granularity: the share
+    of k-gram shingles that repeat an earlier shingle (1 - distinct/total)
+    — catches paragraph-level copy loops that single-token
+    repetition_ratio misses. Takes a MATERIALIZED token-array column
+    (shingles_from_tokens' CSE warning applies); < = k tokens scores 0."""
+    sh = shingles_from_tokens(toks, k)
+    return (
+        F.when(F.size(toks) <= k, F.lit(0.0))
+        .otherwise(1.0 - F.size(F.array_distinct(sh)) / F.size(sh))
+        .cast("double")
+    )
+
+
 def with_word_shingles(df, text_col: str, out_col: str = "_sh", k: int = 3,
                        distinct: bool = False):
     """df -> df with one EXPLODED shingle row per k-gram; the token array

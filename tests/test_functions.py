@@ -137,3 +137,16 @@ def test_gopher_quality_flags(spark):
     # tiny doc: fails word-count floor
     assert rows[2]["word_count"] == 3
     assert rows[2]["passes_gopher"] is False
+
+
+def test_dup_ngram_ratio(spark):
+    from pyspark.sql import functions as F
+    from ecokg_spark.functions.text import dup_ngram_ratio, normalize_ws
+
+    df = spark.createDataFrame(
+        [("a b c a b c a b",), ("all tokens unique here now",), ("x y",)],
+        "t string").withColumn(
+        "_toks", F.split(F.lower(normalize_ws("t")), " "))
+    got = [r[0] for r in df.select(dup_ngram_ratio(F.col("_toks"))).collect()]
+    # 6 shingles, 3 distinct -> 0.5; 3 shingles all distinct -> 0; short -> 0
+    assert got == [0.5, 0.0, 0.0]
