@@ -2524,6 +2524,128 @@ WHERE 'SZ:' || CAST(p_size AS VARCHAR) IN ('SZ:1', 'SZ:5', 'SZ:10')
 """
 
 
+def _tree_edges_from_nation(spark, sf):
+    """subclass_of edges forming a binary tree over nation (i -> i//2 for
+    i>0, depth ~5 at 25 nodes) — shared input for the property-path rows."""
+    n = t(spark, sf, "nation")
+    return n.where(F.col("n_nationkey") > 0).select(
+        F.concat(F.lit("N:"), F.col("n_nationkey").cast("string"))
+        .alias("subject"),
+        F.lit("biolink:subclass_of").alias("predicate"),
+        F.concat(F.lit("N:"), F.floor(F.col("n_nationkey") / 2).cast("long")
+                 .cast("string")).alias("object"),
+    )
+
+
+def q_sparql_path_seq(spark, sf):
+    """SPARQL 1.1 sequence property path `p1/p2` -> edge-edge equi-join on
+    the hidden midpoint (beyond-parity grammar; reference's triplestore
+    would evaluate this server-side, eco_kg/query.py:7-36): grandparent
+    pairs in the subclass tree."""
+    from ecokg_spark.query import sparql_select
+
+    edges = _tree_edges_from_nation(spark, sf)
+    nodes = spark.createDataFrame([], "id string, category string")
+    return sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE { ?x biolink:subclass_of/biolink:subclass_of ?y }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_PATH_SEQ = """
+SELECT 'N:' || CAST(a.n_nationkey AS VARCHAR) AS x,
+       'N:' || CAST(b.n_nationkey // 2 AS VARCHAR) AS y
+FROM nation a JOIN nation b ON a.n_nationkey // 2 = b.n_nationkey
+WHERE a.n_nationkey > 0 AND b.n_nationkey > 0
+"""
+
+
+def q_sparql_path_plus(spark, sf):
+    """SPARQL 1.1 OneOrMorePath `p+` -> semi-naive transitive closure
+    (query.py _closure; duplicate-free node-pair semantics per spec §9.3):
+    all ancestor pairs in the subclass tree. DuckDB recomputes with a
+    recursive CTE — UNION (not UNION ALL) gives the same set semantics."""
+    from ecokg_spark.query import sparql_select
+
+    edges = _tree_edges_from_nation(spark, sf)
+    nodes = spark.createDataFrame([], "id string, category string")
+    return sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE { ?x biolink:subclass_of+ ?y }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_PATH_PLUS = """
+WITH RECURSIVE e AS (
+  SELECT 'N:' || CAST(n_nationkey AS VARCHAR) AS s,
+         'N:' || CAST(n_nationkey // 2 AS VARCHAR) AS o
+  FROM nation WHERE n_nationkey > 0),
+tc(x, y) AS (
+  SELECT s, o FROM e
+  UNION
+  SELECT tc.x, e.o FROM tc JOIN e ON tc.y = e.s)
+SELECT x, y FROM tc
+"""
+
+
+def q_pagerank(spark, sf):
+    """Host-graph PageRank (operators/graph.py): deterministic directed
+    graph synthesized from nation (i -> (3i+1)%25 and (7i+2)%25; sources
+    i%5==0 dropped so dangling-mass redistribution is exercised), 3 power
+    iterations at d=0.85. Ranks rounded to 6 dp — Spark and DuckDB sum
+    doubles in different orders; 1e-16 float noise vs a 5e-7 boundary."""
+    from ecokg_spark.operators.graph import pagerank
+
+    n = t(spark, sf, "nation").select("n_nationkey")
+    k = F.col("n_nationkey")
+    e = (n.where(k % 5 != 0).select(k.alias("src"),
+                                    ((k * 3 + 1) % 25).alias("dst"))
+         .union(n.where(k % 5 != 0).select(k.alias("src"),
+                                           ((k * 7 + 2) % 25).alias("dst"))))
+    pr = pagerank(e, iterations=3)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql(iters: int, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank as plain CTE SQL (DuckDB has no
+    aggregation inside recursive CTEs, so the oracle unrolls)."""
+    parts = [
+        "WITH e AS ("
+        "SELECT DISTINCT src, dst FROM ("
+        "SELECT n_nationkey AS src, (3*n_nationkey+1)%25 AS dst "
+        "FROM nation WHERE n_nationkey%5<>0 "
+        "UNION ALL "
+        "SELECT n_nationkey, (7*n_nationkey+2)%25 "
+        "FROM nation WHERE n_nationkey%5<>0)),",
+        "nds AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nds),",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg "
+        "FROM e GROUP BY src),",
+        "r0 AS (SELECT id, 1.0/nn.n AS rank FROM nds CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f", c{i} AS (SELECT e.dst AS id, SUM(r.rank/deg.deg) AS c "
+            f"FROM e JOIN {p} r ON r.id = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+            f", d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM {p} r "
+            f"WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.id))"
+            f", r{i} AS (SELECT nds.id, (1-{d})/nn.n + {d}*(COALESCE(c{i}.c, 0)"
+            f" + d{i}.dm/nn.n) AS rank "
+            f"FROM nds LEFT JOIN c{i} ON c{i}.id = nds.id "
+            f"CROSS JOIN d{i} CROSS JOIN nn)"
+        )
+    parts.append(f" SELECT id, ROUND(rank, 6) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+SQL_PAGERANK = _pagerank_sql(3)
+
+
 def q_kg_pipeline(spark, sf):
     """Full north-star pipeline on the synthetic CC corpus (rows-only:
     multi-stage UDF pipeline is not SQL-expressible)."""
@@ -2611,6 +2733,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_order_limit": q_sparql_order_limit,
     "sparql_union": q_sparql_union,
     "sparql_values": q_sparql_values,
+    "sparql_path_seq": q_sparql_path_seq,
+    "sparql_path_plus": q_sparql_path_plus,
+    "pagerank": q_pagerank,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_dims": q_multimodal_dims,
     "media_features": q_media_features,
@@ -2692,6 +2817,9 @@ ORACLES: dict[str, str] = {
     "sparql_order_limit": SQL_SPARQL_ORDER_LIMIT,
     "sparql_union": SQL_SPARQL_UNION,
     "sparql_values": SQL_SPARQL_VALUES,
+    "sparql_path_seq": SQL_SPARQL_PATH_SEQ,
+    "sparql_path_plus": SQL_SPARQL_PATH_PLUS,
+    "pagerank": SQL_PAGERANK,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_dims": SQL_MULTIMODAL_DIMS,
     "media_features": SQL_MEDIA_FEATURES,

@@ -1,0 +1,77 @@
+"""Web-graph analytics: PageRank over an edge list (webtext axis).
+
+The reference's merged KG lands in a triplestore with no analytics surface
+(eco_kg/query.py:7-36 just forwards SELECTs); at web scale the canonical
+graph-derived quality prior over a crawl is host-level PageRank (Page et
+al. 1999 — Common Crawl publishes exactly this as its host ranks), and the
+same kernel ranks KG entities by centrality.
+
+Spark-first iteration shape: each round is ONE shuffle (the groupBy on the
+destination key) plus a broadcast of the 1-row dangling-mass aggregate. The
+rank vector is localCheckpoint'ed (not merely persisted) each round: the
+new plan references the old ranks THREE times (contributions, dangling
+mass, node re-join), so without plan truncation the logical tree grows
+3^iterations and Catalyst analysis itself becomes the bottleneck long
+before any data moves — persist() pins data but keeps the full plan;
+localCheckpoint cuts it to a leaf (same pattern as GraphX/Pregel's
+checkpointInterval). Edge skew (a hot dst collecting a
+large fraction of in-links — the synthetic corpus's hot domain) is a
+map-side-combinable SUM, so AQE's partial aggregation absorbs it without
+salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank on the DISTINCT edge set.
+
+    Dangling mass (rank held by nodes with no out-edges) redistributes
+    uniformly each round — the standard stochastic-matrix completion — so
+    total rank stays exactly 1 and ranks are comparable across graphs.
+    Returns (id, rank). Deterministic up to float summation order; round
+    before hashing results across engines.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct().persist())
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    deg = deg.persist()
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("_c"))
+        )
+        dangling = (
+            ranks.join(deg.withColumnRenamed("src", "id"), "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        nxt = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (F.lit((1.0 - damping) / n)
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("_c"), F.lit(0.0))
+                    + F.col("_dm") / F.lit(float(n)))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        ranks = nxt
+    return ranks

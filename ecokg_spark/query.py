@@ -13,8 +13,9 @@ the same queries compile straight to Catalyst plans — no endpoint:
     WHERE { pattern (('.' pattern) | filter | optional | union | values)* }
     [GROUP BY ?var*] [ORDER BY (?var | ASC(?var) | DESC(?var))*] [LIMIT n]
 
-    pattern  := term term term
+    pattern  := term path term
     term     := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
+    path     := term | step('/'step)*   step := CURIE['+']
     filter   := FILTER( ?var (=|!=) value )   value := "quoted" | token
     optional := OPTIONAL { pattern (. pattern)* }
     union    := { pattern+ } UNION { pattern+ } (UNION { pattern+ })*
@@ -28,6 +29,18 @@ the same queries compile straight to Catalyst plans — no endpoint:
   be pattern-bound and compiles to an IN-list filter — equivalent to the
   SPARQL inline-data join for DISTINCT value lists (duplicate values in
   the block, which real SPARQL would multiply rows by, are rejected).
+
+  Property paths (SPARQL 1.1 §9): a sequence `p1/p2` compiles to an
+  edge-edge equi-join on the hidden midpoint; `p+` (OneOrMorePath) is the
+  transitive closure, evaluated SEMI-NAIVELY — each round joins only the
+  NEW pairs (the frontier) against the base edges and anti-joins the
+  accumulated closure, so work per round is proportional to newly
+  discovered paths, not the whole closure (the standard Datalog delta
+  rule; at cluster scale each round is one shuffle on the join key).
+  Per the spec arbitrary-length paths are duplicate-free (node-pair set
+  semantics), which is exactly what the closure produces; sequences keep
+  bag semantics. Steps must be concrete edge predicates — variables or
+  `biolink:category` (a node property here, not an edge) are rejected.
 
   OPTIONAL compiles to a LEFT OUTER join on the variables shared with the
   required patterns (unmatched rows bind the optional-only variables to
@@ -146,11 +159,76 @@ def _term_col(df: DataFrame, col: str, term: str, binds: dict[str, list]):
     return df.where(F.col(col) == term)
 
 
+def _edges_po(edges: DataFrame, pred: str) -> DataFrame:
+    """Edge pairs (s, o) for one concrete predicate — a path step."""
+    if pred == CATEGORY_PRED:
+        raise SparqlError(
+            "property paths over biolink:category are unsupported (it is "
+            "a node property in KGX, not an edge)")
+    if not pred or pred.startswith("?"):
+        raise SparqlError(f"path steps must be concrete predicates: {pred!r}")
+    return edges.where(F.col("predicate") == pred).select(
+        F.col("subject").alias("s"), F.col("object").alias("o"))
+
+
+def _closure(po: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """OneOrMorePath: transitive closure by semi-naive iteration.
+
+    Round k joins only the frontier (pairs first discovered in round k-1)
+    to the base edges and anti-joins the closure so far, so per-round work
+    tracks the delta, not the full closure (Datalog semi-naive rule).
+    Each delta is localCheckpoint'ed, not just persisted: delta_k's plan
+    references both delta_{k-1} (frontier) and the closure so far (anti
+    join), so without plan truncation the logical tree doubles per round
+    and Catalyst analysis dominates; the checkpoint cuts each round to a
+    leaf. At cluster scale each round is one shuffle-join on the midpoint
+    key and AQE sizes the reducers per round."""
+    base = po.distinct().localCheckpoint()
+    closure = base
+    frontier = base
+    for _ in range(max_rounds):
+        step = frontier.select(F.col("s"), F.col("o").alias("_m")).join(
+            base.select(F.col("s").alias("_m"), F.col("o")), "_m"
+        ).select("s", "o").distinct()
+        delta = step.join(closure, ["s", "o"], "left_anti").localCheckpoint()
+        if delta.isEmpty():
+            return closure
+        closure = closure.unionByName(delta).persist()
+        frontier = delta
+    raise SparqlError(f"path closure did not converge in {max_rounds} rounds")
+
+
+def _compile_path(edges: DataFrame, path: str, i: int) -> DataFrame:
+    """`p1/p2/...` with optional `+` per step -> (_s{i}, _o{i}) pairs."""
+    rel = None
+    for step in path.split("/"):
+        pred = step[:-1] if step.endswith("+") else step
+        po = _edges_po(edges, pred)
+        if step.endswith("+"):
+            po = _closure(po)
+        if rel is None:
+            rel = po
+        else:
+            rel = rel.select("s", F.col("o").alias("_m")).join(
+                po.select(F.col("s").alias("_m"), F.col("o")), "_m"
+            ).select("s", "o")
+    return rel.select(F.col("s").alias(f"_s{i}"), F.col("o").alias(f"_o{i}"))
+
+
 def _compile_pattern(nodes: DataFrame, edges: DataFrame, i: int,
                      pattern: tuple[str, str, str]):
     """One triple pattern -> (relation with _s{i}/_p{i}/_o{i} columns,
     {var: first bound column})."""
     s, p, o = pattern
+    if not p.startswith("?") and ("/" in p or p.endswith("+")):
+        rel = _compile_path(edges, p, i)
+        binds: dict[str, list] = {}
+        rel = _term_col(rel, f"_s{i}", s, binds)
+        rel = _term_col(rel, f"_o{i}", o, binds)
+        for _v, cols in binds.items():
+            for extra in cols[1:]:
+                rel = rel.where(F.col(cols[0]) == F.col(extra))
+        return rel, {v: cols[0] for v, cols in binds.items()}
     if not p.startswith("?") and p == CATEGORY_PRED:
         rel = nodes.select(F.col("id").alias(f"_s{i}"),
                            F.col("category").alias(f"_o{i}"))

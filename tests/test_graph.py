@@ -1,0 +1,52 @@
+"""PageRank (operators/graph.py): conservation, symmetry, hand-computed
+values, dangling redistribution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecokg_spark.operators.graph import pagerank
+
+
+def _ranks(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+def test_rank_mass_conserved_and_symmetric_cycle(spark):
+    # 3-cycle: perfectly symmetric -> uniform ranks at any iteration count
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    got = _ranks(pagerank(e, iterations=5))
+    assert got == pytest.approx({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+
+
+def test_hand_computed_one_iteration(spark):
+    # a->b, a->c, b->c, c dangling. r0 = 1/3 each.
+    # contrib: b gets 1/6, c gets 1/6 + 1/3; dangling mass = 1/3 (from c)
+    # r1(x) = 0.05 + 0.85*(contrib + (1/3)/3)
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string")
+    got = _ranks(pagerank(e, iterations=1))
+    base = 0.15 / 3 + 0.85 * (1 / 9)
+    assert got["a"] == pytest.approx(base)
+    assert got["b"] == pytest.approx(base + 0.85 * (1 / 6))
+    assert got["c"] == pytest.approx(base + 0.85 * (1 / 6 + 1 / 3))
+    assert sum(got.values()) == pytest.approx(1.0)
+
+
+def test_mass_conserved_with_dangling_many_iters(spark):
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 7) for i in range(7) if i % 2 == 0],
+        "src int, dst int")
+    pr = pagerank(e, iterations=10)
+    total = pr.agg(F.sum("rank")).first()[0]
+    assert total == pytest.approx(1.0)
+
+
+def test_duplicate_edges_collapse(spark):
+    # distinct edge-set semantics: a duplicated edge must not double-count
+    e1 = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a")], "src string, dst string")
+    e2 = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string")
+    assert _ranks(pagerank(e1, iterations=3)) == pytest.approx(
+        _ranks(pagerank(e2, iterations=3)))

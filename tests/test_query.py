@@ -304,3 +304,68 @@ def test_values_quoted_literals_and_errors(spark, kg):
             "SELECT ?x WHERE { ?x biolink:category ?cat . "
             "VALUES ?cat { a a } }",
             nodes, edges)
+
+
+@pytest.fixture()
+def chain_kg(spark):
+    """a -> b -> c -> d subclass chain + one unrelated edge."""
+    nodes = spark.createDataFrame([], "id string, category string")
+    edges = spark.createDataFrame(
+        [("a", "biolink:subclass_of", "b"),
+         ("b", "biolink:subclass_of", "c"),
+         ("c", "biolink:subclass_of", "d"),
+         ("a", "biolink:related_to", "d")],
+        "subject string, predicate string, object string")
+    return nodes, edges
+
+
+def test_path_sequence_two_steps(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE { ?x biolink:subclass_of/biolink:subclass_of ?y }",
+        nodes, edges)
+    assert sorted(map(tuple, out.collect())) == [("a", "c"), ("b", "d")]
+
+
+def test_path_plus_transitive_closure(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE { ?x biolink:subclass_of+ ?y }",
+        nodes, edges)
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d")]
+
+
+def test_path_plus_cycle_converges_to_all_pairs(spark):
+    """Cyclic graph: closure must terminate (set semantics) — every node
+    reaches every node including itself."""
+    nodes = spark.createDataFrame([], "id string, category string")
+    edges = spark.createDataFrame(
+        [("a", "p:x", "b"), ("b", "p:x", "c"), ("c", "p:x", "a")],
+        "subject string, predicate string, object string")
+    out = sparql_select(
+        spark, "SELECT ?x ?y WHERE { ?x p:x+ ?y }", nodes, edges)
+    assert out.count() == 9
+
+
+def test_path_joins_other_pattern_and_bound_endpoint(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x WHERE { ?x biolink:subclass_of+ d . "
+        "?x biolink:related_to ?z }",
+        nodes, edges)
+    assert [r["x"] for r in out.collect()] == ["a"]
+
+
+def test_path_rejects_variable_step_and_category(spark, chain_kg):
+    nodes, edges = chain_kg
+    with pytest.raises(SparqlError):
+        sparql_select(spark, "SELECT ?x ?y WHERE { ?x biolink:subclass_of/?p ?y }",
+                      nodes, edges)
+    with pytest.raises(SparqlError):
+        sparql_select(spark, "SELECT ?x ?y WHERE { ?x biolink:category+ ?y }",
+                      nodes, edges)
