@@ -2646,6 +2646,96 @@ def _pagerank_sql(iters: int, d: float = 0.85) -> str:
 SQL_PAGERANK = _pagerank_sql(3)
 
 
+def q_triangle_count(spark, sf):
+    """Per-node triangle counts (operators/graph.py triangle_count):
+    undirected graph from nation (i -- (2i+3)%25, i -- (5i+1)%25; 46
+    canonical edges, 8 triangles), wedge-join kernel with a<b<c ordering."""
+    from ecokg_spark.operators.graph import triangle_count
+
+    n = t(spark, sf, "nation").select("n_nationkey")
+    k = F.col("n_nationkey")
+    e = (n.select(k.alias("src"), ((k * 2 + 3) % 25).alias("dst"))
+         .union(n.select(k.alias("src"), ((k * 5 + 1) % 25).alias("dst"))))
+    return triangle_count(e).withColumnRenamed("id", "node")
+
+
+SQL_TRIANGLE_COUNT = """
+WITH raw AS (
+  SELECT n_nationkey AS x, (2*n_nationkey+3)%25 AS y FROM nation
+  UNION ALL
+  SELECT n_nationkey, (5*n_nationkey+1)%25 FROM nation),
+e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      FROM raw WHERE x <> y),
+tri AS (SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+ex AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+       UNION ALL SELECT c FROM tri),
+cnt AS (SELECT id, COUNT(*) AS triangles FROM ex GROUP BY id),
+nds AS (SELECT a AS id FROM e UNION SELECT b FROM e)
+SELECT nds.id AS node, CAST(COALESCE(cnt.triangles, 0) AS BIGINT) AS triangles
+FROM nds LEFT JOIN cnt USING (id)
+"""
+
+
+def q_tfidf_topk(spark, sf):
+    """Top-3 TF-IDF terms per document (operators/keywords.py): scores
+    rounded to 6 dp BEFORE ranking so the JVM-vs-libm ln() ulp gap cannot
+    reorder ties; (score desc, term asc) tiebreak is total."""
+    from ecokg_spark.operators.keywords import tfidf_topk
+
+    return tfidf_topk(t(spark, sf, "documents"), k=3)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL.format(c='text')}, ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM terms WHERE term <> '' GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, ROUND(tf.tf * LN(n.n / df.df), 6) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+  FROM scored)
+SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_cooccur_pmi(spark, sf):
+    """Term-pair PMI over shared-document presence (operators/keywords.py
+    cooccurrence_pmi) — the KG edge-weight prior; min_pairs=5 prunes the
+    tail before the singles join."""
+    from ecokg_spark.operators.keywords import cooccurrence_pmi
+
+    return cooccurrence_pmi(t(spark, sf, "documents"), min_pairs=5)
+
+
+SQL_COOCCUR_PMI = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL.format(c='text')}, ' ')) AS term
+  FROM documents),
+presence AS (SELECT DISTINCT doc_id, term FROM terms WHERE term <> ''),
+singles AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM presence GROUP BY term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM presence a JOIN presence b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term HAVING COUNT(*) >= 5),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+SELECT p.term_a, p.term_b, p.n_pairs,
+       ROUND(LN(p.n_pairs * n.n / (sa.c * sb.c)), 6) AS pmi
+FROM pairs p JOIN singles sa ON sa.term = p.term_a
+JOIN singles sb ON sb.term = p.term_b CROSS JOIN n
+"""
+
+
 def q_kg_pipeline(spark, sf):
     """Full north-star pipeline on the synthetic CC corpus (rows-only:
     multi-stage UDF pipeline is not SQL-expressible)."""
@@ -2736,6 +2826,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_path_seq": q_sparql_path_seq,
     "sparql_path_plus": q_sparql_path_plus,
     "pagerank": q_pagerank,
+    "triangle_count": q_triangle_count,
+    "tfidf_topk": q_tfidf_topk,
+    "cooccur_pmi": q_cooccur_pmi,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_dims": q_multimodal_dims,
     "media_features": q_media_features,
@@ -2820,6 +2913,9 @@ ORACLES: dict[str, str] = {
     "sparql_path_seq": SQL_SPARQL_PATH_SEQ,
     "sparql_path_plus": SQL_SPARQL_PATH_PLUS,
     "pagerank": SQL_PAGERANK,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "cooccur_pmi": SQL_COOCCUR_PMI,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_dims": SQL_MULTIMODAL_DIMS,
     "media_features": SQL_MEDIA_FEATURES,

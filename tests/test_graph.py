@@ -50,3 +50,25 @@ def test_duplicate_edges_collapse(spark):
         [("a", "b"), ("b", "a")], "src string, dst string")
     assert _ranks(pagerank(e1, iterations=3)) == pytest.approx(
         _ranks(pagerank(e2, iterations=3)))
+
+
+def test_triangle_count_known_graph(spark):
+    from ecokg_spark.operators.graph import triangle_count
+
+    # K4 minus one edge (a-d missing): triangles abc, bcd
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string")
+    got = {r["id"]: r["triangles"] for r in triangle_count(e).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_triangle_count_direction_and_dup_invariant(spark):
+    from ecokg_spark.operators.graph import triangle_count
+
+    # same triangle given with mixed directions and a duplicate edge
+    e = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("a", "c"), ("c", "a"), ("x", "y")],
+        "src string, dst string")
+    got = {r["id"]: r["triangles"] for r in triangle_count(e).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "x": 0, "y": 0}
