@@ -2590,6 +2590,29 @@ SELECT x, y FROM tc
 """
 
 
+def q_sparql_path_inverse(spark, sf):
+    """SPARQL 1.1 InversePath in a sequence: `p/^p` = nodes sharing a
+    parent (siblings-or-self) in the subclass tree — the inverse step is
+    a plan-time column swap (query.py _compile_path)."""
+    from ecokg_spark.query import sparql_select
+
+    edges = _tree_edges_from_nation(spark, sf)
+    nodes = spark.createDataFrame([], "id string, category string")
+    return sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE { ?x biolink:subclass_of/^biolink:subclass_of ?y }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_PATH_INVERSE = """
+SELECT 'N:' || CAST(a.n_nationkey AS VARCHAR) AS x,
+       'N:' || CAST(b.n_nationkey AS VARCHAR) AS y
+FROM nation a JOIN nation b ON a.n_nationkey // 2 = b.n_nationkey // 2
+WHERE a.n_nationkey > 0 AND b.n_nationkey > 0
+"""
+
+
 def q_pagerank(spark, sf):
     """Host-graph PageRank (operators/graph.py): deterministic directed
     graph synthesized from nation (i -> (3i+1)%25 and (7i+2)%25; sources
@@ -2825,6 +2848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_values": q_sparql_values,
     "sparql_path_seq": q_sparql_path_seq,
     "sparql_path_plus": q_sparql_path_plus,
+    "sparql_path_inverse": q_sparql_path_inverse,
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
     "tfidf_topk": q_tfidf_topk,
@@ -2912,6 +2936,7 @@ ORACLES: dict[str, str] = {
     "sparql_values": SQL_SPARQL_VALUES,
     "sparql_path_seq": SQL_SPARQL_PATH_SEQ,
     "sparql_path_plus": SQL_SPARQL_PATH_PLUS,
+    "sparql_path_inverse": SQL_SPARQL_PATH_INVERSE,
     "pagerank": SQL_PAGERANK,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "tfidf_topk": SQL_TFIDF_TOPK,

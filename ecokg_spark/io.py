@@ -86,6 +86,21 @@ class TableIO:
             w = w.option("compression", "gzip")
         w.csv(out_dir)
 
+    def export_kgx_jsonl(self, df: DataFrame, out_dir: str,
+                         compress: bool = True) -> None:
+        """KGX jsonlines export — the other interchange format the KGX
+        toolchain the reference builds on accepts (kgx transform
+        --output-format jsonl). One JSON object per row, written by the
+        JVM JSON datasource (no Python in the path); NULL-valued fields
+        are omitted per jsonlines convention, which `kgx validate`
+        expects. Multi-valued KGX slots (category, synonym) should be
+        array columns before export — json keeps them as arrays where csv
+        would flatten to pipe-joins."""
+        w = df.write.mode("overwrite")
+        if compress:
+            w = w.option("compression", "gzip")
+        w.json(out_dir)
+
 
 def read_zip_entries(spark: SparkSession, path: str,
                      pattern: str | None = None) -> DataFrame:

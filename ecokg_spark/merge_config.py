@@ -150,9 +150,16 @@ def load_and_merge(
 
     io = TableIO(spark, warehouse=out_dir)
     for _dkey, dest in (mg.get("destination", {}) or {}).items():
-        if isinstance(dest, dict) and dest.get("format") == "tsv":
-            compress = "gz" in str(dest.get("compression", ""))
+        if not isinstance(dest, dict):
+            continue
+        compress = "gz" in str(dest.get("compression", ""))
+        if dest.get("format") == "tsv":
             io.export_kgx_tsv(nodes, os.path.join(out_dir, "nodes_tsv"), compress)
             io.export_kgx_tsv(edges, os.path.join(out_dir, "edges_tsv"), compress)
+        elif dest.get("format") == "jsonl":
+            io.export_kgx_jsonl(nodes, os.path.join(out_dir, "nodes_jsonl"),
+                                compress)
+            io.export_kgx_jsonl(edges, os.path.join(out_dir, "edges_jsonl"),
+                                compress)
 
     return {"nodes": nodes, "edges": edges, "out_dir": out_dir}

@@ -15,7 +15,7 @@ the same queries compile straight to Catalyst plans — no endpoint:
 
     pattern  := term path term
     term     := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
-    path     := term | step('/'step)*   step := CURIE['+']
+    path     := term | step('/'step)*   step := ['^']CURIE['+']
     filter   := FILTER( ?var (=|!=) value )   value := "quoted" | token
     optional := OPTIONAL { pattern (. pattern)* }
     union    := { pattern+ } UNION { pattern+ } (UNION { pattern+ })*
@@ -39,8 +39,10 @@ the same queries compile straight to Catalyst plans — no endpoint:
   rule; at cluster scale each round is one shuffle on the join key).
   Per the spec arbitrary-length paths are duplicate-free (node-pair set
   semantics), which is exactly what the closure produces; sequences keep
-  bag semantics. Steps must be concrete edge predicates — variables or
-  `biolink:category` (a node property here, not an edge) are rejected.
+  bag semantics. An `^p` step (InversePath) traverses the edge backwards
+  — a column swap, free at plan time. Steps must be concrete edge
+  predicates — variables or `biolink:category` (a node property here,
+  not an edge) are rejected.
 
   OPTIONAL compiles to a LEFT OUTER join on the variables shared with the
   required patterns (unmatched rows bind the optional-only variables to
@@ -202,8 +204,13 @@ def _compile_path(edges: DataFrame, path: str, i: int) -> DataFrame:
     """`p1/p2/...` with optional `+` per step -> (_s{i}, _o{i}) pairs."""
     rel = None
     for step in path.split("/"):
+        inverse = step.startswith("^")
+        if inverse:
+            step = step[1:]
         pred = step[:-1] if step.endswith("+") else step
         po = _edges_po(edges, pred)
+        if inverse:
+            po = po.select(F.col("o").alias("s"), F.col("s").alias("o"))
         if step.endswith("+"):
             po = _closure(po)
         if rel is None:
@@ -220,7 +227,8 @@ def _compile_pattern(nodes: DataFrame, edges: DataFrame, i: int,
     """One triple pattern -> (relation with _s{i}/_p{i}/_o{i} columns,
     {var: first bound column})."""
     s, p, o = pattern
-    if not p.startswith("?") and ("/" in p or p.endswith("+")):
+    if not p.startswith("?") and ("/" in p or p.endswith("+")
+                                  or p.startswith("^")):
         rel = _compile_path(edges, p, i)
         binds: dict[str, list] = {}
         rel = _term_col(rel, f"_s{i}", s, binds)

@@ -117,3 +117,38 @@ merged_graph:
     assert gz, "tsv.gz dump missing"
     dumped = gzip.open(gz[0], "rt").read()
     assert "X:1" in dumped or len(gz) > 1
+
+
+def test_jsonl_destination(spark, tmp_path):
+    import json as _json
+
+    base = str(tmp_path)
+    _write_tsv(f"{base}/n_nodes.tsv", ["id", "name", "category"],
+               [["X:1", "alpha", "biolink:GenomicEntity"]])
+    _write_tsv(f"{base}/n_edges.tsv",
+               ["subject", "predicate", "object", "relation"],
+               [["X:1", "biolink:in_taxon", "X:1b", "RO:1"]])
+    cfg = """
+configuration:
+  output_directory: merged
+merged_graph:
+  name: T
+  source:
+    n:
+      input:
+        name: "srcN"
+        format: tsv
+        filename:
+        - n_nodes.tsv
+        - n_edges.tsv
+  destination:
+    merged-kg-jsonl:
+      format: jsonl
+"""
+    out = load_and_merge(spark, cfg, base_dir=base)
+    files = glob.glob(os.path.join(out["out_dir"], "nodes_jsonl", "part-*"))
+    assert files, "jsonl dump missing"
+    rows = [_json.loads(line) for f in files
+            for line in open(f) if line.strip()]
+    assert {r["id"] for r in rows} == {"X:1"}
+    assert rows[0]["category"] == "biolink:GenomicEntity"

@@ -369,3 +369,33 @@ def test_path_rejects_variable_step_and_category(spark, chain_kg):
     with pytest.raises(SparqlError):
         sparql_select(spark, "SELECT ?x ?y WHERE { ?x biolink:category+ ?y }",
                       nodes, edges)
+
+
+def test_path_inverse_step(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark, "SELECT ?x ?y WHERE { ?x ^biolink:subclass_of ?y }",
+        nodes, edges)
+    assert sorted(map(tuple, out.collect())) == [
+        ("b", "a"), ("c", "b"), ("d", "c")]
+
+
+def test_path_inverse_in_sequence_siblings(spark):
+    """p/^p = siblings-or-self: nodes sharing a parent."""
+    nodes = spark.createDataFrame([], "id string, category string")
+    edges = spark.createDataFrame(
+        [("a", "p:up", "r"), ("b", "p:up", "r"), ("c", "p:up", "s")],
+        "subject string, predicate string, object string")
+    out = sparql_select(
+        spark, "SELECT ?x ?y WHERE { ?x p:up/^p:up ?y }", nodes, edges)
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"), ("c", "c")]
+
+
+def test_path_inverse_plus(spark, chain_kg):
+    """^p+ = closure of the inverse relation (descendants)."""
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark, "SELECT ?y WHERE { d ^biolink:subclass_of+ ?y }",
+        nodes, edges)
+    assert sorted(r["y"] for r in out.collect()) == ["a", "b", "c"]
