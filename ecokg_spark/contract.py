@@ -2701,6 +2701,45 @@ FROM nds LEFT JOIN cnt USING (id)
 """
 
 
+def q_clustering_coeff(spark, sf):
+    """Local clustering coefficient (operators/graph.py): same synthetic
+    graph as triangle_count; cc = 2T/(d(d-1)), 0.0 below degree 2."""
+    from ecokg_spark.operators.graph import clustering_coefficient
+
+    n = t(spark, sf, "nation").select("n_nationkey")
+    k = F.col("n_nationkey")
+    e = (n.select(k.alias("src"), ((k * 2 + 3) % 25).alias("dst"))
+         .union(n.select(k.alias("src"), ((k * 5 + 1) % 25).alias("dst"))))
+    return clustering_coefficient(e).withColumnRenamed("id", "node")
+
+
+SQL_CLUSTERING_COEFF = """
+WITH raw AS (
+  SELECT n_nationkey AS x, (2*n_nationkey+3)%25 AS y FROM nation
+  UNION ALL
+  SELECT n_nationkey, (5*n_nationkey+1)%25 FROM nation),
+e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      FROM raw WHERE x <> y),
+deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+          SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY id),
+tri AS (SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+ex AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+       UNION ALL SELECT c FROM tri),
+cnt AS (SELECT id, COUNT(*) AS t FROM ex GROUP BY id),
+fin AS (
+  SELECT deg.id, deg.degree,
+         CAST(COALESCE(cnt.t, 0) AS BIGINT) AS triangles
+  FROM deg LEFT JOIN cnt USING (id))
+SELECT id AS node, degree, triangles,
+       CASE WHEN degree < 2 THEN 0.0
+            ELSE ROUND(2.0 * triangles / (degree * (degree - 1)), 6)
+       END AS coefficient
+FROM fin
+"""
+
+
 def q_tfidf_topk(spark, sf):
     """Top-3 TF-IDF terms per document (operators/keywords.py): scores
     rounded to 6 dp BEFORE ranking so the JVM-vs-libm ln() ulp gap cannot
@@ -2757,6 +2796,47 @@ SELECT p.term_a, p.term_b, p.n_pairs,
 FROM pairs p JOIN singles sa ON sa.term = p.term_a
 JOIN singles sb ON sb.term = p.term_b CROSS JOIN n
 """
+
+
+def q_curate_corpus(spark, sf):
+    """Composed curation chain (operators/curation.py): en-only ->
+    token/repetition gates -> exact dedup (min-id survivor) -> Bernoulli
+    0.5 md5-prefix sample. One corpus shuffle total (the dedup groupBy);
+    DuckDB replays the identical chain."""
+    from ecokg_spark.operators.curation import curate_corpus
+
+    return curate_corpus(
+        t(spark, sf, "documents"), langs=("en",), min_tokens=20,
+        max_repetition=0.6, sample_rate=0.5,
+    ).select("doc_id", "source", "n_tokens", "rep_ratio")
+
+
+def _sql_curate_corpus() -> str:
+    from ecokg_spark.operators.sample import sample_threshold_hex
+
+    norm = _NORM_SQL.format(c="text")
+    return f"""
+WITH cand AS (
+  SELECT doc_id, source, text,
+         CAST(CASE WHEN length({norm}) = 0 THEN 0
+              ELSE len(string_split({norm}, ' ')) END AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN length({norm}) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct({_LOWTOK_SQL}))
+                         / len({_LOWTOK_SQL}) END AS DOUBLE) AS rep_ratio
+  FROM documents WHERE lang = 'en'),
+q AS (SELECT * FROM cand
+      WHERE n_tokens >= 20 AND n_tokens <= 100000 AND rep_ratio <= 0.6),
+fp AS (SELECT doc_id, source, n_tokens, rep_ratio,
+              md5(lower({norm})) AS f FROM q),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT fp.doc_id, fp.source, fp.n_tokens, fp.rep_ratio
+FROM fp JOIN keep USING (f, doc_id)
+WHERE substr(md5(CAST(fp.doc_id AS VARCHAR)), 1, 8)
+      < '{sample_threshold_hex(0.5)}'
+"""
+
+
+SQL_CURATE_CORPUS = _sql_curate_corpus()
 
 
 def q_kg_pipeline(spark, sf):
@@ -2851,8 +2931,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_path_inverse": q_sparql_path_inverse,
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
+    "clustering_coeff": q_clustering_coeff,
     "tfidf_topk": q_tfidf_topk,
     "cooccur_pmi": q_cooccur_pmi,
+    "curate_corpus": q_curate_corpus,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_dims": q_multimodal_dims,
     "media_features": q_media_features,
@@ -2939,8 +3021,10 @@ ORACLES: dict[str, str] = {
     "sparql_path_inverse": SQL_SPARQL_PATH_INVERSE,
     "pagerank": SQL_PAGERANK,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "cooccur_pmi": SQL_COOCCUR_PMI,
+    "curate_corpus": SQL_CURATE_CORPUS,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_dims": SQL_MULTIMODAL_DIMS,
     "media_features": SQL_MEDIA_FEATURES,

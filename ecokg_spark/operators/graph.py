@@ -74,6 +74,11 @@ def pagerank(
             .localCheckpoint()
         )
         ranks = nxt
+    # the final ranks are an eager checkpoint leaf — the pinned inputs are
+    # no longer reachable from it, so release their blocks
+    if iterations > 0:
+        for df in (e, nodes, deg):
+            df.unpersist(blocking=False)
     return ranks
 
 
@@ -112,3 +117,37 @@ def triangle_count(edges: DataFrame, src: str = "src",
              .union(e.select(F.col("b").alias("id"))).distinct())
     return nodes.join(exploded, "id", "left").select(
         "id", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst",
+                           decimals: int = 6) -> DataFrame:
+    """Local clustering coefficient per node: 2T / (d * (d-1)) over the
+    undirected simple graph (Watts & Strogatz 1998), 0.0 where degree < 2.
+    Returns (id, degree, triangles, coefficient).
+
+    Reuses the triangle kernel's canonical edge set; degree is one more
+    hash aggregate over the exploded endpoints. The division is rounded so
+    cross-engine float comparison is exact (the operands are integers, so
+    this is belt-and-braces, not load-bearing).
+    """
+    e = (edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_count(e, src="a", dst="b")
+    return deg.join(tri, "id").select(
+        "id", "degree", "triangles",
+        F.when(
+            F.col("degree") < 2, F.lit(0.0)
+        ).otherwise(
+            F.round(2.0 * F.col("triangles")
+                    / (F.col("degree") * (F.col("degree") - 1)), decimals)
+        ).alias("coefficient"),
+    )

@@ -72,3 +72,25 @@ def test_triangle_count_direction_and_dup_invariant(spark):
         "src string, dst string")
     got = {r["id"]: r["triangles"] for r in triangle_count(e).collect()}
     assert got == {"a": 1, "b": 1, "c": 1, "x": 0, "y": 0}
+
+
+def test_clustering_coefficient_known_graph(spark):
+    from ecokg_spark.operators.graph import clustering_coefficient
+
+    # K4 minus edge a-d: deg a=2,b=3,c=3,d=2; tri a=1,b=2,c=2,d=1
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string")
+    got = {r["id"]: (r["degree"], r["triangles"], r["coefficient"])
+           for r in clustering_coefficient(e).collect()}
+    assert got == {"a": (2, 1, 1.0), "b": (3, 2, round(2 / 3, 6)),
+                   "c": (3, 2, round(2 / 3, 6)), "d": (2, 1, 1.0)}
+
+
+def test_clustering_coefficient_degree_one_is_zero(spark):
+    from ecokg_spark.operators.graph import clustering_coefficient
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r["id"]: r["coefficient"]
+           for r in clustering_coefficient(e).collect()}
+    assert got == {"a": 0.0, "b": 0.0}
