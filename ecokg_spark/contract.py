@@ -2590,6 +2590,35 @@ SELECT x, y FROM tc
 """
 
 
+def q_sparql_path_star(spark, sf):
+    """SPARQL 1.1 ZeroOrMorePath `p*`: transitive closure UNION the
+    zero-length path, which binds every graph term to itself (spec §9.3);
+    DuckDB recomputes as recursive CTE UNION identity-over-terms."""
+    from ecokg_spark.query import sparql_select
+
+    edges = _tree_edges_from_nation(spark, sf)
+    nodes = spark.createDataFrame([], "id string, category string")
+    return sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE { ?x biolink:subclass_of* ?y }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_PATH_STAR = """
+WITH RECURSIVE e AS (
+  SELECT 'N:' || CAST(n_nationkey AS VARCHAR) AS s,
+         'N:' || CAST(n_nationkey // 2 AS VARCHAR) AS o
+  FROM nation WHERE n_nationkey > 0),
+tc(x, y) AS (
+  SELECT s, o FROM e
+  UNION
+  SELECT tc.x, e.o FROM tc JOIN e ON tc.y = e.s),
+terms AS (SELECT s AS t FROM e UNION SELECT o FROM e)
+SELECT x, y FROM tc UNION SELECT t, t FROM terms
+"""
+
+
 def q_sparql_path_inverse(spark, sf):
     """SPARQL 1.1 InversePath in a sequence: `p/^p` = nodes sharing a
     parent (siblings-or-self) in the subclass tree — the inverse step is
@@ -2928,6 +2957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_values": q_sparql_values,
     "sparql_path_seq": q_sparql_path_seq,
     "sparql_path_plus": q_sparql_path_plus,
+    "sparql_path_star": q_sparql_path_star,
     "sparql_path_inverse": q_sparql_path_inverse,
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
@@ -3018,6 +3048,7 @@ ORACLES: dict[str, str] = {
     "sparql_values": SQL_SPARQL_VALUES,
     "sparql_path_seq": SQL_SPARQL_PATH_SEQ,
     "sparql_path_plus": SQL_SPARQL_PATH_PLUS,
+    "sparql_path_star": SQL_SPARQL_PATH_STAR,
     "sparql_path_inverse": SQL_SPARQL_PATH_INVERSE,
     "pagerank": SQL_PAGERANK,
     "triangle_count": SQL_TRIANGLE_COUNT,

@@ -15,7 +15,7 @@ the same queries compile straight to Catalyst plans — no endpoint:
 
     pattern  := term path term
     term     := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
-    path     := term | step('/'step)*   step := ['^']CURIE['+']
+    path     := term | step('/'step)*   step := ['^']CURIE['+'|'*'|'?']
     filter   := FILTER( ?var (=|!=) value )   value := "quoted" | token
     optional := OPTIONAL { pattern (. pattern)* }
     union    := { pattern+ } UNION { pattern+ } (UNION { pattern+ })*
@@ -39,10 +39,12 @@ the same queries compile straight to Catalyst plans — no endpoint:
   rule; at cluster scale each round is one shuffle on the join key).
   Per the spec arbitrary-length paths are duplicate-free (node-pair set
   semantics), which is exactly what the closure produces; sequences keep
-  bag semantics. An `^p` step (InversePath) traverses the edge backwards
-  — a column swap, free at plan time. Steps must be concrete edge
-  predicates — variables or `biolink:category` (a node property here,
-  not an edge) are rejected.
+  bag semantics. `p*` (ZeroOrMorePath) and `p?` (ZeroOrOnePath) add the
+  zero-length path, which per spec §9.3 binds every graph TERM to itself
+  — here the union of edge subjects, edge objects and node ids. An `^p`
+  step (InversePath) traverses the edge backwards — a column swap, free
+  at plan time. Steps must be concrete edge predicates — variables or
+  `biolink:category` (a node property here, not an edge) are rejected.
 
   OPTIONAL compiles to a LEFT OUTER join on the variables shared with the
   required patterns (unmatched rows bind the optional-only variables to
@@ -200,19 +202,36 @@ def _closure(po: DataFrame, max_rounds: int = 64) -> DataFrame:
     raise SparqlError(f"path closure did not converge in {max_rounds} rounds")
 
 
-def _compile_path(edges: DataFrame, path: str, i: int) -> DataFrame:
-    """`p1/p2/...` with optional `+` per step -> (_s{i}, _o{i}) pairs."""
+def _graph_terms(nodes: DataFrame | None, edges: DataFrame) -> DataFrame:
+    """All RDF terms of the graph (zero-length-path universe, spec §9.3):
+    edge subjects + edge objects + node ids."""
+    t = edges.select(F.col("subject").alias("t")).union(
+        edges.select(F.col("object").alias("t")))
+    if nodes is not None:
+        t = t.union(nodes.select(F.col("id").alias("t")))
+    return t.distinct()
+
+
+def _compile_path(nodes: DataFrame | None, edges: DataFrame, path: str,
+                  i: int) -> DataFrame:
+    """`p1/p2/...` with optional `+`/`*`/`?` per step -> (_s{i}, _o{i})."""
     rel = None
     for step in path.split("/"):
         inverse = step.startswith("^")
         if inverse:
             step = step[1:]
-        pred = step[:-1] if step.endswith("+") else step
+        mod = step[-1] if step and step[-1] in "+*?" else ""
+        pred = step[:-1] if mod else step
         po = _edges_po(edges, pred)
         if inverse:
             po = po.select(F.col("o").alias("s"), F.col("s").alias("o"))
-        if step.endswith("+"):
+        if mod == "+":
             po = _closure(po)
+        elif mod in ("*", "?"):
+            ident = _graph_terms(nodes, edges).select(
+                F.col("t").alias("s"), F.col("t").alias("o"))
+            reach = _closure(po) if mod == "*" else po
+            po = reach.unionByName(ident).distinct()
         if rel is None:
             rel = po
         else:
@@ -227,9 +246,9 @@ def _compile_pattern(nodes: DataFrame, edges: DataFrame, i: int,
     """One triple pattern -> (relation with _s{i}/_p{i}/_o{i} columns,
     {var: first bound column})."""
     s, p, o = pattern
-    if not p.startswith("?") and ("/" in p or p.endswith("+")
-                                  or p.startswith("^")):
-        rel = _compile_path(edges, p, i)
+    if not p.startswith("?") and ("/" in p or p.startswith("^")
+                                  or p[-1] in "+*?"):
+        rel = _compile_path(nodes, edges, p, i)
         binds: dict[str, list] = {}
         rel = _term_col(rel, f"_s{i}", s, binds)
         rel = _term_col(rel, f"_o{i}", o, binds)

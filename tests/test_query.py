@@ -399,3 +399,32 @@ def test_path_inverse_plus(spark, chain_kg):
         spark, "SELECT ?y WHERE { d ^biolink:subclass_of+ ?y }",
         nodes, edges)
     assert sorted(r["y"] for r in out.collect()) == ["a", "b", "c"]
+
+
+def test_path_star_includes_zero_length(spark, chain_kg):
+    """a p* ?y = {a} union everything reachable; zero-length binds the
+    bound endpoint to itself."""
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark, "SELECT ?y WHERE { a biolink:subclass_of* ?y }",
+        nodes, edges)
+    assert sorted(r["y"] for r in out.collect()) == ["a", "b", "c", "d"]
+
+
+def test_path_star_unbound_includes_all_terms(spark):
+    nodes = spark.createDataFrame([("z", "cat")], "id string, category string")
+    edges = spark.createDataFrame(
+        [("a", "p:x", "b")], "subject string, predicate string, object string")
+    out = sparql_select(
+        spark, "SELECT ?x ?y WHERE { ?x p:x* ?y }", nodes, edges)
+    # identity over ALL graph terms (incl. node-table id z) + the one edge
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", "a"), ("a", "b"), ("b", "b"), ("z", "z")]
+
+
+def test_path_question_zero_or_one(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark, "SELECT ?y WHERE { a biolink:subclass_of? ?y }",
+        nodes, edges)
+    assert sorted(r["y"] for r in out.collect()) == ["a", "b"]
