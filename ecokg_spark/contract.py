@@ -936,6 +936,31 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
 """
 
 
+def q_dup_spans(spark, sf):
+    """Inter-document duplicated-span stats (operators/dedup.py
+    dup_span_stats — the posting-list form of Lee et al. 2022 ExactSubstr
+    dedup): per document, the count and fraction of its distinct word
+    3-grams that occur in at least one other document."""
+    from ecokg_spark.operators.dedup import dup_span_stats
+
+    return dup_span_stats(t(spark, sf, "documents"), "text", "doc_id", n=3)
+
+
+SQL_DUP_SPANS = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS s FROM documents
+),
+nd AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ndocs FROM sh GROUP BY s)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_frac
+FROM sh JOIN nd USING (s) GROUP BY doc_id
+"""
+
+
 def q_line_dedup(spark, sf):
     """CCNet-style inter-document line dedup (boilerplate removal,
     operators/dedup.py line_dedup). The synthetic corpus carries no
@@ -2642,6 +2667,40 @@ WHERE a.n_nationkey > 0 AND b.n_nationkey > 0
 """
 
 
+def q_sparql_path_alt(spark, sf):
+    """SPARQL 1.1 AlternativePath `(p1|p2)` -> bag union of the branch
+    relations (query.py _compile_path): subclass tree edges UNION a second
+    `related_to` predicate (i -> (i+3)%25) in one path step."""
+    from ecokg_spark.query import sparql_select
+
+    n = t(spark, sf, "nation")
+    rel = n.select(
+        F.concat(F.lit("N:"), F.col("n_nationkey").cast("string"))
+        .alias("subject"),
+        F.lit("biolink:related_to").alias("predicate"),
+        F.concat(F.lit("N:"), ((F.col("n_nationkey") + 3) % 25)
+                 .cast("string")).alias("object"),
+    )
+    edges = _tree_edges_from_nation(spark, sf).unionByName(rel)
+    nodes = spark.createDataFrame([], "id string, category string")
+    return sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE { ?x (biolink:subclass_of|biolink:related_to) ?y }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_PATH_ALT = """
+SELECT 'N:' || CAST(n_nationkey AS VARCHAR) AS x,
+       'N:' || CAST(n_nationkey // 2 AS VARCHAR) AS y
+FROM nation WHERE n_nationkey > 0
+UNION ALL
+SELECT 'N:' || CAST(n_nationkey AS VARCHAR),
+       'N:' || CAST((n_nationkey + 3) % 25 AS VARCHAR)
+FROM nation
+"""
+
+
 def q_pagerank(spark, sf):
     """Host-graph PageRank (operators/graph.py): deterministic directed
     graph synthesized from nation (i -> (3i+1)%25 and (7i+2)%25; sources
@@ -2766,6 +2825,43 @@ SELECT id AS node, degree, triangles,
             ELSE ROUND(2.0 * triangles / (degree * (degree - 1)), 6)
        END AS coefficient
 FROM fin
+"""
+
+
+def q_shortest_path(spark, sf):
+    """Multi-round BFS hop distances (operators/graph.py bfs_distances):
+    pagerank's directed synthetic graph (i -> (3i+1)%25 and (7i+2)%25,
+    sources i%5==0 dropped), seeded at node 1. DuckDB recomputes with a
+    depth-bounded recursive CTE + MIN(dist) — the CTE's UNION set
+    semantics bound the enumeration, the MIN recovers first-discovery."""
+    from ecokg_spark.operators.graph import bfs_distances
+
+    n = t(spark, sf, "nation").select("n_nationkey")
+    k = F.col("n_nationkey")
+    e = (n.where(k % 5 != 0).select(k.alias("src"),
+                                    ((k * 3 + 1) % 25).alias("dst"))
+         .union(n.where(k % 5 != 0).select(k.alias("src"),
+                                           ((k * 7 + 2) % 25).alias("dst"))))
+    seeds = n.where(k == 1).select(k.alias("id"))  # same type as src/dst
+    return bfs_distances(e, seeds, max_depth=16).select(
+        F.col("id").cast("long").alias("node"),
+        F.col("dist").cast("int").alias("dist"))
+
+
+SQL_SHORTEST_PATH = """
+WITH RECURSIVE e AS (
+  SELECT n_nationkey AS src, (3*n_nationkey+1)%25 AS dst
+  FROM nation WHERE n_nationkey % 5 <> 0
+  UNION
+  SELECT n_nationkey, (7*n_nationkey+2)%25
+  FROM nation WHERE n_nationkey % 5 <> 0),
+bfs(id, dist) AS (
+  SELECT 1, 0
+  UNION
+  SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON bfs.id = e.src
+  WHERE bfs.dist < 16)
+SELECT CAST(id AS BIGINT) AS node, CAST(MIN(dist) AS INTEGER) AS dist
+FROM bfs GROUP BY id
 """
 
 
@@ -2918,6 +3014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
+    "dup_spans": q_dup_spans,
     "line_dedup": q_line_dedup,
     "url_parse": q_url_parse,
     "url_dedup": q_url_dedup,
@@ -2959,9 +3056,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_path_plus": q_sparql_path_plus,
     "sparql_path_star": q_sparql_path_star,
     "sparql_path_inverse": q_sparql_path_inverse,
+    "sparql_path_alt": q_sparql_path_alt,
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
     "clustering_coeff": q_clustering_coeff,
+    "shortest_path": q_shortest_path,
     "tfidf_topk": q_tfidf_topk,
     "cooccur_pmi": q_cooccur_pmi,
     "curate_corpus": q_curate_corpus,
@@ -3009,6 +3108,7 @@ ORACLES: dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "dup_spans": SQL_DUP_SPANS,
     "line_dedup": SQL_LINE_DEDUP,
     "url_parse": SQL_URL_PARSE,
     "url_dedup": SQL_URL_DEDUP,
@@ -3050,9 +3150,11 @@ ORACLES: dict[str, str] = {
     "sparql_path_plus": SQL_SPARQL_PATH_PLUS,
     "sparql_path_star": SQL_SPARQL_PATH_STAR,
     "sparql_path_inverse": SQL_SPARQL_PATH_INVERSE,
+    "sparql_path_alt": SQL_SPARQL_PATH_ALT,
     "pagerank": SQL_PAGERANK,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "shortest_path": SQL_SHORTEST_PATH,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "cooccur_pmi": SQL_COOCCUR_PMI,
     "curate_corpus": SQL_CURATE_CORPUS,

@@ -294,6 +294,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Inter-document duplicated-span signal per document: of a document's
+    DISTINCT word n-grams, how many also occur in at least one OTHER
+    document (Lee et al. 2022's ExactSubstr dedup, approximated at the
+    word-n-gram grain — the scalable posting-list form of their
+    suffix-array substring match). Returns (id, n_spans, n_dup_spans,
+    dup_frac); filter on dup_frac to drop documents that are mostly
+    copied from elsewhere in the corpus.
+
+    Shape at scale: shingles are distinct WITHIN a doc, so the per-shingle
+    group count IS the number of containing docs — one map-side-combinable
+    hash aggregate on the shingle, one join back on the same key (no
+    second shuffle of the postings: the aggregate output is co-partitioned
+    with the join input), one aggregate on doc id. The raw division is
+    left unrounded: a ratio of two small ints is the same IEEE double in
+    any engine."""
+    sh = with_word_shingles(
+        df.select(id_col, text_col), text_col, k=n, distinct=True,
+    ).select(id_col, "_sh")
+    ndocs = sh.groupBy("_sh").agg(F.count(F.lit(1)).cast("long").alias("_nd"))
+    return (
+        sh.join(ndocs, "_sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_dup_spans"),
+        )
+        .withColumn("dup_frac", F.col("n_dup_spans") / F.col("n_spans"))
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays — zip_with/aggregate, JVM-side."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)

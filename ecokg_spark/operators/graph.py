@@ -82,6 +82,56 @@ def pagerank(
     return ranks
 
 
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 32,
+) -> DataFrame:
+    """Single-source/multi-source BFS: shortest hop-distance from any seed
+    over the DIRECTED edge set. Returns (id, dist) for every reachable
+    node; unreachable nodes are absent (join against your node table with
+    a left join if you need NULL rows). `seeds` is a 1-column DataFrame of
+    start ids (its first column is used whatever it is named).
+
+    Frontier iteration, the Pregel BFS shape: round k joins ONLY the
+    frontier (nodes first reached at distance k-1) to the edges — one
+    shuffle on the join key — and anti-joins the visited set so each node
+    settles exactly once (hop distance is the first discovery, so no
+    re-relaxation is ever needed, unlike weighted SSSP). Each frontier is
+    localCheckpoint'ed: the next plan references both the previous
+    frontier and the full visited set, so without plan truncation the
+    logical tree doubles per round and Catalyst analysis dominates
+    (same rationale as pagerank above). At cluster scale every round is
+    one AQE-sized shuffle join; a hot hub node fans out through the
+    map-side-combinable distinct, not a single reducer.
+    """
+    seed_col = seeds.columns[0]
+    frontier = (seeds.select(F.col(seed_col).alias("id"))
+                .distinct()
+                .select("id", F.lit(0).alias("dist"))
+                .localCheckpoint())
+    e = (edges.select(F.col(src).alias("id"), F.col(dst).alias("_next"))
+         .distinct().persist())
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        step = (frontier.join(e, "id")
+                .select(F.col("_next").alias("id"))
+                .distinct())
+        frontier = (step.join(visited, "id", "left_anti")
+                    .select("id", F.lit(depth).alias("dist"))
+                    .localCheckpoint())
+        if frontier.isEmpty():
+            break
+        # visited is a union of checkpoint LEAVES — the plan grows linearly
+        # in rounds and each leaf's blocks are already pinned, so no extra
+        # persist is needed
+        visited = visited.unionByName(frontier)
+    e.unpersist(blocking=False)
+    return visited
+
+
 def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Per-node triangle participation count over the undirected simple

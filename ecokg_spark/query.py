@@ -15,7 +15,9 @@ the same queries compile straight to Catalyst plans — no endpoint:
 
     pattern  := term path term
     term     := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
-    path     := term | step('/'step)*   step := ['^']CURIE['+'|'*'|'?']
+    path     := term | step('/'step)*
+    step     := ['^'](CURIE | '('alt('|'alt)*')')['+'|'*'|'?']
+    alt      := ['^']CURIE
     filter   := FILTER( ?var (=|!=) value )   value := "quoted" | token
     optional := OPTIONAL { pattern (. pattern)* }
     union    := { pattern+ } UNION { pattern+ } (UNION { pattern+ })*
@@ -222,7 +224,24 @@ def _compile_path(nodes: DataFrame | None, edges: DataFrame, path: str,
             step = step[1:]
         mod = step[-1] if step and step[-1] in "+*?" else ""
         pred = step[:-1] if mod else step
-        po = _edges_po(edges, pred)
+        if pred.startswith("(") and pred.endswith(")"):
+            # AlternativePath `(a|b|c)` (spec §9.1): bag union of the
+            # branch relations — plain unionByName, no distinct, matching
+            # SPARQL's multiset-union semantics (a closure modifier on the
+            # group re-distincts anyway, per arbitrary-length-path rules)
+            po = None
+            for alt in pred[1:-1].split("|"):
+                alt = alt.strip()
+                alt_inv = alt.startswith("^")
+                branch = _edges_po(edges, alt[1:] if alt_inv else alt)
+                if alt_inv:
+                    branch = branch.select(F.col("o").alias("s"),
+                                           F.col("s").alias("o"))
+                po = branch if po is None else po.unionByName(branch)
+            if po is None:
+                raise SparqlError(f"empty path alternation: {pred!r}")
+        else:
+            po = _edges_po(edges, pred)
         if inverse:
             po = po.select(F.col("o").alias("s"), F.col("s").alias("o"))
         if mod == "+":
@@ -246,7 +265,7 @@ def _compile_pattern(nodes: DataFrame, edges: DataFrame, i: int,
     """One triple pattern -> (relation with _s{i}/_p{i}/_o{i} columns,
     {var: first bound column})."""
     s, p, o = pattern
-    if not p.startswith("?") and ("/" in p or p.startswith("^")
+    if not p.startswith("?") and ("/" in p or p.startswith(("^", "("))
                                   or p[-1] in "+*?"):
         rel = _compile_path(nodes, edges, p, i)
         binds: dict[str, list] = {}

@@ -247,3 +247,27 @@ def test_line_dedup_all_boilerplate_empty(spark):
     out = {r["doc_id"]: r for r in line_dedup(df, "text", "doc_id").collect()}
     assert out[1]["text"] == "" and out[1]["n_kept"] == 0
     assert out[2]["n_lines"] == 1
+
+
+def test_dup_span_stats_known_overlap(spark):
+    from ecokg_spark.operators.dedup import dup_span_stats
+
+    # doc 1 and 2 share the 3-gram "b c d"; doc 3 shares nothing
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e"), (3, "x y z w")],
+        "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"])
+           for r in dup_span_stats(df, n=3).collect()}
+    assert got == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
+
+
+def test_dup_span_stats_identical_docs_full_fraction(spark):
+    from ecokg_spark.operators.dedup import dup_span_stats
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps")],
+        "doc_id int, text string")
+    out = dup_span_stats(df, n=3).collect()
+    assert all(r["dup_frac"] == 1.0 for r in out)
+    # repeated shingle within one doc counts once (distinct spans)
+    assert all(r["n_spans"] == 3 for r in out)

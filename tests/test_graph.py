@@ -94,3 +94,49 @@ def test_clustering_coefficient_degree_one_is_zero(spark):
     got = {r["id"]: r["coefficient"]
            for r in clustering_coefficient(e).collect()}
     assert got == {"a": 0.0, "b": 0.0}
+
+
+def test_bfs_distances_chain_with_branch(spark):
+    from ecokg_spark.operators.graph import bfs_distances
+
+    # a -> b -> c -> d, plus shortcut a -> c: first discovery wins
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "id string")
+    got = {r["id"]: r["dist"] for r in bfs_distances(e, seeds).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_multi_source_and_unreachable(spark):
+    from ecokg_spark.operators.graph import bfs_distances
+
+    # two seeds; z unreachable (only an out-edge FROM z is absent entirely)
+    e = spark.createDataFrame(
+        [("a", "b"), ("x", "y"), ("z", "a")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("x",)], "id string")
+    got = {r["id"]: r["dist"] for r in bfs_distances(e, seeds).collect()}
+    assert got == {"a": 0, "x": 0, "b": 1, "y": 1}
+
+
+def test_bfs_cycle_terminates_each_node_once(spark):
+    from ecokg_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "id string")
+    out = bfs_distances(e, seeds)
+    assert out.count() == out.dropDuplicates(["id"]).count() == 3
+    got = {r["id"]: r["dist"] for r in out.collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_max_depth_truncates(spark):
+    from ecokg_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "id string")
+    got = {r["id"]: r["dist"]
+           for r in bfs_distances(e, seeds, max_depth=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}

@@ -428,3 +428,46 @@ def test_path_question_zero_or_one(spark, chain_kg):
         spark, "SELECT ?y WHERE { a biolink:subclass_of? ?y }",
         nodes, edges)
     assert sorted(r["y"] for r in out.collect()) == ["a", "b"]
+
+
+def test_path_alternation(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE "
+        "{ ?x (biolink:subclass_of|biolink:related_to) ?y }",
+        nodes, edges)
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", "b"), ("a", "d"), ("b", "c"), ("c", "d")]
+
+
+def test_path_alternation_with_inverse_branch_and_closure(spark, chain_kg):
+    nodes, edges = chain_kg
+    # (^subclass_of)+ from d reaches c, b, a; the alternation group takes a
+    # closure modifier like any step
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE "
+        "{ ?x (^biolink:subclass_of|^biolink:related_to)+ ?y }",
+        nodes, edges)
+    pairs = set(map(tuple, out.collect()))
+    # inverse closure of subclass chain: d->{c,b,a}, c->{b,a}, b->{a}
+    assert {("d", "c"), ("d", "b"), ("d", "a"), ("c", "b"), ("c", "a"),
+            ("b", "a")} <= pairs
+
+
+def test_path_alternation_in_sequence(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE "
+        "{ ?x biolink:subclass_of/(biolink:subclass_of|biolink:related_to) ?y }",
+        nodes, edges)
+    assert sorted(map(tuple, out.collect())) == [("a", "c"), ("b", "d")]
+
+
+def test_path_empty_alternation_rejected(spark, chain_kg):
+    nodes, edges = chain_kg
+    with pytest.raises(SparqlError):
+        sparql_select(spark, "SELECT ?x ?y WHERE { ?x () ?y }",
+                      nodes, edges)
