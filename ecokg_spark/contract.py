@@ -961,6 +961,58 @@ FROM sh JOIN nd USING (s) GROUP BY doc_id
 """
 
 
+def q_decontam(spark, sf):
+    """Benchmark decontamination (operators/dedup.py decontaminate): the
+    eval set is every 97th document of the corpus itself (deterministic),
+    so each eval text trivially contaminates its own source row plus any
+    true near-copies; pairs sharing >= 2 distinct word 3-grams."""
+    from ecokg_spark.operators.dedup import decontaminate
+
+    d = t(spark, sf, "documents")
+    ev = d.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text")
+    return decontaminate(d, ev, n=3, min_shared=2)
+
+
+SQL_DECONTAM = f"""
+WITH ev AS (SELECT doc_id AS eval_id, text FROM documents
+            WHERE doc_id % 97 = 0),
+dsh AS (SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS s
+        FROM documents),
+esh AS (SELECT eval_id, unnest(list_distinct({_SHINGLE_SQL})) AS s FROM ev)
+SELECT doc_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM dsh JOIN esh USING (s)
+GROUP BY doc_id, eval_id
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_length_quartiles(spark, sf):
+    """Per-source token-length quartiles (operators/curation.py
+    length_quartiles): exact percentiles at binary-fraction probes so the
+    interpolated doubles are bit-identical across engines."""
+    from ecokg_spark.operators.curation import length_quartiles
+
+    return length_quartiles(
+        t(spark, sf, "documents"), "text", "source"
+    ).withColumnRenamed("grp", "source")
+
+
+SQL_LENGTH_QUARTILES = f"""
+WITH tc AS (
+  SELECT source,
+         CASE WHEN length({_NORM_SQL.format(c='text')}) = 0 THEN 0
+              ELSE len(string_split({_NORM_SQL.format(c='text')}, ' '))
+         END AS n
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       quantile_cont(n, 0.25) AS p25,
+       quantile_cont(n, 0.50) AS p50,
+       quantile_cont(n, 0.75) AS p75
+FROM tc GROUP BY source
+"""
+
+
 def q_line_dedup(spark, sf):
     """CCNet-style inter-document line dedup (boilerplate removal,
     operators/dedup.py line_dedup). The synthetic corpus carries no
@@ -3015,6 +3067,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_spans": q_dup_spans,
+    "decontam": q_decontam,
+    "length_quartiles": q_length_quartiles,
     "line_dedup": q_line_dedup,
     "url_parse": q_url_parse,
     "url_dedup": q_url_dedup,
@@ -3109,6 +3163,8 @@ ORACLES: dict[str, str] = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "dup_spans": SQL_DUP_SPANS,
+    "decontam": SQL_DECONTAM,
+    "length_quartiles": SQL_LENGTH_QUARTILES,
     "line_dedup": SQL_LINE_DEDUP,
     "url_parse": SQL_URL_PARSE,
     "url_dedup": SQL_URL_DEDUP,

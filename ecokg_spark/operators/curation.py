@@ -59,3 +59,29 @@ def curate_corpus(
     if sample_rate < 1.0:
         d = hash_sample(d, sample_rate, id_col)
     return d
+
+
+def length_quartiles(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group token-length distribution: (group, n_docs, p25, p50, p75)
+    — the corpus-shape profile a curation run reports before/after
+    filtering. Exact percentiles (one shuffle on the group key; at corpus
+    scale swap F.percentile for percentile_approx and keep the same
+    schema — the contract row pins the exact variant so the oracle can
+    recompute it). The probes are binary fractions (.25/.5/.75) on
+    integer token counts, so the interpolated values are exact doubles in
+    any engine — no rounding needed for cross-engine comparison."""
+    return (
+        df.select(F.col(group_col).alias("grp"),
+                  token_count(text_col).alias("_nt"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.percentile("_nt", F.lit(0.25)).alias("p25"),
+            F.percentile("_nt", F.lit(0.50)).alias("p50"),
+            F.percentile("_nt", F.lit(0.75)).alias("p75"),
+        )
+    )

@@ -331,6 +331,39 @@ def dup_span_stats(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least `min_shared` distinct word n-grams with any held-out eval
+    document (the n-gram-overlap rule of Brown et al. 2020 appendix C,
+    word-level). Returns (doc_id, eval_id, n_shared) — anti-join your
+    corpus against the doc_id column to drop contaminated rows.
+
+    Shape at scale: the eval side is benchmark-sized (thousands of docs,
+    millions of shingles), so its shingle table broadcasts and the corpus
+    side streams through narrowly — per-batch shingle + broadcast-hash
+    join, no corpus shuffle until the tiny (doc, eval) hit aggregate."""
+    d_sh = with_word_shingles(
+        docs.select(id_col, text_col), text_col, k=n, distinct=True,
+    ).select(id_col, "_sh")
+    e_sh = with_word_shingles(
+        eval_df.select(eval_id_col, text_col), text_col, k=n, distinct=True,
+    ).select(eval_id_col, "_sh")
+    return (
+        d_sh.join(F.broadcast(e_sh), "_sh")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays — zip_with/aggregate, JVM-side."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)

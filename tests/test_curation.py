@@ -41,3 +41,20 @@ def test_missing_lang_col_skips_gate(spark):
         [(1, "one two three four five six seven eight nine ten")],
         "doc_id long, text string")
     assert curate_corpus(docs, min_tokens=5).count() == 1
+
+
+def test_length_quartiles_hand_computed(spark):
+    from ecokg_spark.operators.curation import length_quartiles
+
+    # group a: token counts 1,2,3,4 -> p25=1.75, p50=2.5, p75=3.25
+    df = spark.createDataFrame(
+        [("a", "w"), ("a", "w w"), ("a", "w w w"), ("a", "w w w w"),
+         ("b", "")],
+        "source string, text string")
+    got = {r["grp"]: r for r in length_quartiles(df).collect()}
+    assert got["a"]["n_docs"] == 4
+    assert (got["a"]["p25"], got["a"]["p50"], got["a"]["p75"]) == (
+        1.75, 2.5, 3.25)
+    # empty text counts 0 tokens
+    assert (got["b"]["p25"], got["b"]["p50"], got["b"]["p75"]) == (
+        0.0, 0.0, 0.0)

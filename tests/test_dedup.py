@@ -271,3 +271,21 @@ def test_dup_span_stats_identical_docs_full_fraction(spark):
     assert all(r["dup_frac"] == 1.0 for r in out)
     # repeated shingle within one doc counts once (distinct spans)
     assert all(r["n_spans"] == 3 for r in out)
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from ecokg_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),     # shares 2 3-grams with eval 10
+         (2, "alpha beta gamma epsilon"),   # shares 1 3-gram
+         (3, "zeta eta theta iota")],       # shares none
+        "doc_id int, text string")
+    ev = spark.createDataFrame(
+        [(10, "alpha beta gamma delta zzz")], "eval_id int, text string")
+    got = {(r["doc_id"], r["eval_id"]): r["n_shared"]
+           for r in decontaminate(docs, ev, n=3, min_shared=2).collect()}
+    assert got == {(1, 10): 2}
+    one = decontaminate(docs, ev, n=3, min_shared=1)
+    assert {(r["doc_id"], r["eval_id"]) for r in one.collect()} == {
+        (1, 10), (2, 10)}
