@@ -167,3 +167,29 @@ def test_fused_edge_path_single_exchange(spark, tmp_path):
     assert n_ex == 1, f"edge-path exchanges != 1: {n_ex}\n{plan}"
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """Decontamination must never shuffle the corpus to meet the eval
+    set: the shingle join is a BroadcastHashJoin (eval side build), so
+    the only exchange is the tiny (doc, eval) hit aggregate."""
+    from ecokg_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = (docs.where(F.col("doc_id") % 97 == 0)
+          .select(F.col("doc_id").alias("eval_id"), "text"))
+    out = decontaminate(docs, ev, n=3, min_shared=2)
+    assert has_broadcast_join(out), physical_plan(out)
+
+
+def test_dup_span_stats_two_shuffles(spark):
+    """dup_span_stats is two hash aggregates (shingle postings, then doc
+    rollup) and the postings join re-uses the first aggregate's
+    partitioning — so the plan carries at most 3 exchanges (posting agg,
+    posting-join alignment, doc rollup) and no broadcast of the
+    corpus-sized side."""
+    from ecokg_spark.operators.dedup import dup_span_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dup_span_stats(docs, n=3)
+    assert count_exchanges(out) <= 3, physical_plan(out)
