@@ -142,7 +142,11 @@ def timed_pipeline(spark, n_pages: int, reps: int = 1,
             "all_reps_sec": [round(t, 3) for t in times]}
 
 
-BENCH_REPS = int(os.environ.get("ECOKG_BENCH_REPS", "3"))
+# 5 interleaved reps: this host's co-tenant CPU loss comes in multi-minute
+# bursts that can swallow all of 3 consecutive reps (observed: a 1.1 s query
+# recording 64 s); five spreads the min over a wider window for the same
+# one-JSON-line record. ECOKG_BENCH_REPS=1 remains the quick-iteration knob.
+BENCH_REPS = int(os.environ.get("ECOKG_BENCH_REPS", "5"))
 
 
 def main_bench():
@@ -158,7 +162,15 @@ def main_bench():
     # noise swings ±30% for seconds at a time (BENCH/BASELINE.md), so a
     # single sequential pass can charge one slow window to one query —
     # BENCH_r02 recorded 28.3s that way vs 13.0s steady-state (VERDICT r2)
+    # the pipeline rep joins the SAME interleaved loop (not a contiguous
+    # block afterwards): a multi-minute contention burst then costs each
+    # measurement at most one rep instead of swallowing all pipeline reps
+    pipe_key = f"kg_pipeline_{PIPELINE_PAGES // 1000}k_pages"
+    wpath = prepare_corpus(spark, WARMUP_PAGES, n_files=8)
+    ppath = prepare_corpus(spark, PIPELINE_PAGES)
+    run_pipeline_once(spark, wpath, int(CPUS))  # warm Python workers/codegen
     all_reps: dict[str, list] = {name: [] for name in HEADLINE}
+    all_reps[pipe_key] = []
     for _ in range(BENCH_REPS):
         for name in HEADLINE:
             fn = QUERIES[name]
@@ -166,12 +178,13 @@ def main_bench():
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             all_reps[name].append(round(time.time() - t0, 3))
+        all_reps[pipe_key].append(
+            round(run_pipeline_once(spark, ppath, int(CPUS)), 3))
     timings = {name: min(reps) for name, reps in all_reps.items()}
 
-    pipe = timed_pipeline(spark, PIPELINE_PAGES, reps=BENCH_REPS)
-    pipe_key = f"kg_pipeline_{PIPELINE_PAGES // 1000}k_pages"
-    timings[pipe_key] = pipe["sec"]
-    all_reps[pipe_key] = pipe["all_reps_sec"]
+    best_pipe = timings[pipe_key]
+    pipe = {"pages": PIPELINE_PAGES, "sec": best_pipe,
+            "pages_per_sec": round(PIPELINE_PAGES / best_pipe, 1)}
 
     total = round(sum(timings.values()), 3)
     out = {
