@@ -99,60 +99,20 @@ def minhash_lsh_pairs(
     return cand.select("id_a", "id_b", est).where(F.col("jaccard_est") >= threshold)
 
 
-def minhash_verified_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.5,
-    k: int = MINHASH_K,
-    n: int = 3,
-) -> DataFrame:
-    """Near-duplicate pairs (id_a, id_b, jaccard) with EXACT shingle-set
-    Jaccard >= threshold — the deployable LSH-then-verify pattern whose
-    output relation is exactly recomputable by a SQL oracle.
-
-    Three-stage funnel, each stage cheap at its volume:
-
-    1. candidates — banding at one row per band (a pair is a candidate if
-       ANY of the k minhashes agree): a true pair at Jaccard j is missed
-       with probability (1-j)^k, < 1e-19 at j=0.5, k=64. Bucketed
-       equi-join, no all-pairs product — but deliberately low-precision
-       (any shared min-shingle surfaces a pair).
-    2. estimator prefilter — agreeing-hash fraction >= threshold - 0.25.
-       With one band per hash, band b collides for a pair iff
-       sig_a[b] == sig_b[b], so the pair's ROW COUNT in the bucket join IS
-       its agreement count: the estimate costs one thin groupBy, no
-       signature arrays ride the join. For a true pair (j >= threshold)
-       the estimate is Binomial(k, j)/k, so falling 0.25 below the mean is
-       a >= 4-sigma event (~1e-5 at k=64) — while random candidates
-       (est ~1-3/64) drop out, cutting the exact-verify volume ~1000x
-       (measured 496k -> ~0.3k pairs on the 5k-doc bench corpus).
-    3. exact verify — join the survivors to their materialized
-       distinct-shingle arrays, exact Jaccard via array_intersect
-       JVM-side; only this value is emitted and thresholded, so the
-       output relation is exactly the SQL oracle's.
-
-    Use `minhash_lsh_pairs` when an estimated Jaccard is enough."""
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, _set array<string>) — distinct word n-shingles per doc."""
     from ecokg_spark.functions.text import shingles_from_tokens
 
-    est_floor = max(threshold - 0.25, 0.0)
-    sigs = _minhash_sigs(df, text_col, id_col, k)
-    banded = sigs.select(
-        id_col, F.posexplode("_sig").alias("band_idx", "band_hash"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
-    cand = (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_agree"))
-        .where(F.col("_agree") >= F.lit(est_floor * k))
-        .select("id_a", "id_b")
-    )
-    sets = (
+    return (
         df.select(F.col(id_col), F.split(F.lower(normalize_ws(F.col(text_col))), " ").alias("_toks"))
         .select(id_col, F.array_distinct(shingles_from_tokens(F.col("_toks"), n)).alias("_set"))
     )
+
+
+def _exact_verify(cand: DataFrame, sets: DataFrame, id_col: str,
+                  threshold: float) -> DataFrame:
+    """Join candidate pairs to their shingle arrays, exact Jaccard
+    (array_intersect, JVM-side), threshold. cand: (id_a, id_b)."""
     pa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_seta"))
     pb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_setb"))
     inter = F.size(F.array_intersect("_seta", "_setb"))
@@ -162,6 +122,162 @@ def minhash_verified_pairs(
         .select("id_a", "id_b", jac.cast("double").alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    n: int = 3,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard) with EXACT shingle-set
+    Jaccard >= threshold — the deployable LSH-then-verify funnel.
+
+    Candidate generation is BANDED (bands x k/bands; default 16x4,
+    VERDICT r3): a pair is a candidate iff all `rows = k/bands` minhashes
+    of some band agree, so P(candidate) = 1-(1-j^rows)^bands — at the
+    default 16x4 that is ~1.6e-7 for unrelated web pages (j=0.01) vs
+    ~0.47 for the one-row-per-band shape this replaces, which surfaced
+    ~4% of ALL pairs (496k candidates from the 5k-doc bench corpus, a
+    candidate-volume curve that approaches O(N^2) on real web text).
+    Candidate recall at Jaccard j is 1-(1-j^rows)^bands (e.g. 0.64 at
+    j=0.5, ~1.0 at j>=0.8 for 16x4) — tune bands/rows to the dedup
+    threshold, or pass `bands=k` for the exhaustive one-row-per-band
+    configuration (miss probability (1-j)^k < 1e-19 at j>=0.5, k=64) when
+    the output must be exactly the all-pairs relation (recall proofs,
+    oracle rows; contract.q_minhash_neardup uses this).
+
+    The exhaustive path keeps its estimator prefilter: with one hash per
+    band, a pair's ROW COUNT in the bucket join IS its agreeing-hash
+    count, so candidates below `threshold - 0.25` estimated Jaccard
+    (>= 4-sigma below a true pair's Binomial(k, j)/k mean, ~1e-5 miss at
+    k=64) drop before the verify join — measured ~1000x verify-volume cut.
+    The banded path needs no prefilter: its candidates are already rare.
+
+    Final stage for both: exact Jaccard via array_intersect over the
+    materialized distinct-shingle arrays; only the exact value is emitted
+    and thresholded. Use `minhash_lsh_pairs` when an estimated Jaccard is
+    enough."""
+    cand = minhash_candidate_pairs(df, text_col, id_col, threshold, k, bands)
+    return _exact_verify(cand, _shingle_sets(df, text_col, id_col, n),
+                         id_col, threshold)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs exactly as minhash_verified_pairs
+    generates them BEFORE exact verification — also exposed standalone for
+    candidate-volume plan tests (the 100-TB scale property lives in this
+    stage's row count, not the verified output)."""
+    if k % bands != 0:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    rows = k // bands
+    sigs = _minhash_sigs(df, text_col, id_col, k)
+    if rows == 1:
+        # exhaustive: every minhash is its own band; agreement count ==
+        # per-pair row count in the bucket join (no sig arrays ride it),
+        # and the estimator prefilter culls the bulky candidate set
+        est_floor = max(threshold - 0.25, 0.0)
+        banded = sigs.select(
+            id_col, F.posexplode("_sig").alias("band_idx", "band_hash"))
+        a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+        b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+        return (
+            a.join(b, ["band_idx", "band_hash"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_agree"))
+            .where(F.col("_agree") >= F.lit(est_floor * k))
+            .select("id_a", "id_b")
+        )
+    # banded: one 64-bit hash per band over its `rows` sig values —
+    # uniform (band_idx, band_hash) shuffle key, candidates ~ true
+    # near-dup pairs only, so no prefilter is needed
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.lit(bd), *[
+                    F.element_at("_sig", bd * rows + r + 1)
+                    for r in range(rows)])
+                for bd in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_banded_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """The BANDED LSH-then-verify funnel over a PORTABLE md5 minhash spec,
+    so a SQL oracle recomputes the IDENTICAL relation — banding losses and
+    all (same idea as simhash_pairs' md5 spec: certify the production
+    plan shape itself, not just an exhaustive stand-in).
+
+    Hash spec (engine-portable): minhash value for seed i of shingle s is
+    the first 15 hex chars of md5('<i>:' || s) parsed base-16 (60 bits,
+    fits BIGINT on any engine; Spark parses with conv(), DuckDB with a
+    strpos digit polynomial). Band key = the band's `k/bands` min values
+    comma-joined in seed order — a plain string both engines format
+    identically. Candidates = pairs agreeing on any full band; verify =
+    exact shingle Jaccard >= threshold.
+
+    The plan is shaped exactly like minhash_candidate_pairs' banded path:
+    one uniform (band_idx, band_key) bucket-join shuffle, candidates ~
+    true near-dups, exact verify on the survivors. Default k=16 x 4 bands
+    keeps the oracle's md5 volume (docs x shingles x k) tractable while
+    exercising the same rows=4 banding the xxhash64 production path uses."""
+    if k % bands != 0:
+        raise ValueError(f"bands={bands} must divide k={k}")
+    rows = k // bands
+    sets = _shingle_sets(df, text_col, id_col, n)
+    sh = sets.select(id_col, F.explode("_set").alias("_s"))
+
+    def mh(seed: int):
+        h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("_s")))
+        return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+    sig = sh.groupBy(id_col).agg(
+        *[F.min(mh(i)).alias(f"_m{i}") for i in range(k)])
+    band_keys = F.array(*[
+        F.concat_ws(",", *[F.col(f"_m{b * rows + r}").cast("string")
+                           for r in range(rows)])
+        for b in range(bands)
+    ])
+    banded = sig.select(
+        id_col, F.posexplode(band_keys).alias("band_idx", "band_key"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _exact_verify(cand, sets, id_col, threshold)
 
 
 def _mask(i: int) -> int:

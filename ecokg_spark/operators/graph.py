@@ -106,6 +106,14 @@ def bfs_distances(
     (same rationale as pagerank above). At cluster scale every round is
     one AQE-sized shuffle join; a hot hub node fans out through the
     map-side-combinable distinct, not a single reducer.
+
+    Block hygiene (ADVICE r3): every frontier checkpoint is a leaf of the
+    returned `visited` plan, so its blocks stay pinned as long as the plan
+    references it. To keep a deep BFS from accumulating one pinned block
+    set per round, `visited` is itself collapsed into a single fresh
+    checkpoint every `_COMPACT_EVERY` rounds — the superseded frontier
+    leaves then have no live reference and the ContextCleaner reclaims
+    them — bounding pinned sets to O(_COMPACT_EVERY), not O(depth).
     """
     seed_col = seeds.columns[0]
     frontier = (seeds.select(F.col(seed_col).alias("id"))
@@ -115,6 +123,7 @@ def bfs_distances(
     e = (edges.select(F.col(src).alias("id"), F.col(dst).alias("_next"))
          .distinct().persist())
     visited = frontier
+    _COMPACT_EVERY = 8
     for depth in range(1, max_depth + 1):
         step = (frontier.join(e, "id")
                 .select(F.col("_next").alias("id"))
@@ -126,8 +135,13 @@ def bfs_distances(
             break
         # visited is a union of checkpoint LEAVES — the plan grows linearly
         # in rounds and each leaf's blocks are already pinned, so no extra
-        # persist is needed
+        # persist is needed between compactions
         visited = visited.unionByName(frontier)
+        if depth % _COMPACT_EVERY == 0:
+            # collapse the union of frontier leaves into ONE checkpoint so
+            # the per-round block sets lose their last reference and get
+            # reclaimed (see docstring)
+            visited = visited.localCheckpoint()
     e.unpersist(blocking=False)
     return visited
 

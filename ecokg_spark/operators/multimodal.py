@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque `binary` payloads + typed metadata.
 
 The Spark-side machinery is real and tested — schema, partition-friendly
-batch shape, Arrow UDF signatures over `mapInPandas` — while the actual
-media decode is STUBBED (image/audio libs are not in this container):
-`decode_image_stub` returns deterministic fake features derived from the
-payload bytes, and `decode_image_real` raises NotImplementedError with the
-integration point documented. Swapping in a real decoder changes ONE
-function, not the plan.
+batch shape, Arrow UDF signatures over `mapInPandas`. Header-level decode
+is REAL: `decode_image_real` parses PNG/GIF/JPEG container headers with
+pure stdlib `struct` (width/height/channels — no image library needed).
+Full PIXEL decode still needs a codec (PIL/libvips, not in this
+container), so `decode_dims` falls back to `decode_image_stub` —
+deterministic fake dimensions derived from payload bytes — for anything
+that isn't a recognized image container. Swapping in a real codec changes
+ONE function, not the plan.
 
 Batch shape: mapInPandas with a bounded `maxRecordsPerBatch` so a batch of
 (say) 10k x 1 MB images never materializes more than ~WORKER_MEM/8 at once;

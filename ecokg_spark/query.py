@@ -9,19 +9,31 @@ the same queries compile straight to Catalyst plans — no endpoint:
   tests/test_query.py:29-40, plus conjunctive patterns and one notch
   beyond parity — DISTINCT, equality FILTERs, OPTIONAL, ORDER BY/LIMIT):
 
-    SELECT [DISTINCT] (COUNT(?x) AS ?alias)* ?var*
-    WHERE { pattern (('.' pattern) | filter | optional | union | values)* }
+    SELECT [DISTINCT] (agg AS ?alias)* ?var*
+    WHERE { pattern (('.' pattern) | filter | notexists | optional
+                     | union | values)* }
     [GROUP BY ?var*] [ORDER BY (?var | ASC(?var) | DESC(?var))*] [LIMIT n]
 
+    agg      := COUNT([DISTINCT] ?x) | MIN(?x) | MAX(?x)
     pattern  := term path term
     term     := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
     path     := term | step('/'step)*
     step     := ['^'](CURIE | '('alt('|'alt)*')')['+'|'*'|'?']
     alt      := ['^']CURIE
     filter   := FILTER( ?var (=|!=) value )   value := "quoted" | token
+    notexists:= FILTER NOT EXISTS { pattern (. pattern)* }
     optional := OPTIONAL { pattern (. pattern)* }
     union    := { pattern+ } UNION { pattern+ } (UNION { pattern+ })*
     values   := VALUES ?var { value+ }
+
+  FILTER NOT EXISTS compiles to a LEFT ANTI join of the inner group
+  against the required solution on their shared variables — the spec's
+  "no compatible solution exists" test for the variable-sharing case
+  (SPARQL 1.1 §8.1.1); a NOT EXISTS group sharing no variable with the
+  required part is rejected rather than silently reinterpreted as an
+  is-the-subquery-empty test. MIN/MAX aggregate RDF terms by codepoint
+  string order (the only term type these KG tables hold); COUNT(DISTINCT)
+  is the spec's set-cardinality form.
 
   UNION compiles each branch to its own conjunctive join, aligns branches
   on variable name (a variable absent from a branch binds NULL, per SPARQL
@@ -84,7 +96,10 @@ _SELECT_RE = re.compile(
     r"\s*(?:GROUP\s+BY\s+(.*?))?"
     r"\s*(?:ORDER\s+BY\s+(.*?))?"
     r"\s*(?:LIMIT\s+(\d+))?\s*$")
-_AGG_RE = re.compile(r"\(\s*COUNT\s*\(\s*\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)", re.I)
+_AGG_RE = re.compile(
+    r"\(\s*(COUNT|MIN|MAX)\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)"
+    r"\s+AS\s+\?(\w+)\s*\)", re.I)
+_NOT_EXISTS_RE = re.compile(r"(?is)FILTER\s+NOT\s+EXISTS\s*\{([^{}]*)\}")
 _VAR_RE = re.compile(r"\?(\w+)")
 _FILTER_RE = re.compile(r'(?i)FILTER\s*\(\s*\?(\w+)\s*(!=|=)\s*("[^"]*"|[^\s)]+)\s*\)')
 _OPTIONAL_RE = re.compile(r"(?is)OPTIONAL\s*\{([^{}]*)\}")
@@ -119,8 +134,17 @@ def _parse(query: str):
         raise SparqlError(f"unsupported SPARQL shape: {query!r}")
     (distinct_raw, select_raw, where_raw, group_raw, order_raw,
      limit_raw) = m.groups()
-    aggs = [(v, alias) for v, alias in _AGG_RE.findall(select_raw)]
+    aggs = [(func.upper(), bool(dist), v, alias)
+            for func, dist, v, alias in _AGG_RE.findall(select_raw)]
+    for func, dist, _v, _a in aggs:
+        if dist and func != "COUNT":
+            raise SparqlError(
+                f"DISTINCT inside {func}() is a no-op in SPARQL; write "
+                f"{func}(?var)")
     plain = _VAR_RE.findall(_AGG_RE.sub(" ", select_raw))
+    not_exists = [_split_patterns(block)
+                  for block in _NOT_EXISTS_RE.findall(where_raw)]
+    where_raw = _NOT_EXISTS_RE.sub(" ", where_raw)
     optionals = []
     for block in _OPTIONAL_RE.findall(where_raw):
         if re.search(r"(?i)FILTER", block):
@@ -153,7 +177,7 @@ def _parse(query: str):
              for d, v1, v2 in _ORDER_RE.findall(order_raw)] if order_raw else []
     limit = int(limit_raw) if limit_raw else None
     return (aggs, plain, patterns, group, filters, bool(distinct_raw),
-            optionals, order, limit, unions, values)
+            optionals, order, limit, unions, values, not_exists)
 
 
 def _term_col(df: DataFrame, col: str, term: str, binds: dict[str, list]):
@@ -224,22 +248,42 @@ def _compile_path(nodes: DataFrame | None, edges: DataFrame, path: str,
             step = step[1:]
         mod = step[-1] if step and step[-1] in "+*?" else ""
         pred = step[:-1] if mod else step
+        if ("(" in pred or ")" in pred) and not (
+                pred.startswith("(") and pred.endswith(")")
+                and "(" not in pred[1:-1] and ")" not in pred[1:-1]):
+            # a '/' inside a group (e.g. `(a/b|c)`) is mangled by the
+            # sequence split above into unbalanced fragments — reject with
+            # a real diagnostic instead of compiling an always-empty
+            # filter on a predicate literally named "(a" (ADVICE r3)
+            raise SparqlError(
+                f"unsupported path step {step!r}: sequences inside "
+                "alternation groups are not supported")
         if pred.startswith("(") and pred.endswith(")"):
             # AlternativePath `(a|b|c)` (spec §9.1): bag union of the
             # branch relations — plain unionByName, no distinct, matching
             # SPARQL's multiset-union semantics (a closure modifier on the
             # group re-distincts anyway, per arbitrary-length-path rules)
+            alts = [a.strip() for a in pred[1:-1].split("|") if a.strip()]
+            if not alts:
+                raise SparqlError(f"empty path alternation: {pred!r}")
             po = None
-            for alt in pred[1:-1].split("|"):
-                alt = alt.strip()
+            for alt in alts:
                 alt_inv = alt.startswith("^")
-                branch = _edges_po(edges, alt[1:] if alt_inv else alt)
+                body = alt[1:] if alt_inv else alt
+                # grammar: alt := ['^']CURIE — a closure modifier
+                # (`(a+|b)`) or nested sequence/group (`(a/b|c)`) inside a
+                # branch would otherwise be treated as a literal predicate
+                # name and compile to an always-empty filter (ADVICE r3)
+                if not body or any(ch in body for ch in "/+*?()^"):
+                    raise SparqlError(
+                        f"unsupported alternation branch {alt!r} in {pred!r}:"
+                        " branches must be ['^']CURIE (no sequences,"
+                        " closures, or nested groups)")
+                branch = _edges_po(edges, body)
                 if alt_inv:
                     branch = branch.select(F.col("o").alias("s"),
                                            F.col("s").alias("o"))
                 po = branch if po is None else po.unionByName(branch)
-            if po is None:
-                raise SparqlError(f"empty path alternation: {pred!r}")
         else:
             po = _edges_po(edges, pred)
         if inverse:
@@ -335,7 +379,7 @@ def sparql_select(
 ) -> DataFrame:
     """Compile + run a (restricted) SPARQL SELECT over the KG tables."""
     (aggs, plain, patterns, group, filters, distinct, optionals, order,
-     limit, unions, values) = _parse(query)
+     limit, unions, values, not_exists) = _parse(query)
     if not patterns and not unions:
         raise SparqlError("empty WHERE clause")
 
@@ -403,9 +447,21 @@ def sparql_select(
         for v, c in grp_bound.items():
             bound.setdefault(v, c)
 
+    # FILTER NOT EXISTS groups: inner-join the group's own patterns, then
+    # LEFT ANTI join the required solution against it on shared variables
+    # — rows with a compatible inner solution are removed (spec §8.1.1)
+    for gi, ne_patterns in enumerate(not_exists):
+        grp, grp_bound, idx = _compile_group(nodes, edges, idx, ne_patterns)
+        cond = _shared_cond(bound, grp_bound)
+        if cond is None:
+            raise SparqlError(
+                f"FILTER NOT EXISTS group {gi} shares no variable with the "
+                "required patterns (emptiness test unsupported)")
+        out = out.join(grp, cond, "left_anti")
+
     # ORDER BY vars are checked against the PROJECTED columns below (they
     # may name an aggregate alias, which is never pattern-bound)
-    missing = [v for v in plain + [a for a, _ in aggs] + group
+    missing = [v for v in plain + [a for _, _, a, _ in aggs] + group
                + [v for v, _, _ in filters] + [v for v, _ in values]
                if v not in bound]
     if missing:
@@ -423,11 +479,19 @@ def sparql_select(
 
     if aggs:
         keys = group or plain
+
+        def agg_expr(func: str, dist: bool, v: str, alias: str):
+            c = bound[v]
+            if func == "COUNT":
+                e = F.countDistinct(c) if dist else F.count(c)
+                return e.cast("long").alias(alias)
+            return (F.min(c) if func == "MIN" else F.max(c)).alias(alias)
+
         out = out.groupBy(*[F.col(bound[v]).alias(v) for v in keys]).agg(
-            *[F.count(bound[v]).cast("long").alias(alias) for v, alias in aggs]
+            *[agg_expr(*a) for a in aggs]
         )
         # SELECT order: aggregates and plain vars as written
-        out = out.select(*([alias for _, alias in aggs] + list(plain)))
+        out = out.select(*([alias for *_, alias in aggs] + list(plain)))
     else:
         out = out.select(*[F.col(bound[v]).alias(v) for v in plain])
         if distinct:
