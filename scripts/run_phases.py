@@ -1,5 +1,7 @@
 """Reference-shaped CLI: the eco-kg run.py phases on the Spark engine.
 
+    python scripts/run_phases.py download --yaml download.yaml \
+        --output data/raw [--ignore-cache]
     python scripts/run_phases.py transform --source gaf --input assoc.gaf \
         --output out/planteome [--ortho] [--germplasm-cat cat.json ...]
     python scripts/run_phases.py transform --source eol-pages \
@@ -12,11 +14,12 @@
         --nodes merged/nodes --edges merged/edges --output result.tsv
 
 Phase parity with /root/reference/run.py:
+  download  (run.py:19-41)  YAML manifest -> data dir (driver-side HTTP
+                            fetch with cache skip; sources/download.py)
   transform (run.py:44-66)  per-source file -> KGX nodes/edges TSVs
   merge     (run.py:69-84)  KGX merge-config YAML -> merged graph + stats
   query     (run.py:87-111) SPARQL SELECT -> TSV bindings ('ERROR' for
                             missing vars, query.py:20-36 semantics)
-(download, run.py:19-41, is driver-side HTTP fetch — out of engine scope.)
 """
 
 from __future__ import annotations
@@ -49,6 +52,16 @@ def _csv(spark, path):
     eol_traits.py:192-210)."""
     return (spark.read.option("header", True).option("quote", '"')
             .csv(path))
+
+
+def cmd_download(args) -> None:
+    # no SparkSession: a handful of source archives fetched once on the
+    # driver (see sources/download.py docstring)
+    from ecokg_spark.sources.download import download_from_yaml
+
+    paths = download_from_yaml(args.yaml, args.output,
+                               ignore_cache=args.ignore_cache)
+    print(f"download -> {args.output} ({len(paths)} files)")
 
 
 def cmd_transform(args) -> None:
@@ -140,6 +153,14 @@ def cmd_query(args) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="phase", required=True)
+
+    d = sub.add_parser("download")
+    d.add_argument("--yaml", default="download.yaml",
+                   help="manifest: YAML list of {url, local_name?} items")
+    d.add_argument("--output", default="data/raw")
+    d.add_argument("--ignore-cache", action="store_true",
+                   help="re-download files even if they exist")
+    d.set_defaults(fn=cmd_download)
 
     t = sub.add_parser("transform")
     t.add_argument("--source", required=True,

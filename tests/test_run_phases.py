@@ -43,6 +43,48 @@ merged_graph:
 """
 
 
+def test_download_phase(tmp_path):
+    """Download phase parity (reference run.py:19-41 ->
+    eco_kg/utils/download_utils.py:13-51): YAML manifest, local_name
+    override, last-URL-segment default, cache skip, ignore_cache refetch,
+    url-less item skipped with a warning. The fetcher is injected so the
+    test never touches the network (reference precedent:
+    tests/resources/mock_download.py)."""
+    from ecokg_spark.sources.download import (download_from_manifest,
+                                              download_from_yaml)
+
+    calls: list[str] = []
+
+    def fake_fetch(url: str) -> bytes:
+        calls.append(url)
+        return f"payload-of:{url}".encode()
+
+    out = str(tmp_path / "raw")
+    (tmp_path / "download.yaml").write_text(
+        "- url: http://x.test/a/assoc.gaf.gz\n"
+        "- url: http://x.test/b/traits.csv\n"
+        "  local_name: renamed.csv\n"
+        "- note: no url here\n")
+    paths = download_from_yaml(str(tmp_path / "download.yaml"), out,
+                               fetcher=fake_fetch)
+    # url-less item skipped; default name = last URL segment; local_name wins
+    assert [os.path.basename(p) for p in paths] == ["assoc.gaf.gz",
+                                                    "renamed.csv"]
+    assert open(os.path.join(out, "renamed.csv"), "rb").read() == \
+        b"payload-of:http://x.test/b/traits.csv"
+    assert len(calls) == 2
+
+    # cache skip: second run fetches nothing but still reports both paths
+    paths2 = download_from_yaml(str(tmp_path / "download.yaml"), out,
+                                fetcher=fake_fetch)
+    assert paths2 == paths and len(calls) == 2
+
+    # ignore_cache: cached file deleted and re-fetched
+    download_from_manifest([{"url": "http://x.test/a/assoc.gaf.gz"}], out,
+                           ignore_cache=True, fetcher=fake_fetch)
+    assert len(calls) == 3
+
+
 def test_phases_end_to_end(spark, tmp_path):
     base = str(tmp_path)
     (tmp_path / "assoc.gaf").write_text(GAF)
