@@ -148,6 +148,10 @@ def timed_pipeline(spark, n_pages: int, reps: int = 1,
 # one-JSON-line record. ECOKG_BENCH_REPS=1 remains the quick-iteration knob.
 BENCH_REPS = int(os.environ.get("ECOKG_BENCH_REPS", "5"))
 
+# rep spread (max/min) above which a query's window is considered hit by a
+# host contention burst — triggers the rescue reps + the JSON flag below
+BURST_SPREAD = float(os.environ.get("ECOKG_BURST_SPREAD", "5.0"))
+
 
 def main_bench():
     spark = _spark(CPUS)
@@ -180,6 +184,30 @@ def main_bench():
             all_reps[name].append(round(time.time() - t0, 3))
         all_reps[pipe_key].append(
             round(run_pipeline_once(spark, ppath, int(CPUS)), 3))
+
+    # burst rescue: a co-tenant contention burst lasts minutes and can
+    # inflate every rep of one query 10-50x (observed: a 1.1 s query
+    # recording 64 s as its MINIMUM in BENCH_r03). A rep spread > 5x means
+    # a burst hit this query's window — give each affected query two extra
+    # reps for another shot at a clean minimum, and if even then the spread
+    # stays > 5x, flag the record so readers don't diagnose a regression
+    # from a burst-inflated number.
+    def _noisy():
+        return sorted(n for n, r in all_reps.items()
+                      if max(r) / max(min(r), 1e-9) > BURST_SPREAD)
+
+    if _noisy():
+        for _ in range(2):
+            for name in _noisy():
+                if name == pipe_key:
+                    all_reps[name].append(round(
+                        run_pipeline_once(spark, ppath, int(CPUS)), 3))
+                else:
+                    t0 = time.time()
+                    QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                        "overwrite").save()
+                    all_reps[name].append(round(time.time() - t0, 3))
+    host_noise_suspected = _noisy()
     timings = {name: min(reps) for name, reps in all_reps.items()}
 
     best_pipe = timings[pipe_key]
@@ -194,6 +222,7 @@ def main_bench():
         "queries": timings,
         "all_reps": all_reps,
         "reps": BENCH_REPS,
+        "host_noise_suspected": host_noise_suspected,
         "sf": SF_DIR,
         "pages_per_sec": pipe["pages_per_sec"],
         "cpus": int(CPUS),
