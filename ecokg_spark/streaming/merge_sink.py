@@ -25,9 +25,20 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 EDGE_KEYS = ["subject", "predicate", "object"]
+
+
+def _existing_keys(spark, table_path: str, keys: list[str]):
+    """The (key-projected) table built so far, or None before first write."""
+    if os.path.exists(os.path.join(table_path, "_SUCCESS")) or any(
+        f.endswith(".parquet") for f in (
+            os.listdir(table_path) if os.path.isdir(table_path) else [])
+    ):
+        return spark.read.parquet(table_path).select(*keys)
+    return None
 
 
 def upsert_edges_batch(batch: DataFrame, table_path: str,
@@ -36,12 +47,29 @@ def upsert_edges_batch(batch: DataFrame, table_path: str,
     keys = keys or EDGE_KEYS
     spark = batch.sparkSession
     fresh = batch.dropDuplicates(keys)
-    if os.path.exists(os.path.join(table_path, "_SUCCESS")) or any(
-        f.endswith(".parquet") for f in (
-            os.listdir(table_path) if os.path.isdir(table_path) else [])
-    ):
-        existing = spark.read.parquet(table_path).select(*keys)
+    existing = _existing_keys(spark, table_path, keys)
+    if existing is not None:
         fresh = fresh.join(existing, keys, "left_anti")
+    fresh.write.mode("append").parquet(table_path)
+
+
+def upsert_first_wins_batch(batch: DataFrame, table_path: str,
+                            key: str, order_col: str) -> None:
+    """foreachBatch body: DETERMINISTIC first-wins upsert — keep the
+    order_col-minimal row per key within the batch, then append only
+    key-new rows. When micro-batches arrive in ascending order_col ranges
+    (a file source fed id-sorted files), the drained table holds exactly
+    the GLOBAL order_col-min row per key — the streaming equivalent of
+    the batch exact-dedup aggregate (operators/dedup.py exact_dedup).
+    Same idempotence argument as upsert_edges_batch: a replayed batch
+    anti-joins against a table that already has its keys."""
+    spark = batch.sparkSession
+    w = Window.partitionBy(key).orderBy(order_col)
+    fresh = (batch.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1).drop("_rn"))
+    existing = _existing_keys(spark, table_path, [key])
+    if existing is not None:
+        fresh = fresh.join(existing, [key], "left_anti")
     fresh.write.mode("append").parquet(table_path)
 
 

@@ -196,3 +196,25 @@ def test_incremental_edge_merge(spark, tmp_path):
     # replay batch 2 manually -> idempotent, nothing appended
     upsert_edges_batch(spark.createDataFrame(rows2, schema), table)
     assert spark.read.parquet(table).count() == 3
+
+
+def test_upsert_first_wins_batch(spark, tmp_path):
+    """Deterministic first-wins upsert (the streaming exact-dedup leg of
+    curate_stream): within a batch the order_col-min row survives per key;
+    across batches fed in ascending id ranges the GLOBAL min survives;
+    a replayed batch appends nothing."""
+    from ecokg_spark.streaming.merge_sink import upsert_first_wins_batch
+
+    schema = "fp string, doc_id long, payload string"
+    table = str(tmp_path / "docs")
+    b1 = spark.createDataFrame(
+        [("x", 3, "x3"), ("x", 1, "x1"), ("y", 2, "y2")], schema)
+    b2 = spark.createDataFrame(
+        [("x", 7, "x7"), ("z", 9, "z9")], schema)  # x already won by id 1
+    upsert_first_wins_batch(b1, table, "fp", "doc_id")
+    upsert_first_wins_batch(b2, table, "fp", "doc_id")
+    got = {tuple(r) for r in spark.read.parquet(table).collect()}
+    assert got == {("x", 1, "x1"), ("y", 2, "y2"), ("z", 9, "z9")}
+
+    upsert_first_wins_batch(b2, table, "fp", "doc_id")  # replay: idempotent
+    assert spark.read.parquet(table).count() == 3
