@@ -45,19 +45,37 @@ def node_degree(edges: DataFrame) -> DataFrame:
     return salted_count(edges, ["subject"], out_col="degree")
 
 
-def _rollup_counts(df: DataFrame, col: str) -> tuple[int, dict]:
+# stats facets are human-readable YAML blocks keyed by schema-bounded enums
+# (biolink categories / predicates — dozens of values). A column with more
+# distinct values than this is not a facet; fail loudly instead of pulling
+# an unbounded result onto the driver (SCALE.md).
+MAX_FACETS = 100_000
+
+
+def _rollup_counts(df: DataFrame, col: str,
+                   max_facets: int = MAX_FACETS) -> tuple[int, dict]:
     """(total, {facet_value: count}) in ONE aggregation job: ROLLUP emits
     the per-value rows and the grand total from a single scan+shuffle
     (map-side partials cover both granularities), where separate count()
     + groupBy() jobs would scan the table twice. grouping_id
     distinguishes the total row from a genuine NULL facet value; NULLs
-    map to '' (summed with any literal-'' rows) so keys stay strings."""
+    map to '' (summed with any literal-'' rows) so keys stay strings.
+
+    The collect is size-gated: limit(max_facets + 2) bounds what reaches
+    the driver even when the column is high-cardinality, and overflow
+    raises instead of silently truncating the stats artifact."""
     rows = (
         df.rollup(col)
         .agg(F.count(F.lit(1)).cast("long").alias("n"),
              F.grouping_id().alias("_g"))
+        .limit(max_facets + 2)
         .collect()
     )
+    if len(rows) > max_facets + 1:  # facet rows + the 1 grand-total row
+        raise ValueError(
+            f"column {col!r} has more than {max_facets} distinct values — "
+            "not a facet column; use a distributed aggregate "
+            "(count_by_predicate/count_by_category) instead")
     total = next(r["n"] for r in rows if r["_g"] == 1)
     facet: dict = {}
     for r in rows:

@@ -78,3 +78,18 @@ def test_stats_yaml_golden_at_reference_shape(spark, tmp_path):
     assert summary["count_by_predicate"]["biolink:has_phenotype"] >= (
         0.45 * summary["total_edges"]
     )
+
+
+def test_rollup_facet_gate(spark):
+    """The stats facet collect is size-gated (SCALE.md): a high-cardinality
+    column raises a named error instead of pulling an unbounded result onto
+    the driver; a within-bound column still aggregates exactly."""
+    import pytest
+
+    from ecokg_spark.operators.stats import _rollup_counts
+
+    df = spark.range(50).selectExpr("CAST(id AS STRING) AS k")
+    with pytest.raises(ValueError, match="'k'.*distinct"):
+        _rollup_counts(df, "k", max_facets=10)
+    total, facet = _rollup_counts(df, "k", max_facets=50)
+    assert total == 50 and len(facet) == 50 and facet["7"] == 1
