@@ -3200,6 +3200,268 @@ def q_kg_pipeline(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# round-4 additions: paragraph dedup, bigram LM scoring, semantic dedup,
+# URL blocklist, SPARQL BIND / GROUP_CONCAT / regex
+# --------------------------------------------------------------------------
+
+def q_paragraph_dedup(spark, sf):
+    """CCNet paragraph-level boilerplate removal (operators/dedup.py
+    paragraph_dedup = line_dedup at sep "\\n\\n"): documents re-chunked
+    deterministically into 8-token paragraphs; a paragraph occurring in
+    >= 2 distinct documents is dropped and the text rebuilt in order."""
+    from ecokg_spark.operators.dedup import paragraph_dedup
+
+    d = t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    npar = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    chunked = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.sequence(F.lit(0), npar - F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(8) + F.lit(1), 8)),
+            ),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(chunked, "text", "doc_id", min_docs=2)
+    return out.select(
+        "doc_id", "n_paras", "n_kept", F.col("text").alias("kept_text")
+    )
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+idx AS (
+  SELECT doc_id, tk,
+         unnest(range(1, CAST(ceil(len(tk) / 8.0) AS BIGINT) + 1)) AS pos
+  FROM toks
+),
+paras AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(tk, (pos - 1) * 8 + 1, pos * 8), ' ') AS para
+  FROM idx
+),
+dup AS (
+  SELECT para FROM paras GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT p.doc_id, p.pos, p.para, d.para IS NOT NULL AS is_dup
+  FROM paras p LEFT JOIN dup d USING (para)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(COUNT(CASE WHEN NOT is_dup THEN 1 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN NOT is_dup THEN para END,
+                           chr(10) || chr(10) ORDER BY pos), '') AS kept_text
+FROM flagged GROUP BY doc_id
+"""
+
+
+def q_bigram_lm(spark, sf):
+    """Add-k smoothed bigram LM quality scoring (operators/lm.py) — the
+    KenLM-perplexity signal of CCNet/Gopher pipelines expressed fully
+    relationally: train = two hash aggregates, score = one equi-join.
+    Pure rational arithmetic (no log) so the oracle agrees bit-for-bit
+    through the DECIMAL sum."""
+    from ecokg_spark.operators.lm import bigram_lm_score
+
+    d = t(spark, sf, "documents")
+    return bigram_lm_score(d, "doc_id", "text")
+
+
+SQL_BIGRAM_LM = f"""
+WITH tk AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS tk
+  FROM documents
+),
+ix AS (
+  SELECT doc_id, tk, unnest(range(2, len(tk) + 1)) AS i FROM tk
+),
+bg AS (
+  SELECT doc_id, tk[i - 1] AS w1, tk[i] AS w2 FROM ix
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+vs AS (SELECT COUNT(DISTINCT w2) AS v FROM c2),
+scored AS (
+  SELECT b.doc_id,
+         (CAST(c.c2 AS DOUBLE) + 0.5)
+         / (CAST(c1.c1 AS DOUBLE) + 0.5 * CAST(vs.v AS DOUBLE)) AS p
+  FROM bg b JOIN c2 c USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) AS sum_p
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       per.sum_p,
+       per.sum_p / CAST(per.n_bigrams AS DOUBLE) AS avg_p
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def q_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic dedup (operators/dedup.py semantic_dedup,
+    dominance rule): reuses embedding_neardup's planted-duplicate fixture —
+    the 20 planted near-copies (larger ids) must be dropped, everything
+    else kept."""
+    from ecokg_spark.operators.dedup import semantic_dedup
+
+    e = t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    planted = e.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+        "label",
+    )
+    both = e.select("vec_id", "embedding", "label").unionByName(planted)
+    kept = semantic_dedup(both, "embedding", "vec_id",
+                          block_col="label", threshold=0.995)
+    return kept.select("vec_id", "label")
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_prepend(embedding[1] + 0.05, embedding[2:]) AS embedding, label
+  FROM base WHERE vec_id < 20
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+SELECT a.vec_id, a.label FROM u a
+WHERE NOT EXISTS (
+  SELECT 1 FROM u b
+  WHERE b.label = a.label AND b.vec_id < a.vec_id
+    AND list_dot_product(a.embedding, b.embedding)
+        / (sqrt(list_dot_product(a.embedding, a.embedding))
+           * sqrt(list_dot_product(b.embedding, b.embedding)))
+        >= 0.995
+)
+"""
+
+
+def q_url_blocklist(spark, sf):
+    """UT1-style URL blocklist filtering (operators/web.py
+    url_blocklist_filter): broadcast domain blocklist + path keyword regex
+    over the rich synthesized URLs; emits the per-document verdict."""
+    from ecokg_spark.operators.web import url_blocklist_filter
+
+    d = t(spark, sf, "documents").select("doc_id", "source")
+    urls = d.select("doc_id", _synth_url_rich().alias("url"))
+    bl = spark.createDataFrame(
+        [("src3.co.uk", "adult"), ("src15.co.uk", "gambling"),
+         ("unused.example.net", "malware")],
+        "domain string, category string",
+    )
+    out = url_blocklist_filter(urls, bl, "url", path_pattern="/sec1/")
+    return out.select("doc_id", "domain", "block_category", "block_reason")
+
+
+SQL_URL_BLOCKLIST = f"""
+WITH u AS (
+  SELECT doc_id, {_SYNTH_URL_RICH_SQL} AS url FROM documents
+),
+p AS (SELECT doc_id, url, {_SQL_URL_PARTS} FROM u),
+d AS (
+  SELECT doc_id, url, path, {_SQL_REG_DOMAIN} AS domain FROM p
+),
+bl AS (
+  SELECT * FROM (VALUES ('src3.co.uk', 'adult'), ('src15.co.uk', 'gambling'),
+                        ('unused.example.net', 'malware'))
+       AS t(bl_domain, category)
+)
+SELECT d.doc_id, d.domain,
+       bl.category AS block_category,
+       CASE WHEN bl.bl_domain IS NOT NULL THEN 'domain'
+            WHEN regexp_matches(d.path, '/sec1/') THEN 'path'
+       END AS block_reason
+FROM d LEFT JOIN bl ON d.domain = bl.bl_domain
+"""
+
+
+def q_sparql_bind(spark, sf):
+    """SPARQL BIND expressions (beyond-parity grammar, round 4): STRAFTER
+    peels the CURIE prefix, nested CONCAT/LCASE builds a derived key; both
+    new variables project like pattern-bound ones."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        'SELECT ?x ?szn ?lc WHERE { ?x biolink:has_size ?m . '
+        'BIND(STRAFTER(?m, "SZ:") AS ?szn) '
+        'BIND(LCASE(CONCAT(?x, "-", ?m)) AS ?lc) }',
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_BIND = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x,
+       CAST(p_size AS VARCHAR) AS szn,
+       lower('P:' || CAST(p_partkey AS VARCHAR) || '-' ||
+             'SZ:' || CAST(p_size AS VARCHAR)) AS lc
+FROM part
+"""
+
+
+def q_sparql_group_concat(spark, sf):
+    """SPARQL GROUP_CONCAT aggregate with explicit separator (round 4):
+    members per size bucket, values sorted for determinism (SPARQL leaves
+    the order implementation-defined; the oracle recomputes with
+    string_agg ORDER BY)."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        'SELECT (GROUP_CONCAT(?x; SEPARATOR="|") AS ?members) '
+        "(COUNT(?x) AS ?n) ?m WHERE { ?x biolink:has_size ?m } GROUP BY ?m",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_GROUP_CONCAT = """
+SELECT string_agg('P:' || CAST(p_partkey AS VARCHAR), '|'
+                  ORDER BY 'P:' || CAST(p_partkey AS VARCHAR)) AS members,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       'SZ:' || CAST(p_size AS VARCHAR) AS m
+FROM part GROUP BY p_size
+"""
+
+
+def q_sparql_regex(spark, sf):
+    """SPARQL FILTER regex() (round 4): RE2-safe pattern with the "i"
+    flag compiled to rlike."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        'SELECT ?x ?cat WHERE { ?x biolink:category ?cat . '
+        'FILTER regex(?cat, "^brand#1[0-9]$", "i") }',
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_REGEX = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x, p_brand AS cat
+FROM part
+WHERE regexp_matches(p_brand, '(?i)^brand#1[0-9]$')
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3301,6 +3563,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_resize_plan": q_media_resize_plan,
     "kg_pipeline": q_kg_pipeline,
+    # round-4 additions (outside the certification window this round;
+    # rotate in next round)
+    "paragraph_dedup": q_paragraph_dedup,
+    "bigram_lm": q_bigram_lm,
+    "semantic_dedup": q_semantic_dedup,
+    "url_blocklist": q_url_blocklist,
+    "sparql_bind": q_sparql_bind,
+    "sparql_group_concat": q_sparql_group_concat,
+    "sparql_regex": q_sparql_regex,
 }
 
 ORACLES: dict[str, str] = {
@@ -3404,6 +3675,13 @@ ORACLES: dict[str, str] = {
     # pipeline — its component stages each have their own oracle rows:
     # extract_html, triple_extract, entity_link, connected_components,
     # kg_materialize)
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "bigram_lm": SQL_BIGRAM_LM,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "url_blocklist": SQL_URL_BLOCKLIST,
+    "sparql_bind": SQL_SPARQL_BIND,
+    "sparql_group_concat": SQL_SPARQL_GROUP_CONCAT,
+    "sparql_regex": SQL_SPARQL_REGEX,
 }
 
 

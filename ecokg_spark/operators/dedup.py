@@ -575,6 +575,7 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    sep: str = "\n",
 ) -> DataFrame:
     """CCNet-style inter-document line dedup: drop every line whose
     whitespace-normalized form occurs in >= ``min_docs`` DISTINCT documents
@@ -594,10 +595,18 @@ def line_dedup(
     handles probe-side skew), and the rebuild is one groupBy(id) whose
     collect_list is bounded by document size. No cross join, no driver
     materialization.
+
+    ``sep`` picks the unit: "\\n" (default) for CCNet line dedup,
+    "\\n\\n" for paragraph-level dedup (see ``paragraph_dedup``). It is
+    treated as a literal separator on both split and rebuild.
     """
+    import re as _re
+
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "_pos", "_line"
+        ),
     ).withColumn("_key", F.xxhash64(normalize_ws("_line")))
     dup = (
         lines.groupBy("_key")
@@ -618,6 +627,88 @@ def line_dedup(
             id_col,
             "n_lines",
             "n_kept",
-            F.concat_ws("\n", F.transform("_ls", lambda s: s["_line"])).alias(text_col),
+            F.concat_ws(sep, F.transform("_ls", lambda s: s["_line"])).alias(text_col),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Paragraph-level variant of ``line_dedup`` (CCNet operates at the
+    paragraph granularity for boilerplate removal: a whole nav block or
+    cookie banner repeats verbatim across a site's pages). Unit = text
+    between blank lines ("\\n\\n"); same census/join/rebuild plan, so the
+    100-TB shape notes on ``line_dedup`` apply unchanged.
+
+    Returns (id_col, n_paras, n_kept, text)."""
+    out = line_dedup(df, text_col, id_col, min_docs=min_docs, sep="\n\n")
+    return out.withColumnRenamed("n_lines", "n_paras")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.95,
+    planes: int = 8,
+    tables: int = 4,
+    exact: bool = False,
+    transitive: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): documents whose EMBEDDINGS are near-identical are
+    semantic duplicates even when their text differs (translations,
+    templated rewrites, scraped mirrors) — drop all but one per
+    near-duplicate neighborhood.
+
+    Two deterministic retention rules:
+    - default (``transitive=False``): a document is DROPPED iff ANY
+      smaller-id document is a >=threshold neighbor, whether or not that
+      neighbor is itself kept — a single-pass dominance rule (drops a
+      superset of the per-cluster rule along chains A~B~C where A!~C).
+    - ``transitive=True``: connected components over the pair graph
+      (large-star/small-star via ``components.canonical_map``), keep the
+      min id per component — exactly one survivor per transitive
+      neighborhood, the published "keep one per cluster" semantics.
+
+    100-TB shape: pair generation reuses ``embedding_neardup_pairs``
+    (blocked by ``block_col`` or internal RP-LSH — never all-pairs unless
+    ``exact=True``); the drop set is a distinct projection of the pair
+    table (bounded by #near-dups, not corpus size) and the final
+    ``left_anti`` join is one shuffle on the id key.
+
+    Returns the kept rows of ``df`` (all original columns).
+    """
+    pairs = embedding_neardup_pairs(
+        df, vec_col, id_col,
+        block_col=block_col, threshold=threshold,
+        planes=planes, tables=tables, exact=exact,
+    )
+    if transitive:
+        from ecokg_spark.operators.components import connected_components
+
+        # CC node ids are strings (CURIE convention); zero-pad numeric ids
+        # so the lexicographic component-min matches the numeric min.
+        comp = connected_components(
+            pairs.select(
+                F.lpad(F.col("id_a").cast("string"), 20, "0").alias("u"),
+                F.lpad(F.col("id_b").cast("string"), 20, "0").alias("v"),
+            )
+        )
+        # component = min id in the component; drop every non-min member.
+        drops = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("_drop")
+        )
+        return df.join(
+            drops,
+            F.lpad(F.col(id_col).cast("string"), 20, "0") == F.col("_drop"),
+            "left_anti",
+        )
+    # id_a < id_b by construction -> id_b always has a smaller neighbor.
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")

@@ -64,3 +64,42 @@ def domain_stats(
             F.avg(chars_col).alias("avg_chars"),
         ]
     return keyed.groupBy("domain").agg(*aggs)
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    path_pattern: str | None = None,
+) -> DataFrame:
+    """UT1-style URL filtering (the Université Toulouse 1 blocklist is the
+    standard seed list in published web-curation pipelines, e.g. RefinedWeb):
+    a document is blocked when its REGISTERED DOMAIN appears in the
+    blocklist, or (optionally) when its path matches ``path_pattern``
+    (an RE2-safe regex for keyword lists like adult/gambling slugs).
+
+    ``blocklist`` is a (domain, category) DataFrame — list-sized, so it is
+    broadcast: the domain check is a map-side left join, no corpus shuffle.
+    Path matching is a pure Catalyst ``rlike`` on the parsed path.
+
+    Returns ``df`` plus (domain, block_category, block_reason) where
+    block_reason ∈ {'domain', 'path', NULL}; filter ``block_reason IS
+    NULL`` to keep. Emitting the verdict instead of dropping keeps the
+    audit trail (why a page was removed) — the same pattern as pii_redact.
+    """
+    bl = F.broadcast(
+        blocklist.select(
+            F.col("domain").alias("_bl_domain"),
+            F.col("category").alias("block_category"),
+        ).dropDuplicates(["_bl_domain"])
+    )
+    keyed = df.withColumn("domain", url_registered_domain(url_col))
+    joined = keyed.join(bl, keyed["domain"] == bl["_bl_domain"], "left")
+    reason = F.when(F.col("_bl_domain").isNotNull(), F.lit("domain"))
+    if path_pattern:
+        from ecokg_spark.functions.url import url_path
+
+        reason = reason.when(
+            url_path(url_col).rlike(path_pattern), F.lit("path")
+        )
+    return joined.withColumn("block_reason", reason).drop("_bl_domain")

@@ -11,20 +11,36 @@ the same queries compile straight to Catalyst plans — no endpoint:
 
     SELECT [DISTINCT] (agg AS ?alias)* ?var*
     WHERE { pattern (('.' pattern) | filter | notexists | optional
-                     | union | values)* }
+                     | union | values | bind)* }
     [GROUP BY ?var*] [ORDER BY (?var | ASC(?var) | DESC(?var))*] [LIMIT n]
 
     agg      := COUNT([DISTINCT] ?x) | MIN(?x) | MAX(?x)
+              | GROUP_CONCAT(?x [; SEPARATOR="s"])
     pattern  := term path term
     term     := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
     path     := term | step('/'step)*
     step     := ['^'](CURIE | '('alt('|'alt)*')')['+'|'*'|'?']
     alt      := ['^']CURIE
-    filter   := FILTER( ?var (=|!=) value )   value := "quoted" | token
+    filter   := FILTER( ?var (=|!=) value ) | FILTER regex(?var, "re" [,"i"])
+              value := "quoted" | token
     notexists:= FILTER NOT EXISTS { pattern (. pattern)* }
     optional := OPTIONAL { pattern (. pattern)* }
     union    := { pattern+ } UNION { pattern+ } (UNION { pattern+ })*
     values   := VALUES ?var { value+ }
+    bind     := BIND( expr AS ?newvar )
+    expr     := ?var | "literal"
+              | CONCAT(expr, ...) | STRLEN(e) | UCASE(e) | LCASE(e)
+              | STR(e) | STRAFTER(e, "lit") | STRBEFORE(e, "lit")
+
+  BIND evaluates its expression over the joined required patterns (every
+  referenced variable must be pattern-bound — SPARQL's in-scope rule for
+  the simple trailing-BIND placement this grammar accepts) and the new
+  variable is then projectable / filterable / groupable like any other.
+  GROUP_CONCAT sorts the group's values before joining (SPARQL leaves the
+  order implementation-defined; sorting makes it deterministic and lets
+  the DuckDB oracle recompute it with string_agg(... ORDER BY)).
+  FILTER regex() compiles to an RE2-safe rlike — the pattern must avoid
+  backreferences/lookaround, same rule as the PII/extraction regexes.
 
   FILTER NOT EXISTS compiles to a LEFT ANTI join of the inner group
   against the required solution on their shared variables — the spec's
@@ -99,6 +115,16 @@ _SELECT_RE = re.compile(
 _AGG_RE = re.compile(
     r"\(\s*(COUNT|MIN|MAX)\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)"
     r"\s+AS\s+\?(\w+)\s*\)", re.I)
+_GROUP_CONCAT_RE = re.compile(
+    r"\(\s*GROUP_CONCAT\s*\(\s*\?(\w+)\s*"
+    r'(?:;\s*SEPARATOR\s*=\s*("[^"]*"))?\s*\)'
+    r"\s+AS\s+\?(\w+)\s*\)", re.I)
+_BIND_RE = re.compile(
+    r"(?is)BIND\s*\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))*?)"
+    r"\s+AS\s+\?(\w+)\s*\)")
+_REGEX_FILTER_RE = re.compile(
+    r'(?i)FILTER\s*(\()?\s*regex\s*\(\s*\?(\w+)\s*,\s*"([^"]*)"'
+    r'\s*(?:,\s*"([^"]*)")?\s*\)\s*(?(1)\))')
 _NOT_EXISTS_RE = re.compile(r"(?is)FILTER\s+NOT\s+EXISTS\s*\{([^{}]*)\}")
 _VAR_RE = re.compile(r"\?(\w+)")
 _FILTER_RE = re.compile(r'(?i)FILTER\s*\(\s*\?(\w+)\s*(!=|=)\s*("[^"]*"|[^\s)]+)\s*\)')
@@ -113,6 +139,96 @@ CATEGORY_PRED = "biolink:category"
 
 class SparqlError(ValueError):
     pass
+
+
+def _parse_expr(s: str):
+    """BIND expression -> nested AST tuples: ("var", name) | ("lit", text)
+    | (FUNC, [arg asts]). Args split on top-level commas only (quotes and
+    nested calls respected)."""
+    s = s.strip()
+    if s.startswith("?"):
+        m = re.fullmatch(r"\?(\w+)", s)
+        if not m:
+            raise SparqlError(f"bad variable in BIND expression: {s!r}")
+        return ("var", m.group(1))
+    if s.startswith('"'):
+        if not (s.endswith('"') and len(s) >= 2 and '"' not in s[1:-1]):
+            raise SparqlError(f"bad literal in BIND expression: {s!r}")
+        return ("lit", s[1:-1])
+    m = re.fullmatch(r"(?s)(\w+)\s*\((.*)\)", s)
+    if not m:
+        raise SparqlError(f"unsupported BIND expression: {s!r}")
+    name, body = m.group(1).upper(), m.group(2)
+    args, depth, cur, inq = [], 0, "", False
+    for ch in body:
+        if ch == '"':
+            inq = not inq
+        if not inq:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                args.append(cur)
+                cur = ""
+                continue
+        cur += ch
+    if cur.strip() or args:
+        args.append(cur)
+    return (name, [_parse_expr(a) for a in args])
+
+
+def _compile_expr(ast, bound: dict[str, str]):
+    """AST -> Column over the joined solution (SPARQL string functions on
+    the engine's string-typed RDF terms; all pure Catalyst)."""
+    kind = ast[0]
+    if kind == "var":
+        v = ast[1]
+        if v not in bound:
+            raise SparqlError(f"BIND references unbound variable ?{v}")
+        return F.col(bound[v])
+    if kind == "lit":
+        return F.lit(ast[1])
+    name, args = ast
+    cols = [_compile_expr(a, bound) for a in args]
+
+    def need(n: int):
+        if len(args) != n:
+            raise SparqlError(f"{name}() takes {n} argument(s), got {len(args)}")
+
+    if name == "CONCAT":
+        if not args:
+            raise SparqlError("CONCAT() needs at least one argument")
+        return F.concat(*cols)
+    if name == "STRLEN":
+        need(1)
+        return F.length(cols[0]).cast("long")
+    if name == "UCASE":
+        need(1)
+        return F.upper(cols[0])
+    if name == "LCASE":
+        need(1)
+        return F.lower(cols[0])
+    if name == "STR":
+        need(1)
+        return cols[0]
+    if name in ("STRAFTER", "STRBEFORE"):
+        need(2)
+        if args[1][0] != "lit":
+            raise SparqlError(f"{name}() needs a literal second argument")
+        needle = args[1][1]
+        s = cols[0]
+        pos = F.instr(s, needle)
+        if name == "STRAFTER":
+            # first-occurrence suffix; "" when absent; whole string for ""
+            return F.when(
+                pos > 0,
+                F.substring(s, pos + F.lit(len(needle)), F.length(s)),
+            ).otherwise(F.lit(""))
+        return F.when(pos > 0, F.substring(s, F.lit(1), pos - 1)).otherwise(
+            F.lit("")
+        )
+    raise SparqlError(f"unsupported BIND function: {name}()")
 
 
 def _split_patterns(raw: str) -> list[tuple[str, str, str]]:
@@ -141,10 +257,24 @@ def _parse(query: str):
             raise SparqlError(
                 f"DISTINCT inside {func}() is a no-op in SPARQL; write "
                 f"{func}(?var)")
-    plain = _VAR_RE.findall(_AGG_RE.sub(" ", select_raw))
+    # GROUP_CONCAT rides the agg list with the separator in the slot the
+    # other apply functions use for DISTINCT (type-distinguished downstream)
+    aggs += [("GROUP_CONCAT", sep[1:-1] if sep else " ", v, alias)
+             for v, sep, alias in _GROUP_CONCAT_RE.findall(select_raw)]
+    plain = _VAR_RE.findall(
+        _GROUP_CONCAT_RE.sub(" ", _AGG_RE.sub(" ", select_raw)))
     not_exists = [_split_patterns(block)
                   for block in _NOT_EXISTS_RE.findall(where_raw)]
     where_raw = _NOT_EXISTS_RE.sub(" ", where_raw)
+    binds = [(_parse_expr(expr), var)
+             for expr, var in _BIND_RE.findall(where_raw)]
+    where_raw = _BIND_RE.sub(" ", where_raw)
+    rx_filters = [(v, pat, flags)
+                  for _paren, v, pat, flags in _REGEX_FILTER_RE.findall(where_raw)]
+    for _v, _pat, flags in rx_filters:
+        if flags not in ("", "i"):
+            raise SparqlError(f"unsupported regex flags: {flags!r}")
+    where_raw = _REGEX_FILTER_RE.sub(" ", where_raw)
     optionals = []
     for block in _OPTIONAL_RE.findall(where_raw):
         if re.search(r"(?i)FILTER", block):
@@ -177,7 +307,8 @@ def _parse(query: str):
              for d, v1, v2 in _ORDER_RE.findall(order_raw)] if order_raw else []
     limit = int(limit_raw) if limit_raw else None
     return (aggs, plain, patterns, group, filters, bool(distinct_raw),
-            optionals, order, limit, unions, values, not_exists)
+            optionals, order, limit, unions, values, not_exists, binds,
+            rx_filters)
 
 
 def _term_col(df: DataFrame, col: str, term: str, binds: dict[str, list]):
@@ -379,7 +510,7 @@ def sparql_select(
 ) -> DataFrame:
     """Compile + run a (restricted) SPARQL SELECT over the KG tables."""
     (aggs, plain, patterns, group, filters, distinct, optionals, order,
-     limit, unions, values, not_exists) = _parse(query)
+     limit, unions, values, not_exists, binds, rx_filters) = _parse(query)
     if not patterns and not unions:
         raise SparqlError("empty WHERE clause")
 
@@ -459,10 +590,20 @@ def sparql_select(
                 "required patterns (emptiness test unsupported)")
         out = out.join(grp, cond, "left_anti")
 
+    # BIND: evaluate over the joined solution, then the new variable is a
+    # first-class binding (projectable, filterable, groupable); binds
+    # apply in written order so a later BIND may reference an earlier one
+    for bi, (expr_ast, newvar) in enumerate(binds):
+        if newvar in bound:
+            raise SparqlError(f"BIND would rebind already-bound ?{newvar}")
+        out = out.withColumn(f"_b{bi}_{newvar}", _compile_expr(expr_ast, bound))
+        bound[newvar] = f"_b{bi}_{newvar}"
+
     # ORDER BY vars are checked against the PROJECTED columns below (they
     # may name an aggregate alias, which is never pattern-bound)
     missing = [v for v in plain + [a for _, _, a, _ in aggs] + group
                + [v for v, _, _ in filters] + [v for v, _ in values]
+               + [v for v, _, _ in rx_filters]
                if v not in bound]
     if missing:
         raise SparqlError(f"unbound variables: {missing}")
@@ -477,14 +618,26 @@ def sparql_select(
     for v, vals in values:
         out = out.where(F.col(bound[v]).isin(vals))
 
+    # FILTER regex(?v, "re"[, "i"]) — RE2-safe rlike, post-join (Catalyst
+    # pushes it down where legal)
+    for v, pat, flags in rx_filters:
+        out = out.where(F.col(bound[v]).rlike(f"(?{flags}){pat}" if flags
+                                              else pat))
+
     if aggs:
         keys = group or plain
 
-        def agg_expr(func: str, dist: bool, v: str, alias: str):
+        def agg_expr(func: str, dist, v: str, alias: str):
             c = bound[v]
             if func == "COUNT":
                 e = F.countDistinct(c) if dist else F.count(c)
                 return e.cast("long").alias(alias)
+            if func == "GROUP_CONCAT":
+                # `dist` slot carries the separator; values sorted first so
+                # the implementation-defined SPARQL order is deterministic
+                return F.array_join(
+                    F.array_sort(F.collect_list(c)), dist
+                ).alias(alias)
             return (F.min(c) if func == "MIN" else F.max(c)).alias(alias)
 
         out = out.groupBy(*[F.col(bound[v]).alias(v) for v in keys]).agg(

@@ -370,3 +370,78 @@ def test_decontaminate_flags_overlap_only(spark):
     one = decontaminate(docs, ev, n=3, min_shared=1)
     assert {(r["doc_id"], r["eval_id"]) for r in one.collect()} == {
         (1, 10), (2, 10)}
+
+
+def test_paragraph_dedup_drops_cross_doc_paragraphs(spark):
+    from ecokg_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "unique one\n\nCOOKIE BANNER\n\nreal content a"),
+         (2, "COOKIE BANNER\n\nreal content b"),
+         (3, "all original\n\nhere")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["text"] == "unique one\n\nreal content a"
+    assert out[2]["text"] == "real content b"
+    # single newlines inside a paragraph are NOT split points
+    assert out[3]["n_paras"] == 2 and out[3]["n_kept"] == 2
+
+
+def test_paragraph_dedup_within_doc_repeat_kept(spark):
+    from ecokg_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same para\n\nsame para"), (2, "other")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["n_kept"] == 2      # repeats within ONE doc survive
+
+
+def _emb_fixture(spark):
+    # 1~2 near-dup (cos ~ 1), 3 far; 4~5~6 a chain in its own block:
+    # 4~5 and 5~6 close, 4~6 below threshold
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.9999, 0.01, 0.0], "a"),
+        (3, [0.0, 1.0, 0.0], "a"),
+        (4, [1.0, 0.0, 0.0], "b"),
+        (5, [0.995, 0.0998, 0.0], "b"),     # ~5.7 deg from 4
+        (6, [0.9703, 0.2419, 0.0], "b"),    # ~14 deg from 4, ~8.3 from 5
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>, label string")
+
+
+def test_semantic_dedup_dominance(spark):
+    from ecokg_spark.operators.dedup import semantic_dedup
+
+    df = _emb_fixture(spark)
+    kept = {r["doc_id"] for r in
+            semantic_dedup(df, "embedding", "doc_id", block_col="label",
+                           threshold=0.98).collect()}
+    # dominance: 2 dropped (1 smaller neighbor), 5 dropped (4), 6 dropped
+    # (5 is a smaller neighbor even though 5 itself is dropped)
+    assert kept == {1, 3, 4}
+
+
+def test_semantic_dedup_transitive_one_per_component(spark):
+    from ecokg_spark.operators.dedup import semantic_dedup
+
+    df = _emb_fixture(spark)
+    kept = {r["doc_id"] for r in
+            semantic_dedup(df, "embedding", "doc_id", block_col="label",
+                           threshold=0.98, transitive=True).collect()}
+    # component {4,5,6} keeps its min; {1,2} keeps 1; 3 isolated
+    assert kept == {1, 3, 4}
+
+
+def test_semantic_dedup_exact_smallcorpus(spark):
+    from ecokg_spark.operators.dedup import semantic_dedup
+
+    df = _emb_fixture(spark).drop("label")
+    kept = {r["doc_id"] for r in
+            semantic_dedup(df, "embedding", "doc_id", threshold=0.98,
+                           exact=True).collect()}
+    # without label blocking, 4 ([1,0,0]) is an exact dup of 1 — dropped too
+    assert kept == {1, 3}

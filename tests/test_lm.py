@@ -1,0 +1,71 @@
+"""Bigram LM quality scoring (operators/lm.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecokg_spark.operators.lm import bigram_lm_score, train_bigram_counts
+
+
+def test_train_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id int, text string")
+    counts, vstats = train_bigram_counts(docs)
+    got = {(r["w1"], r["w2"]): (r["c2"], r["c1"]) for r in counts.collect()}
+    # bigrams: doc1 -> (a,b) (b,a) (a,b); doc2 -> (a,b) (b,c)
+    assert got == {("a", "b"): (3, 3), ("b", "a"): (1, 2), ("b", "c"): (1, 2)}
+    assert vstats.first()["v"] == 3  # continuations {a, b, c}
+
+
+def test_scores_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id int, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    k, v = 0.5, 3.0
+    p_ab = (3 + k) / (3 + k * v)   # 3.5/4.5
+    p_ba = (1 + k) / (2 + k * v)   # 1.5/3.5
+    p_bc = (1 + k) / (2 + k * v)
+    assert out[1]["n_bigrams"] == 3
+    assert math.isclose(out[1]["avg_p"], (2 * p_ab + p_ba) / 3, rel_tol=1e-9)
+    assert out[2]["n_bigrams"] == 2
+    assert math.isclose(out[2]["avg_p"], (p_ab + p_bc) / 2, rel_tol=1e-9)
+
+
+def test_short_and_empty_docs_score_null(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "single"), (3, ""), (4, "   ")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert out[1]["n_bigrams"] == 1
+    for d in (2, 3, 4):
+        assert out[d]["n_bigrams"] == 0 and out[d]["avg_p"] is None
+
+
+def test_separate_train_corpus_unseen_floor(spark):
+    train = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    score = spark.createDataFrame([(9, "x y")], "doc_id int, text string")
+    out = bigram_lm_score(score, train=train).first()
+    # unseen bigram AND unseen context -> k/(0 + k*V) = 1/V, V = {b, c}
+    assert out["n_bigrams"] == 1
+    assert math.isclose(out["avg_p"], 1 / 2, rel_tol=1e-9)
+
+
+def test_gibberish_scores_below_natural(spark):
+    base = "the cat sat on the mat and the dog sat on the rug "
+    rows = [(i, base) for i in range(10)]
+    rows.append((99, "mat the rug cat on dog and sat zz qq"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["avg_p"] for r in bigram_lm_score(docs).collect()}
+    natural = out[0]
+    assert out[99] < natural
+
+
+def test_train_counts_persisted_against_replay(spark):
+    """c2 feeds three consumers (counts, c1, vstats); without the persist
+    each would replay the corpus-sized bigram explode."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    counts, _v = train_bigram_counts(docs)
+    # the persisted aggregate appears as an InMemoryRelation leaf
+    plan = counts._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan

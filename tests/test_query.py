@@ -649,3 +649,118 @@ def test_random_bgps_match_duckdb(spark, kg):
         assert got == want, f"seed {seed}: {sparql}\n got {got}\nwant {want}"
         checked += 1
     assert checked >= 40
+
+
+def test_bind_strafter_and_concat(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        'SELECT ?g ?tax ?key WHERE { ?g biolink:in_taxon ?t . '
+        'BIND(STRAFTER(?t, "T:") AS ?tax) '
+        'BIND(LCASE(CONCAT(?g, "@", ?t)) AS ?key) }',
+        nodes, edges)
+    rows = {r["g"]: r for r in out.collect()}
+    assert rows["G:1"]["tax"] == "1"
+    assert rows["G:1"]["key"] == "g:1@t:1"
+    assert set(out.columns) == {"g", "tax", "key"}
+
+
+def test_bind_chained_and_strbefore_strlen(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        'SELECT ?pfx ?n WHERE { ?g biolink:in_taxon ?t . '
+        'BIND(STRBEFORE(?g, ":") AS ?pfx) '
+        'BIND(STRLEN(?pfx) AS ?n) }',
+        nodes, edges)
+    rows = out.collect()
+    assert all(r["pfx"] == "G" and r["n"] == 1 for r in rows)
+
+
+def test_bind_missing_needle_yields_empty(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        'SELECT ?g ?x WHERE { ?g biolink:in_taxon ?t . '
+        'BIND(STRAFTER(?g, "ZZZ") AS ?x) }',
+        nodes, edges)
+    assert all(r["x"] == "" for r in out.collect())
+
+
+def test_bind_unbound_variable_rejected(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(
+            spark,
+            'SELECT ?x WHERE { ?g biolink:in_taxon ?t . '
+            'BIND(UCASE(?nope) AS ?x) }',
+            nodes, edges).collect()
+
+
+def test_bind_rebind_rejected(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="rebind"):
+        sparql_select(
+            spark,
+            'SELECT ?g WHERE { ?g biolink:in_taxon ?t . '
+            'BIND(UCASE(?g) AS ?t) }',
+            nodes, edges).collect()
+
+
+def test_bind_unknown_function_rejected(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="unsupported BIND function"):
+        sparql_select(
+            spark,
+            'SELECT ?x WHERE { ?g biolink:in_taxon ?t . '
+            'BIND(MAGIC(?g) AS ?x) }',
+            nodes, edges).collect()
+
+
+def test_group_concat_sorted_with_separator(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        'SELECT (GROUP_CONCAT(?g; SEPARATOR="|") AS ?gs) ?t '
+        "WHERE { ?g biolink:in_taxon ?t } GROUP BY ?t",
+        nodes, edges)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["gs"] == "G:1|G:2"    # sorted, joined on the separator
+    assert rows[0]["t"] == "T:1"
+
+
+def test_group_concat_default_separator_is_space(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT (GROUP_CONCAT(?g) AS ?gs) ?t "
+        "WHERE { ?g biolink:in_taxon ?t } GROUP BY ?t",
+        nodes, edges)
+    assert out.collect()[0]["gs"] == "G:1 G:2"
+
+
+def test_filter_regex_and_case_insensitive_flag(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        'SELECT ?n ?cat WHERE { ?n biolink:category ?cat . '
+        'FILTER regex(?cat, "organismtaxon$", "i") }',
+        nodes, edges)
+    assert {r["n"] for r in out.collect()} == {"T:1"}
+    case_sensitive = sparql_select(
+        spark,
+        'SELECT ?n WHERE { ?n biolink:category ?cat . '
+        'FILTER regex(?cat, "organismtaxon$") }',
+        nodes, edges)
+    assert case_sensitive.count() == 0
+
+
+def test_filter_regex_bad_flags_rejected(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="regex flags"):
+        sparql_select(
+            spark,
+            'SELECT ?n WHERE { ?n biolink:category ?cat . '
+            'FILTER regex(?cat, "x", "gms") }',
+            nodes, edges).collect()

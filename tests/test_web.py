@@ -100,3 +100,35 @@ def test_domain_stats(spark):
     assert out["example.com"]["n_chars"] == 30
     assert out["example.com"]["avg_chars"] == 15.0
     assert out["bbc.co.uk"]["n_docs"] == 1
+
+
+def test_url_blocklist_filter(spark):
+    from ecokg_spark.operators.web import url_blocklist_filter
+
+    rows = [
+        (1, "https://www.bad.example.net/home"),
+        (2, "https://sub.bad.example.net/x"),      # same registered domain
+        (3, "https://good.example.org/casino/slots"),
+        (4, "https://good.example.org/news"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("example.net", "malware")],
+                               "domain string, category string")
+    out = {r["doc_id"]: r for r in
+           url_blocklist_filter(df, bl, path_pattern="/casino/").collect()}
+    assert out[1]["block_reason"] == "domain"
+    assert out[1]["block_category"] == "malware"
+    assert out[2]["block_reason"] == "domain"   # subdomain collapses
+    assert out[3]["block_reason"] == "path"
+    assert out[3]["block_category"] is None
+    assert out[4]["block_reason"] is None
+
+
+def test_url_blocklist_is_broadcast(spark):
+    from ecokg_spark.operators.web import url_blocklist_filter
+
+    df = spark.createDataFrame([(1, "https://a.example.com/x")],
+                               "doc_id long, url string")
+    bl = spark.createDataFrame([("b.com", "c")], "domain string, category string")
+    plan = url_blocklist_filter(df, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
