@@ -3440,6 +3440,112 @@ FROM part GROUP BY p_size
 """
 
 
+def q_kcore(spark, sf):
+    """k-core decomposition (operators/graph.py kcore): peel iteration on
+    the undirected graph synthesized from nation (i -- (3i+1)%25 and
+    i -- (7i+2)%25); k=3 survivors with their in-core degree. The graph is
+    sf-invariant (nation always has 25 rows) so convergence depth matches
+    the oracle's unrolled rounds at every scale; extra unrolled rounds
+    past the fixpoint are no-ops."""
+    from ecokg_spark.operators.graph import kcore
+
+    n = t(spark, sf, "nation").select("n_nationkey")
+    k = F.col("n_nationkey")
+    e = (n.select(k.alias("src"), ((k * 3 + 1) % 25).alias("dst"))
+         .union(n.select(k.alias("src"), ((k * 7 + 2) % 25).alias("dst"))))
+    return kcore(e, k=3)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peel rounds as plain CTE SQL: round i keeps nodes whose
+    degree in the subgraph induced by round i-1's survivors is >= k."""
+    parts = [
+        "WITH raw AS ("
+        "SELECT n_nationkey AS x, (3*n_nationkey+1)%25 AS y FROM nation "
+        "UNION ALL "
+        "SELECT n_nationkey, (7*n_nationkey+2)%25 FROM nation),",
+        "sym AS (SELECT DISTINCT u, v FROM ("
+        "SELECT x AS u, y AS v FROM raw UNION ALL SELECT y, x FROM raw) "
+        "WHERE u <> v),",
+        "a0 AS (SELECT DISTINCT u FROM sym)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", e{i} AS (SELECT s.u, s.v FROM sym s "
+            f"JOIN a{i - 1} x ON s.u = x.u JOIN a{i - 1} y ON s.v = y.u)"
+            f", d{i} AS (SELECT u, COUNT(*) AS c FROM e{i} GROUP BY u)"
+            f", a{i} AS (SELECT u FROM d{i} WHERE c >= {k})"
+        )
+    parts.append(
+        f" SELECT u AS id, CAST(c AS BIGINT) AS core_deg FROM d{rounds} "
+        f"WHERE c >= {k}")
+    return "".join(parts)
+
+
+SQL_KCORE = _kcore_sql(3, 10)
+
+
+def q_ppr(spark, sf):
+    """Personalized PageRank (operators/graph.py personalized_pagerank):
+    same dangling-exercising directed graph as the pagerank row, teleport
+    mass split over seeds {1, 7, 13}; 3 iterations at d=0.85, ranks
+    rounded to 6 dp before hashing (float summation order)."""
+    from ecokg_spark.operators.graph import personalized_pagerank
+
+    n = t(spark, sf, "nation").select("n_nationkey")
+    k = F.col("n_nationkey")
+    e = (n.where(k % 5 != 0).select(k.alias("src"),
+                                    ((k * 3 + 1) % 25).alias("dst"))
+         .union(n.where(k % 5 != 0).select(k.alias("src"),
+                                           ((k * 7 + 2) % 25).alias("dst"))))
+    seeds = n.where(k.isin(1, 7, 13)).select(k.alias("id"))
+    pr = personalized_pagerank(e, seeds, iterations=3)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_sql(iters: int, d: float = 0.85) -> str:
+    """Unrolled personalized PageRank: teleport vector 1/|S| on seeds, 0
+    elsewhere; dangling mass restarts at the seeds."""
+    parts = [
+        "WITH e AS ("
+        "SELECT DISTINCT src, dst FROM ("
+        "SELECT n_nationkey AS src, (3*n_nationkey+1)%25 AS dst "
+        "FROM nation WHERE n_nationkey%5<>0 "
+        "UNION ALL "
+        "SELECT n_nationkey, (7*n_nationkey+2)%25 "
+        "FROM nation WHERE n_nationkey%5<>0)),",
+        "nds AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),",
+        "sd AS (SELECT id FROM nds WHERE id IN (1, 7, 13)),",
+        "ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sd),",
+        "tele AS (SELECT nds.id, "
+        "CASE WHEN sd.id IS NOT NULL THEN 1.0/ns.n ELSE 0.0 END AS t "
+        "FROM nds LEFT JOIN sd ON sd.id = nds.id CROSS JOIN ns),",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg "
+        "FROM e GROUP BY src),",
+        "r0 AS (SELECT id, t AS rank FROM tele)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f", c{i} AS (SELECT e.dst AS id, SUM(r.rank/deg.deg) AS c "
+            f"FROM e JOIN {p} r ON r.id = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+            f", d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM {p} r "
+            f"WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.id))"
+            f", r{i} AS (SELECT tele.id, "
+            f"((1-{d}) + {d}*d{i}.dm) * tele.t + {d}*COALESCE(c{i}.c, 0) "
+            f"AS rank "
+            f"FROM tele LEFT JOIN c{i} ON c{i}.id = tele.id "
+            f"CROSS JOIN d{i})"
+        )
+    parts.append(f" SELECT id, ROUND(rank, 6) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+SQL_PPR = _ppr_sql(3)
+
+
 def q_sparql_regex(spark, sf):
     """SPARQL FILTER regex() (round 4): RE2-safe pattern with the "i"
     flag compiled to rlike."""
@@ -3572,6 +3678,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_bind": q_sparql_bind,
     "sparql_group_concat": q_sparql_group_concat,
     "sparql_regex": q_sparql_regex,
+    "kcore": q_kcore,
+    "ppr": q_ppr,
 }
 
 ORACLES: dict[str, str] = {
@@ -3682,6 +3790,8 @@ ORACLES: dict[str, str] = {
     "sparql_bind": SQL_SPARQL_BIND,
     "sparql_group_concat": SQL_SPARQL_GROUP_CONCAT,
     "sparql_regex": SQL_SPARQL_REGEX,
+    "kcore": SQL_KCORE,
+    "ppr": SQL_PPR,
 }
 
 

@@ -215,3 +215,114 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
                     / (F.col("degree") * (F.col("degree") - 1)), decimals)
         ).alias("coefficient"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """k-core of the undirected simple graph: the maximal subgraph where
+    every node has degree >= k (Seidman 1983) — the standard structural
+    filter for "well-embedded" entities vs peripheral noise in a web/KG
+    graph. Returns (id, core_deg): surviving nodes with their degree
+    INSIDE the core.
+
+    Peel iteration: each round is one degree aggregate (hash agg, map-side
+    combinable — hub skew collapses before the shuffle) plus two anti-joins
+    removing edges incident to under-degree nodes. The edge set only
+    shrinks, and each round's survivor set is localCheckpoint'ed so the
+    plan stays a leaf (same rationale as pagerank/bfs above). Converges in
+    at most |V| rounds; real graphs take O(log) — the cap is a guard, and
+    extra rounds past the fixpoint are no-ops.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .where(F.col("u") != F.col("v")))
+    e = (e.select("u", "v")
+         .unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+         .distinct()
+         .localCheckpoint())
+    prev = e
+    for _ in range(max_rounds):
+        deg = prev.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        bad = deg.where(F.col("_d") < k).select("u")
+        if bad.isEmpty():
+            return deg.select(
+                F.col("u").alias("id"), F.col("_d").cast("long").alias("core_deg"))
+        nxt = (prev.join(bad, "u", "left_anti")
+               .join(bad.withColumnRenamed("u", "v"), "v", "left_anti")
+               .select("u", "v")
+               .localCheckpoint())
+        prev = nxt
+        if prev.isEmpty():
+            return prev.sparkSession.createDataFrame(
+                [], "id " + dict(e.dtypes)["u"] + ", core_deg long")
+    raise ValueError(f"k-core peel did not converge in {max_rounds} rounds")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank (Jeh & Widom 2003 / the random-walk-with-
+    restart prior): teleport mass returns to the SEED set instead of the
+    uniform vector, ranking nodes by proximity to the seeds — the standard
+    relevance prior for KG neighborhoods and seed-based crawl expansion.
+    `seeds` is a 1-column DataFrame of node ids (first column used).
+    Returns (id, rank); total rank stays exactly 1 (dangling mass restarts
+    at the seeds too, the stochastic completion for PPR).
+
+    Same iteration shape as `pagerank` above — ONE shuffle per round plus
+    a broadcast 1-row dangling aggregate, rank vector localCheckpoint'ed
+    per round so the logical plan stays a leaf.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct().persist())
+    seed_col = seeds.columns[0]
+    s = (seeds.select(F.col(seed_col).alias("id")).distinct()
+         .join(nodes, "id", "left_semi").persist())
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed is a graph node")
+    # teleport vector: 1/|S| on seeds, 0 elsewhere
+    tele = nodes.join(
+        s.select("id", F.lit(1.0 / n_seeds).alias("_t")), "id", "left"
+    ).select("id", F.coalesce("_t", F.lit(0.0)).alias("_t")).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    deg = deg.persist()
+    ranks = tele.select("id", F.col("_t").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("_c"))
+        )
+        dangling = (
+            ranks.join(deg.withColumnRenamed("src", "id"), "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            tele.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                ((F.lit(1.0 - damping) + F.lit(damping) * F.col("_dm"))
+                 * F.col("_t")
+                 + F.lit(damping)
+                 * F.coalesce(F.col("_c"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    for df in (e, nodes, s, tele, deg):
+        df.unpersist(blocking=False)
+    return ranks

@@ -140,3 +140,57 @@ def test_bfs_max_depth_truncates(spark):
     got = {r["id"]: r["dist"]
            for r in bfs_distances(e, seeds, max_depth=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_kcore_triangle_with_pendant(spark):
+    from ecokg_spark.operators.graph import kcore
+
+    # triangle 1-2-3 plus pendant 3-4: 2-core is exactly the triangle
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int")
+    out = {r["id"]: r["core_deg"] for r in kcore(e, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascade_peels_path_to_empty(spark):
+    from ecokg_spark.operators.graph import kcore
+
+    # path 1-2-3-4: removing the endpoints cascades until nothing is left
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+    assert kcore(e, k=2).count() == 0
+
+
+def test_kcore_k1_keeps_every_connected_node(spark):
+    from ecokg_spark.operators.graph import kcore
+
+    e = spark.createDataFrame([(1, 2), (3, 4)], "src int, dst int")
+    out = {r["id"]: r["core_deg"] for r in kcore(e, k=1).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_personalized_pagerank_seed_bias_and_mass(spark):
+    from ecokg_spark.operators.graph import personalized_pagerank
+
+    # 0 <-> 1 <-> 2 chain plus isolated pair 8 <-> 9; seed = {0}
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (8, 9), (9, 8)],
+        "src int, dst int")
+    seeds = spark.createDataFrame([(0,)], "id int")
+    out = {r["id"]: r["rank"] for r in
+           personalized_pagerank(e, seeds, iterations=20).collect()}
+    # total mass 1; unreachable-from-seed component gets nothing
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert out[8] == 0.0 and out[9] == 0.0
+    # the seed holds the teleport bonus over the symmetric far node:
+    # rank(0) = rank(2) + (1-d) exactly, and all reachable nodes rank > 0
+    assert out[0] > out[2] > 0 and out[1] > 0
+    assert abs((out[0] - out[2]) - 0.15) < 1e-9
+
+
+def test_personalized_pagerank_requires_graph_seed(spark):
+    from ecokg_spark.operators.graph import personalized_pagerank
+
+    e = spark.createDataFrame([(0, 1)], "src int, dst int")
+    seeds = spark.createDataFrame([(42,)], "id int")
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(e, seeds)
