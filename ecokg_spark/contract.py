@@ -3546,6 +3546,102 @@ def _ppr_sql(iters: int, d: float = 0.85) -> str:
 SQL_PPR = _ppr_sql(3)
 
 
+def q_containment(spark, sf):
+    """Broder containment pairs (operators/dedup.py containment_pairs):
+    an excerpt planted from each of the first 10 documents (its first 12
+    tokens, id + 200000) has containment ~1 inside its source while
+    Jaccard is near zero — exactly the quote/excerpt duplication class
+    resemblance misses."""
+    from ecokg_spark.operators.dedup import containment_pairs
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    excerpts = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 12)).alias("text"),
+    )
+    both = d.unionByName(excerpts)
+    return containment_pairs(both, "text", "doc_id", n=3, threshold=0.9)
+
+
+SQL_CONTAINMENT = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+  FROM documents WHERE doc_id < 10
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS s FROM base
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / sa.sz AS containment_a,
+       CAST(i AS DOUBLE) / sb.sz AS containment_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE greatest(CAST(i AS DOUBLE) / sa.sz, CAST(i AS DOUBLE) / sb.sz) >= 0.9
+"""
+
+
+def _hashed_embed_sql(dims: int) -> str:
+    """Hashed-BoW oracle: md5-bucket histogram -> L2 normalize, with the
+    sum-of-squares written as a left-chained expression so float
+    accumulation order matches Spark's F.aggregate fold exactly."""
+    cases = ", ".join(
+        f"SUM(CASE WHEN bkt = {k} THEN c ELSE 0.0 END)" for k in range(dims))
+    sumsq = "0.0"
+    for k in range(1, dims + 1):
+        sumsq = f"({sumsq} + dv[{k}] * dv[{k}])"
+    zeros = ", ".join("0.0" for _ in range(dims))
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL.format(c='text')}, ' ')) AS t
+  FROM documents
+),
+tk2 AS (SELECT doc_id, t FROM tk WHERE t <> ''),
+b AS (
+  SELECT doc_id,
+         CAST({_HEX15.format(h='md5(t)')} % {dims} AS INT) AS bkt
+  FROM tk2
+),
+c AS (SELECT doc_id, bkt, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM b GROUP BY doc_id, bkt),
+v AS (SELECT doc_id, list_value({cases}) AS dv FROM c GROUP BY doc_id),
+nv AS (
+  SELECT doc_id,
+         CASE WHEN sqrt({sumsq}) > 0
+              THEN list_transform(dv, x -> x / sqrt({sumsq}))
+              ELSE dv END AS embedding
+  FROM v
+)
+SELECT d.doc_id,
+       coalesce(nv.embedding, [{zeros}]) AS embedding
+FROM documents d LEFT JOIN nv USING (doc_id)
+"""
+
+
+SQL_HASHED_EMBED = _hashed_embed_sql(16)
+
+
+def q_hashed_embed(spark, sf):
+    """Model-free hashed bag-of-words embeddings (operators/embed.py) in
+    the PORTABLE md5-bucket configuration: the oracle recomputes the
+    16-dim unit vectors verbatim (bucket spec, index-ordered norm fold and
+    all). Production uses the same plan with xxhash64 buckets."""
+    from ecokg_spark.operators.embed import hashed_bow_embed
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    return hashed_bow_embed(d, "text", "doc_id", dims=16, portable=True)
+
+
 def q_sparql_regex(spark, sf):
     """SPARQL FILTER regex() (round 4): RE2-safe pattern with the "i"
     flag compiled to rlike."""
@@ -3680,6 +3776,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_regex": q_sparql_regex,
     "kcore": q_kcore,
     "ppr": q_ppr,
+    "containment": q_containment,
+    "hashed_embed": q_hashed_embed,
 }
 
 ORACLES: dict[str, str] = {
@@ -3792,6 +3890,8 @@ ORACLES: dict[str, str] = {
     "sparql_regex": SQL_SPARQL_REGEX,
     "kcore": SQL_KCORE,
     "ppr": SQL_PPR,
+    "containment": SQL_CONTAINMENT,
+    "hashed_embed": SQL_HASHED_EMBED,
 }
 
 

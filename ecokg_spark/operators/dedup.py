@@ -410,6 +410,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Broder CONTAINMENT pairs: C(A,B) = |A∩B| / |A| over n-gram shingle
+    sets (Broder 1997, "On the resemblance and containment of documents").
+    Jaccard misses subset duplication — a paragraph quoted inside a much
+    larger page scores near-zero resemblance but containment ~1 — so this
+    is the right detector for quote/wrapper/excerpt duplication in a web
+    corpus. A pair is emitted when EITHER direction's containment reaches
+    ``threshold``.
+
+    Same inverted-index plan as ``ngram_jaccard_pairs`` (posting-list
+    equi-join on the shingle, one count aggregate, two size joins); pass
+    ``block_col`` at corpus scale to bound hot-shingle posting lists.
+
+    Returns (id_a, id_b, containment_a, containment_b) where
+    containment_a = |A∩B|/|A| (how much of A is inside B), id_a < id_b.
+    """
+    sh = with_word_shingles(
+        df.select(F.col(id_col),
+                  *([F.col(block_col)] if block_col else []),
+                  F.col(text_col)),
+        text_col, k=n, distinct=True,
+    ).select(id_col, *([block_col] if block_col else []), "_sh")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    join_keys = ["_sh"] + ([block_col] if block_col else [])
+    a = sh.select(*[F.col(c) for c in join_keys], F.col(id_col).alias("id_a"))
+    b = sh.select(*[F.col(c) for c in join_keys], F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, join_keys)
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_szb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("_inter") / F.col("_sza")).alias("containment_a"),
+            (F.col("_inter") / F.col("_szb")).alias("containment_b"),
+        )
+        .where(F.greatest("containment_a", "containment_b") >= threshold)
+    )
+
+
 def dup_span_stats(
     df: DataFrame,
     text_col: str = "text",

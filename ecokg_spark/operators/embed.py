@@ -1,0 +1,89 @@
+"""Model-free document embeddings: hashed bag-of-words (feature hashing).
+
+The embedding-based operators (cosine top-k, ANN, embedding/semantic
+dedup) assume an `array<float>` column exists. Real pipelines get it from
+a neural encoder; this operator provides the classic model-free baseline —
+the hashing trick (Weinberger et al. 2009): token -> hash bucket, count,
+L2-normalize. The result is a genuine sparse-BoW cosine space (hash
+collisions add noise bounded by dims), good enough to drive near-dup
+detection and similarity search end-to-end WITHIN the engine, with zero
+external artifacts — and it exercises the exact plumbing a learned
+encoder would need (per-doc dense `array<double>`, unit-norm).
+
+100-TB shape: one (id, bucket) hash aggregate — repeated tokens collapse
+map-side, hot-token skew never reaches a single reducer — then one
+per-doc aggregate whose input is <= dims rows per document. Everything is
+whole-stage-codegen Catalyst; no UDFs, no driver state, no vocabulary
+table (that is the point of the hashing trick: the "vocabulary" is the
+hash function).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ecokg_spark.functions.text import normalize_ws
+
+
+def hashed_bow_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """(id_col, embedding: array<double>) — L2-normalized hashed
+    bag-of-words. Empty/blank documents embed as the zero vector (callers
+    gate on it; a NaN vector would poison every cosine downstream).
+
+    ``portable=False`` (default) buckets with xxhash64 — JVM codegen, the
+    production path. ``portable=True`` buckets with the repo's md5 spec
+    (first 15 hex chars base-16, mod dims) so a SQL oracle recomputes the
+    identical vectors verbatim (same certify-the-real-plan idea as
+    minhash_banded / simhash's md5 specs).
+    """
+    tok = F.explode(F.split(normalize_ws(text_col), " ")).alias("_tk")
+    toks = df.select(F.col(id_col), tok).where(F.col("_tk") != "")
+    if portable:
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("_tk")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(dims),
+        )
+    else:
+        bucket = F.pmod(F.xxhash64("_tk"), F.lit(dims))
+    counts = (
+        toks.select(F.col(id_col), bucket.cast("int").alias("_b"))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda i: F.coalesce(F.element_at("_m", i), F.lit(0.0)),
+    )
+    # index-ordered sum -> identical float accumulation on any engine
+    norm = F.sqrt(F.aggregate(
+        "_v", F.lit(0.0), lambda acc, x: acc + x * x))
+    vecs = (
+        counts.groupBy(id_col)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("_b", "_c"))).alias("_m"))
+        .select(F.col(id_col), dense.alias("_v"))
+        .select(
+            F.col(id_col),
+            F.when(
+                norm > 0,
+                F.transform("_v", lambda x: x / norm),
+            ).otherwise(F.col("_v")).alias("embedding"),
+        )
+    )
+    # tokenless documents dropped by the explode get the zero vector back
+    zero = F.transform(F.sequence(F.lit(0), F.lit(dims - 1)),
+                       lambda _: F.lit(0.0))
+    return (
+        df.select(F.col(id_col))
+        .join(vecs, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce("embedding", zero).alias("embedding"))
+    )

@@ -445,3 +445,34 @@ def test_semantic_dedup_exact_smallcorpus(spark):
                            exact=True).collect()}
     # without label blocking, 4 ([1,0,0]) is an exact dup of 1 — dropped too
     assert kept == {1, 3}
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from ecokg_spark.operators.dedup import (containment_pairs,
+                                             ngram_jaccard_pairs)
+
+    big = " ".join(f"tok{i}" for i in range(100))
+    excerpt = " ".join(f"tok{i}" for i in range(10))   # first 10 tokens
+    df = spark.createDataFrame(
+        [(1, big), (2, excerpt), (3, "totally different words here")],
+        "doc_id int, text string")
+    got = {(r["id_a"], r["id_b"]): r
+           for r in containment_pairs(df, threshold=0.9).collect()}
+    assert set(got) == {(1, 2)}
+    # excerpt fully inside big: containment_b = 1.0, tiny the other way
+    assert got[(1, 2)]["containment_b"] == 1.0
+    assert got[(1, 2)]["containment_a"] < 0.1
+    # resemblance misses the same pair even at a low threshold
+    assert ngram_jaccard_pairs(df, threshold=0.3).count() == 0
+
+
+def test_containment_blocked_variant(spark):
+    from ecokg_spark.operators.dedup import containment_pairs
+
+    txt = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, txt, "x"), (2, txt, "x"), (3, txt, "y")],
+        "doc_id int, text string, lbl string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             containment_pairs(df, block_col="lbl", threshold=0.9).collect()}
+    assert pairs == {(1, 2)}   # cross-block pair (1,3)/(2,3) never generated
