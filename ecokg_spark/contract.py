@@ -3642,6 +3642,72 @@ def q_hashed_embed(spark, sf):
     return hashed_bow_embed(d, "text", "doc_id", dims=16, portable=True)
 
 
+_SPAM_BLOCK = " ".join(f"zspam{i}" for i in range(20))
+
+
+def q_dup_span_removal(spark, sf):
+    """ExactSubstr-style duplicated-span REMOVAL (operators/dedup.py
+    remove_dup_spans): 10 planted spam pages share a literal 20-token
+    block (removed from all of them) and each carries tokens 21-36 of its
+    source document (so that span is trimmed from BOTH the plant and the
+    original); untouched text survives verbatim."""
+    from ecokg_spark.operators.dedup import remove_dup_spans
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    planted = d.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit(_SPAM_BLOCK + " "),
+                 F.concat_ws(" ", F.slice(toks, 21, 16))).alias("text"),
+    )
+    both = d.unionByName(planted)
+    return remove_dup_spans(both, "text", "doc_id", n=8, min_docs=2)
+
+
+SQL_DUP_SPAN_REMOVAL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         '{_SPAM_BLOCK} ' ||
+         coalesce(array_to_string(
+             list_slice(string_split(text, ' '), 21, 36), ' '), '')
+  FROM documents WHERE doc_id < 10
+),
+arr AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS tk
+  FROM base
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+  FROM arr, LATERAL unnest(range(1, len(tk) + 1)) AS r(i)
+),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         lower(array_to_string(list_slice(tk, i, i + 7), ' ')) AS sh
+  FROM arr, LATERAL unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS r(i)
+),
+dup AS (
+  SELECT sh FROM occ GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+covered AS (
+  SELECT DISTINCT o.doc_id, p.pos
+  FROM occ o JOIN dup USING (sh),
+       LATERAL unnest(range(o.pos, o.pos + 8)) AS p(pos)
+),
+flagged AS (
+  SELECT t.doc_id, t.pos, t.tok, c.pos IS NOT NULL AS cov
+  FROM toks t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(CASE WHEN NOT cov THEN 1 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN NOT cov THEN tok END, ' '
+                           ORDER BY pos), '') AS text
+FROM flagged GROUP BY doc_id
+"""
+
+
 def q_sparql_regex(spark, sf):
     """SPARQL FILTER regex() (round 4): RE2-safe pattern with the "i"
     flag compiled to rlike."""
@@ -3778,6 +3844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppr": q_ppr,
     "containment": q_containment,
     "hashed_embed": q_hashed_embed,
+    "dup_span_removal": q_dup_span_removal,
 }
 
 ORACLES: dict[str, str] = {
@@ -3892,6 +3959,7 @@ ORACLES: dict[str, str] = {
     "ppr": SQL_PPR,
     "containment": SQL_CONTAINMENT,
     "hashed_embed": SQL_HASHED_EMBED,
+    "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
 }
 
 

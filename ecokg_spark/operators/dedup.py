@@ -499,6 +499,89 @@ def dup_span_stats(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al. 2022 cut the
+    repeated substring out of the text; ``dup_span_stats`` only measures
+    it). A token is removed when it is covered by any word n-gram whose
+    normalized form occurs in >= ``min_docs`` DISTINCT documents — the
+    cross-document grain (matching line_dedup's convention; the paper's
+    suffix-array variant also removes within-document repeats, which the
+    n-gram census deliberately does not count as duplication).
+
+    Returns (id_col, n_tokens, n_kept, text) with text rebuilt from the
+    surviving tokens in order.
+
+    100-TB shape: the n-gram census is ONE hash aggregate on the shingle
+    key (map-side partials absorb the Zipf head), the dup filter joins
+    back on the same key (left semi, co-partitioned), covered positions
+    explode n-wide per dup occurrence (bounded fanout) and collapse with
+    one distinct on (id, pos), and the rebuild is one groupBy(id) bounded
+    by document size. No cross join, no driver state.
+    """
+    arr = df.select(F.col(id_col),
+                    F.split(normalize_ws(text_col), " ").alias("_arr"))
+    toks = arr.select(
+        F.col(id_col), F.posexplode("_arr").alias("_pos", "_tok"))
+    # positional shingles; the full-range transform + slice avoids a
+    # descending sequence() when the doc has < n tokens (slice length
+    # clamps at 0). `_arr` is a staged column, not a closed-over expr —
+    # higher-order lambdas are interpreted with no CSE (verify skill).
+    m = F.greatest(F.size("_arr") - F.lit(n - 1), F.lit(0))
+    shingles = F.slice(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_arr")),
+            lambda i: F.struct(
+                (i - 1).alias("_pos"),
+                F.lower(F.concat_ws(" ", F.slice("_arr", i, n))).alias("_sh"),
+            ),
+        ),
+        1, m,
+    )
+    occ = arr.select(F.col(id_col), F.explode(shingles).alias("_o")).select(
+        F.col(id_col),
+        F.col("_o._pos").alias("_pos"),
+        F.col("_o._sh").alias("_sh"),
+    )
+    dup = (
+        occ.groupBy("_sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_sh")
+    )
+    covered = (
+        occ.join(dup, "_sh", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(n - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(True))
+    )
+    flagged = toks.join(covered, [id_col, "_pos"], "left")
+    keep = F.when(F.col("_cov").isNull(), F.struct("_pos", "_tok"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count(keep).cast("long").alias("n_kept"),
+            F.array_sort(F.collect_list(keep)).alias("_ls"),
+        )
+        .select(
+            F.col(id_col), "n_tokens", "n_kept",
+            F.concat_ws(" ", F.transform("_ls", lambda s: s["_tok"]))
+            .alias(text_col),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_df: DataFrame,

@@ -476,3 +476,44 @@ def test_containment_blocked_variant(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              containment_pairs(df, block_col="lbl", threshold=0.9).collect()}
     assert pairs == {(1, 2)}   # cross-block pair (1,3)/(2,3) never generated
+
+
+def test_remove_dup_spans_cuts_shared_block_keeps_unique(spark):
+    from ecokg_spark.operators.dedup import remove_dup_spans
+
+    df = spark.createDataFrame([
+        (1, "SPAM BLOCK one two three four five six seven unique tail alpha"),
+        (2, "SPAM BLOCK one two three four five six seven other ending beta"),
+        (3, "completely original document with its own words entirely"),
+    ], "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           remove_dup_spans(df, n=4, min_docs=2).collect()}
+    # the 9-token shared block is fully covered by duplicated 4-grams
+    assert out[1]["text"] == "unique tail alpha"
+    assert out[2]["text"] == "other ending beta"
+    assert out[1]["n_tokens"] == 12 and out[1]["n_kept"] == 3
+    # untouched document survives verbatim
+    assert out[3]["n_kept"] == out[3]["n_tokens"] == 8
+
+
+def test_remove_dup_spans_within_doc_repeat_not_cut(spark):
+    from ecokg_spark.operators.dedup import remove_dup_spans
+
+    # the same 4-gram twice WITHIN one doc is not cross-document dup
+    df = spark.createDataFrame([
+        (1, "a b c d x a b c d"), (2, "totally different words here now")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           remove_dup_spans(df, n=4, min_docs=2).collect()}
+    assert out[1]["n_kept"] == out[1]["n_tokens"] == 9
+
+
+def test_remove_dup_spans_short_docs_untouched(spark):
+    from ecokg_spark.operators.dedup import remove_dup_spans
+
+    # docs shorter than n produce no shingles and keep all tokens
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           remove_dup_spans(df, n=8, min_docs=2).collect()}
+    assert all(r["n_kept"] == r["n_tokens"] == 2 for r in out.values())
