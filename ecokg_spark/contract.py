@@ -4005,6 +4005,15 @@ assert len(_CERT_WINDOW) == 50 and len(set(_CERT_WINDOW)) == 50
 assert all(n in QUERIES for n in _CERT_WINDOW), [
     n for n in _CERT_WINDOW if n not in QUERIES]
 
+# ROUND-5 ROTATION PLAN: once CORRECTNESS_r04 lands green, rebuild the
+# window as (a) the 12 rows added after the r4 window was frozen —
+# paragraph_dedup, bigram_lm, semantic_dedup, url_blocklist, sparql_bind,
+# sparql_group_concat, sparql_regex, kcore, ppr, containment,
+# hashed_embed, dup_span_removal — which have local-oracle green but no
+# driver record, then (b) the r03-certified rows that have now sat out a
+# round (token_count .. embedding_neardup block), then (c) canaries.
+# Every row then has a driver-green record within the last two rounds.
+
 
 def _window_order(d):
     head = {k: d[k] for k in _CERT_WINDOW if k in d}
