@@ -193,3 +193,51 @@ def test_dup_span_stats_two_shuffles(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = dup_span_stats(docs, n=3)
     assert count_exchanges(out) <= 3, physical_plan(out)
+
+
+def test_containment_no_cartesian(spark):
+    """containment_pairs is the posting-list join shape: no cartesian
+    product / broadcast-nested-loop anywhere, even without blocking."""
+    from ecokg_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(containment_pairs(docs, n=3, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_remove_dup_spans_bounded_shuffles(spark):
+    """remove_dup_spans: census agg, semi-join alignment, covered-position
+    distinct, flag join, doc rollup — bounded exchange count and no
+    cartesian/broadcast of a corpus-sized side."""
+    from ecokg_spark.operators.dedup import remove_dup_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = remove_dup_spans(docs, n=8)
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(out) <= 7, plan
+
+
+def test_hashed_embed_two_aggregates_no_udf(spark):
+    """hashed_bow_embed is pure Catalyst: two hash aggregates ((id,bucket)
+    then id), no Python UDF evaluation node in the plan."""
+    from ecokg_spark.operators.embed import hashed_bow_embed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = hashed_bow_embed(docs, dims=32)
+    plan = physical_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert count_exchanges(out) <= 3, plan
+
+
+def test_bigram_lm_probe_join_no_udf(spark):
+    """bigram_lm_score stays JVM-side end to end (no Python eval) and the
+    vocabulary-side c1 join never broadcasts the corpus probe."""
+    from ecokg_spark.operators.lm import bigram_lm_score
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = bigram_lm_score(docs)
+    plan = physical_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
