@@ -3440,6 +3440,43 @@ FROM part GROUP BY p_size
 """
 
 
+def q_sparql_optional_filter(spark, sf):
+    """FILTER inside OPTIONAL compiles with LeftJoin-condition scoping
+    (spec §6.1): a part whose has_size edge fails the inner filter keeps
+    its row with ?m NULL — moving the filter outside would drop it. Only
+    parts with p_size < 25 have edges (same fixture as sparql_optional);
+    the inner filter keeps sizes 10-19 only."""
+    from ecokg_spark.query import sparql_select
+
+    p = t(spark, sf, "part")
+    nodes = p.select(
+        F.concat(F.lit("P:"), F.col("p_partkey")).alias("id"),
+        F.col("p_brand").alias("category"),
+    )
+    edges = p.where(F.col("p_size") < 25).select(
+        F.concat(F.lit("P:"), F.col("p_partkey")).alias("subject"),
+        F.lit("biolink:has_size").alias("predicate"),
+        F.concat(F.lit("SZ:"), F.col("p_size").cast("string")).alias("object"),
+    )
+    return sparql_select(
+        spark,
+        "SELECT ?x ?cat ?m WHERE { ?x biolink:category ?cat . "
+        'OPTIONAL { ?x biolink:has_size ?m . FILTER regex(?m, "^SZ:1[0-9]$") } }',
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_OPTIONAL_FILTER = """
+SELECT 'P:' || CAST(p.p_partkey AS VARCHAR) AS x, p.p_brand AS cat, e.m
+FROM part p
+LEFT JOIN (
+  SELECT p_partkey, 'SZ:' || CAST(p_size AS VARCHAR) AS m
+  FROM part WHERE p_size < 25
+    AND regexp_matches('SZ:' || CAST(p_size AS VARCHAR), '^SZ:1[0-9]$')
+) e ON e.p_partkey = p.p_partkey
+"""
+
+
 def q_kcore(spark, sf):
     """k-core decomposition (operators/graph.py kcore): peel iteration on
     the undirected graph synthesized from nation (i -- (3i+1)%25 and
@@ -3845,6 +3882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment": q_containment,
     "hashed_embed": q_hashed_embed,
     "dup_span_removal": q_dup_span_removal,
+    "sparql_optional_filter": q_sparql_optional_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -3960,6 +3998,7 @@ ORACLES: dict[str, str] = {
     "containment": SQL_CONTAINMENT,
     "hashed_embed": SQL_HASHED_EMBED,
     "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
+    "sparql_optional_filter": SQL_SPARQL_OPTIONAL_FILTER,
 }
 
 

@@ -24,7 +24,7 @@ the same queries compile straight to Catalyst plans — no endpoint:
     filter   := FILTER( ?var (=|!=) value ) | FILTER regex(?var, "re" [,"i"])
               value := "quoted" | token
     notexists:= FILTER NOT EXISTS { pattern (. pattern)* }
-    optional := OPTIONAL { pattern (. pattern)* }
+    optional := OPTIONAL { pattern (. pattern)* filter* }
     union    := { pattern+ } UNION { pattern+ } (UNION { pattern+ })*
     values   := VALUES ?var { value+ }
     bind     := BIND( expr AS ?newvar )
@@ -79,10 +79,14 @@ the same queries compile straight to Catalyst plans — no endpoint:
   OPTIONAL compiles to a LEFT OUTER join on the variables shared with the
   required patterns (unmatched rows bind the optional-only variables to
   NULL); an OPTIONAL block sharing no variable with the required part is
-  rejected (a left cross product is never what a user means). FILTERs
-  always apply after all joins — FILTER placement *inside* an OPTIONAL
-  block (which scopes the filter to the join in full SPARQL) is rejected
-  rather than silently reinterpreted.
+  rejected (a left cross product is never what a user means). A FILTER
+  written INSIDE an OPTIONAL block is part of the LeftJoin condition
+  (spec §6.1): when it references only block-bound variables it applies
+  to the block's relation before the left join — exactly the spec
+  semantics for that case — while a filter referencing required-side
+  variables (a genuine join-condition filter) is rejected rather than
+  silently reinterpreted. FILTERs outside any block apply after all
+  joins.
 
   semantics:
     - predicate `biolink:category` reads the NODES table (id, category) —
@@ -266,6 +270,31 @@ def _parse(query: str):
     not_exists = [_split_patterns(block)
                   for block in _NOT_EXISTS_RE.findall(where_raw)]
     where_raw = _NOT_EXISTS_RE.sub(" ", where_raw)
+    optionals = []
+    for block in _OPTIONAL_RE.findall(where_raw):
+        # FILTER inside OPTIONAL is part of the LeftJoin condition (spec
+        # §6.1): when it references only block-bound variables, applying
+        # it to the block's relation BEFORE the left join is equivalent.
+        # The harder case — a filter referencing REQUIRED-side variables,
+        # which turns into a genuine join-condition filter — is checked
+        # at compile time (see sparql_select) and rejected there.
+        orx = [(v, pat, flags) for _p, v, pat, flags
+               in _REGEX_FILTER_RE.findall(block)]
+        for _v, _pat, flags in orx:
+            if flags not in ("", "i"):
+                raise SparqlError(f"unsupported regex flags: {flags!r}")
+        block = _REGEX_FILTER_RE.sub(" ", block)
+        ofl = [(v, op, val[1:-1] if val.startswith('"') else val)
+               for v, op, val in _FILTER_RE.findall(block)]
+        block = _FILTER_RE.sub(" ", block)
+        if re.search(r"(?i)FILTER", block):
+            raise SparqlError(
+                "unsupported FILTER form inside OPTIONAL (only "
+                "equality/inequality and regex() filters are compiled)")
+        optionals.append((_split_patterns(block), ofl, orx))
+    where_raw = _OPTIONAL_RE.sub(" ", where_raw)
+    # BIND and the global (post-join) filters extract AFTER the block
+    # constructs above, so block-scoped filters are never stolen globally
     binds = [(_parse_expr(expr), var)
              for expr, var in _BIND_RE.findall(where_raw)]
     where_raw = _BIND_RE.sub(" ", where_raw)
@@ -275,14 +304,6 @@ def _parse(query: str):
         if flags not in ("", "i"):
             raise SparqlError(f"unsupported regex flags: {flags!r}")
     where_raw = _REGEX_FILTER_RE.sub(" ", where_raw)
-    optionals = []
-    for block in _OPTIONAL_RE.findall(where_raw):
-        if re.search(r"(?i)FILTER", block):
-            raise SparqlError(
-                "FILTER inside OPTIONAL is unsupported (its SPARQL scope "
-                "differs from a post-join filter); move it outside")
-        optionals.append(_split_patterns(block))
-    where_raw = _OPTIONAL_RE.sub(" ", where_raw)
     values: list[tuple[str, list[str]]] = []
     for var, block in _VALUES_RE.findall(where_raw):
         vals = [v[1:-1] if v.startswith('"') else v for v in block.split()]
@@ -565,10 +586,27 @@ def sparql_select(
         for v, c in var_cols[i].items():
             bound.setdefault(v, c)
 
-    # OPTIONAL groups: inner-join the group's own patterns, then LEFT
-    # OUTER join it to the required part on the shared variables
-    for gi, opt_patterns in enumerate(optionals):
+    # OPTIONAL groups: inner-join the group's own patterns, apply the
+    # block's own FILTERs to the group relation (LeftJoin-condition
+    # scoping, spec §6.1 — legal because they reference only block-bound
+    # variables), then LEFT OUTER join to the required part
+    for gi, (opt_patterns, ofilters, orx) in enumerate(optionals):
         grp, grp_bound, idx = _compile_group(nodes, edges, idx, opt_patterns)
+        for v, op, val in ofilters:
+            if v not in grp_bound:
+                raise SparqlError(
+                    f"FILTER inside OPTIONAL group {gi} references ?{v}, "
+                    "which is not bound in that block (join-condition "
+                    "filters on required-side variables are unsupported)")
+            c = F.col(grp_bound[v])
+            grp = grp.where(c == val if op == "=" else c != val)
+        for v, pat, flags in orx:
+            if v not in grp_bound:
+                raise SparqlError(
+                    f"FILTER regex inside OPTIONAL group {gi} references "
+                    f"?{v}, which is not bound in that block")
+            grp = grp.where(F.col(grp_bound[v]).rlike(
+                f"(?{flags}){pat}" if flags else pat))
         cond = _shared_cond(bound, grp_bound)
         if cond is None:
             raise SparqlError(

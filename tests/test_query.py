@@ -159,7 +159,7 @@ def test_optional_multi_pattern_group(spark, kg):
                    "G:2": (None, None)}
 
 
-def test_optional_rejects_disjoint_and_inner_filter(spark, kg):
+def test_optional_rejects_disjoint(spark, kg):
     nodes, edges = kg
     with pytest.raises(SparqlError, match="shares no variable"):
         sparql_select(
@@ -167,11 +167,49 @@ def test_optional_rejects_disjoint_and_inner_filter(spark, kg):
             "SELECT ?g ?x WHERE { ?g biolink:in_taxon T:1 . "
             "OPTIONAL { ?x biolink:category ?c } }",
             nodes, edges).collect()
-    with pytest.raises(SparqlError, match="FILTER inside OPTIONAL"):
+
+
+def test_optional_inner_filter_left_join_scope(spark, kg):
+    """FILTER inside OPTIONAL is part of the LeftJoin condition (spec
+    §6.1): a block solution failing the filter leaves the row with NULL
+    optional bindings — NOT removed, which is what moving the filter
+    outside would do."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?g ?p WHERE { ?g biolink:in_taxon ?t . OPTIONAL { "
+        '?g biolink:has_phenotype ?p . FILTER(?p != "P:1") } }',
+        nodes, edges)
+    got = {r["g"]: r["p"] for r in out.collect()}
+    # G:1 HAS a phenotype edge, but it fails the filter -> NULL, row kept
+    assert got == {"G:1": None, "G:2": None}
+    # contrast: the same filter OUTSIDE the block removes G:1 entirely
+    outside = sparql_select(
+        spark,
+        "SELECT ?g ?p WHERE { ?g biolink:in_taxon ?t . OPTIONAL { "
+        '?g biolink:has_phenotype ?p } FILTER(?p != "P:1") }',
+        nodes, edges)
+    assert {r["g"] for r in outside.collect()} == set()
+
+
+def test_optional_inner_regex_filter(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?g ?p WHERE { ?g biolink:in_taxon ?t . OPTIONAL { "
+        '?g biolink:has_phenotype ?p . FILTER regex(?p, "^P:") } }',
+        nodes, edges)
+    got = {r["g"]: r["p"] for r in out.collect()}
+    assert got == {"G:1": "P:1", "G:2": None}
+
+
+def test_optional_inner_filter_on_required_var_rejected(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="not bound in that block"):
         sparql_select(
             spark,
-            "SELECT ?g WHERE { ?g biolink:in_taxon T:1 . OPTIONAL { "
-            '?g biolink:has_phenotype ?p . FILTER(?p = "P:1") } }',
+            "SELECT ?g WHERE { ?g biolink:in_taxon ?t . OPTIONAL { "
+            '?g biolink:has_phenotype ?p . FILTER(?t = "T:1") } }',
             nodes, edges)
 
 
