@@ -802,3 +802,67 @@ def test_filter_regex_bad_flags_rejected(spark, kg):
             'SELECT ?n WHERE { ?n biolink:category ?cat . '
             'FILTER regex(?cat, "x", "gms") }',
             nodes, edges).collect()
+
+
+def test_random_optional_inner_filters_match_duckdb(spark, kg):
+    """Seeded random OPTIONAL blocks with inner equality/regex filters vs
+    an independent DuckDB LEFT JOIN translation — the NULL-keeping
+    LeftJoin-condition scoping must hold on arbitrary shapes, not just
+    the hand-written rows."""
+    import random
+
+    import duckdb
+
+    nodes, edges = kg
+    con = duckdb.connect()
+    con.register("n", nodes.toPandas())
+    con.register("e", edges.toPandas())
+
+    CAT = "biolink:category"
+    preds = ["biolink:in_taxon", "biolink:has_phenotype"]
+    vals = ["T:1", "P:1", "G:1"]
+    pats = ["^P:", "^T:", ":1$", "^G"]
+
+    checked = 0
+    for seed in range(40):
+        rng = random.Random(1000 + seed)
+        p1 = rng.choice(preds)
+        shared = rng.choice(["a", "b"])
+        p3 = rng.choice(preds + [CAT])
+        inner_eq = None
+        if rng.random() < 0.5:
+            inner_eq = (rng.choice(["=", "!="]), rng.choice(vals))
+        inner_rx = rng.choice(pats) if rng.random() < 0.5 else None
+        if inner_eq is None and inner_rx is None:
+            inner_rx = rng.choice(pats)
+
+        filt = ""
+        if inner_eq:
+            filt += f' FILTER(?o {inner_eq[0]} "{inner_eq[1]}")'
+        if inner_rx:
+            filt += f' FILTER regex(?o, "{inner_rx}")'
+        sparql = (f"SELECT ?a ?b ?o WHERE {{ ?a {p1} ?b . "
+                  f"OPTIONAL {{ ?{shared} {p3} ?o .{filt} }} }}")
+
+        blk_src = ("(SELECT id AS s, category AS o FROM n)" if p3 == CAT
+                   else f"(SELECT subject AS s, object AS o FROM e "
+                        f"WHERE predicate = '{p3}')")
+        conds = []
+        if inner_eq:
+            conds.append(f"o {'=' if inner_eq[0] == '=' else '<>'} "
+                         f"'{inner_eq[1]}'")
+        if inner_rx:
+            conds.append(f"regexp_matches(o, '{inner_rx}')")
+        where = (" WHERE " + " AND ".join(conds)) if conds else ""
+        sql = (f"SELECT base.a, base.b, blk.o FROM "
+               f"(SELECT subject AS a, object AS b FROM e "
+               f" WHERE predicate = '{p1}') base "
+               f"LEFT JOIN (SELECT s, o FROM {blk_src}{where}) blk "
+               f"ON blk.s = base.{shared}")
+
+        got = sorted(tuple(r) for r in
+                     sparql_select(spark, sparql, nodes, edges).collect())
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, f"seed {seed}: {sparql}\n got {got}\nwant {want}"
+        checked += 1
+    assert checked >= 30
