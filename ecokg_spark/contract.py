@@ -3440,6 +3440,142 @@ FROM part GROUP BY p_size
 """
 
 
+def q_curate_v2(spark, sf):
+    """Composed round-4 curation chain (operators/curation.py
+    curate_corpus_v2): blocklist -> token gate -> bigram-LM floor (0.5 x
+    corpus mean) -> paragraph dedup -> exact dedup on rebuilt text ->
+    0.5 hash sample, over documents re-chunked into 8-token paragraphs
+    with the rich synthesized URLs."""
+    from ecokg_spark.operators.curation import curate_corpus_v2
+
+    d = t(spark, sf, "documents").select("doc_id", "source", "text")
+    toks = F.split(F.col("text"), " ")
+    npar = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    chunked = d.select(
+        "doc_id", "source",
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.sequence(F.lit(0), npar - F.lit(1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * F.lit(8) + F.lit(1), 8)),
+            ),
+        ).alias("text"),
+    )
+    docs = chunked.withColumn("url", _synth_url_rich()).select(
+        "doc_id", "text", "url")
+    bl = spark.createDataFrame(
+        [("src3.co.uk", "adult"), ("src15.co.uk", "gambling")],
+        "domain string, category string",
+    )
+    out = curate_corpus_v2(docs, bl, path_pattern="/sec1/",
+                           min_tokens=10, lm_floor_frac=0.5,
+                           sample_rate=0.5)
+    return out.select("doc_id", "n_tokens", "avg_p", "n_paras", "n_kept",
+                      "text")
+
+
+def _curate_v2_sql() -> str:
+    from ecokg_spark.operators.sample import sample_threshold_hex
+
+    norm_kept = _NORM_SQL.format(c="text")
+    return f"""
+WITH chunked AS (
+  SELECT doc_id, source,
+         array_to_string(list_transform(
+           range(1, CAST(ceil(len(string_split(text, ' ')) / 8.0)
+                    AS BIGINT) + 1),
+           i -> array_to_string(
+                  list_slice(string_split(text, ' '),
+                             (i - 1) * 8 + 1, i * 8), ' ')),
+           chr(10) || chr(10)) AS text
+  FROM documents
+),
+u AS (SELECT doc_id, text, {_SYNTH_URL_RICH_SQL} AS url FROM chunked),
+p AS (SELECT doc_id, text, url, {_SQL_URL_PARTS} FROM u),
+dm AS (SELECT doc_id, text, path, {_SQL_REG_DOMAIN} AS domain FROM p),
+b1 AS (
+  SELECT doc_id, text FROM dm
+  WHERE domain NOT IN ('src3.co.uk', 'src15.co.uk')
+    AND NOT regexp_matches(path, '/sec1/')
+),
+t1 AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN length({norm_kept}) = 0 THEN 0
+              ELSE len(string_split({norm_kept}, ' ')) END AS BIGINT)
+         AS n_tokens
+  FROM b1
+),
+t2 AS (SELECT * FROM t1 WHERE n_tokens BETWEEN 10 AND 100000),
+ltk AS (
+  SELECT doc_id, string_split({norm_kept}, ' ') AS tk FROM t2
+),
+lix AS (SELECT doc_id, tk, unnest(range(2, len(tk) + 1)) AS i FROM ltk),
+lbg AS (SELECT doc_id, tk[i - 1] AS w1, tk[i] AS w2 FROM lix),
+lc2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM lbg GROUP BY w1, w2),
+lc1 AS (SELECT w1, SUM(c2) AS c1 FROM lc2 GROUP BY w1),
+lvs AS (SELECT COUNT(DISTINCT w2) AS v FROM lc2),
+lsc AS (
+  SELECT b.doc_id,
+         (CAST(c.c2 AS DOUBLE) + 0.5)
+         / (CAST(lc1.c1 AS DOUBLE) + 0.5 * CAST(lvs.v AS DOUBLE)) AS p
+  FROM lbg b JOIN lc2 c USING (w1, w2) JOIN lc1 USING (w1) CROSS JOIN lvs
+),
+lper AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) AS sum_p
+  FROM lsc GROUP BY doc_id
+),
+ltot AS (
+  SELECT CAST(SUM(CAST(sum_p AS DECIMAL(28,12))) AS DOUBLE) AS tp,
+         SUM(n_bigrams) AS tn
+  FROM lper
+),
+g AS (
+  SELECT t2.doc_id, t2.text, t2.n_tokens,
+         lper.sum_p / CAST(lper.n_bigrams AS DOUBLE) AS avg_p
+  FROM t2 JOIN lper USING (doc_id) CROSS JOIN ltot
+  WHERE lper.sum_p / CAST(lper.n_bigrams AS DOUBLE)
+        >= 0.5 * (ltot.tp / CAST(ltot.tn AS DOUBLE))
+),
+sp AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM g),
+pp AS (
+  SELECT doc_id, i AS pos, ps[i] AS para
+  FROM sp, LATERAL unnest(range(1, len(ps) + 1)) AS r(i)
+),
+pdup AS (SELECT para FROM pp GROUP BY para
+         HAVING COUNT(DISTINCT doc_id) >= 2),
+pfl AS (
+  SELECT p.doc_id, p.pos, p.para, d.para IS NOT NULL AS isdup
+  FROM pp p LEFT JOIN pdup d USING (para)
+),
+reb AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_paras,
+         CAST(COUNT(CASE WHEN NOT isdup THEN 1 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN NOT isdup THEN para END,
+                             chr(10) || chr(10) ORDER BY pos), '') AS text
+  FROM pfl GROUP BY doc_id
+),
+g2 AS (
+  SELECT g.doc_id, g.n_tokens, g.avg_p, reb.n_paras, reb.n_kept, reb.text
+  FROM g JOIN reb USING (doc_id)
+),
+fp AS (SELECT *, md5(lower({norm_kept})) AS f FROM g2),
+keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+dd AS (
+  SELECT fp.doc_id, fp.n_tokens, fp.avg_p, fp.n_paras, fp.n_kept, fp.text
+  FROM fp JOIN keep USING (f, doc_id)
+)
+SELECT * FROM dd
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < '{sample_threshold_hex(0.5)}'
+"""
+
+
+SQL_CURATE_V2 = _curate_v2_sql()
+
+
 def q_sparql_optional_filter(spark, sf):
     """FILTER inside OPTIONAL compiles with LeftJoin-condition scoping
     (spec §6.1): a part whose has_size edge fails the inner filter keeps
@@ -3883,6 +4019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hashed_embed": q_hashed_embed,
     "dup_span_removal": q_dup_span_removal,
     "sparql_optional_filter": q_sparql_optional_filter,
+    "curate_v2": q_curate_v2,
 }
 
 ORACLES: dict[str, str] = {
@@ -3999,6 +4136,7 @@ ORACLES: dict[str, str] = {
     "hashed_embed": SQL_HASHED_EMBED,
     "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
     "sparql_optional_filter": SQL_SPARQL_OPTIONAL_FILTER,
+    "curate_v2": SQL_CURATE_V2,
 }
 
 

@@ -85,3 +85,73 @@ def length_quartiles(
             F.percentile("_nt", F.lit(0.75)).alias("p75"),
         )
     )
+
+
+def curate_corpus_v2(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    path_pattern: str | None = None,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    lm_floor_frac: float = 0.5,
+    paragraph_min_docs: int = 2,
+    sample_rate: float = 1.0,
+) -> DataFrame:
+    """Second-generation curation chain, composing the round-4 operators:
+
+      URL blocklist (broadcast domain join + path rlike)
+        -> token-count gate
+        -> bigram-LM quality floor: drop documents whose mean smoothed
+           conditional probability is below ``lm_floor_frac`` x the
+           corpus mean (self-trained on the gated corpus — the standard
+           relative perplexity cut, scale-free so the same fraction works
+           at any corpus size)
+        -> paragraph-level boilerplate removal (text rebuilt)
+        -> exact dedup on the REBUILT text (two pages differing only in
+           boilerplate collapse here — the reason paragraph dedup runs
+           first)
+        -> deterministic md5 Bernoulli sample
+
+    Returns surviving rows with signal columns
+    (id, n_tokens, avg_p, n_paras, n_kept, text).
+
+    Shuffle budget: the narrow gates (blocklist, tokens, sample) fuse
+    into scan stages; the corpus-sized shuffles are the LM's count/probe
+    pair, the paragraph census + rebuild, and the dedup aggregate — each
+    the documented shape of its operator, nothing quadratic, nothing on
+    the driver (the LM floor is a broadcast 1-row aggregate).
+    """
+    from ecokg_spark.operators.dedup import paragraph_dedup
+    from ecokg_spark.operators.lm import bigram_lm_score
+    from ecokg_spark.operators.web import url_blocklist_filter
+
+    flt = url_blocklist_filter(docs, blocklist, url_col, path_pattern)
+    d = (flt.where(F.col("block_reason").isNull())
+         .drop("block_reason", "block_category", "domain", url_col))
+    d = (d.withColumn("n_tokens", token_count(text_col))
+         .where((F.col("n_tokens") >= min_tokens)
+                & (F.col("n_tokens") <= max_tokens)))
+    lm = bigram_lm_score(d, id_col, text_col)
+    tot = lm.agg(
+        F.sum(F.col("sum_p").cast("decimal(28,12)")).cast("double")
+        .alias("_tp"),
+        F.sum("n_bigrams").alias("_tn"),
+    )
+    d = (
+        d.join(lm.select(id_col, "avg_p"), id_col)
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("avg_p")
+               >= F.lit(lm_floor_frac) * (F.col("_tp")
+                                          / F.col("_tn").cast("double")))
+        .drop("_tp", "_tn")
+    )
+    paras = paragraph_dedup(d.select(id_col, text_col), text_col, id_col,
+                            min_docs=paragraph_min_docs)
+    d = d.drop(text_col).join(paras, id_col)
+    d = exact_dedup(d, text_col=text_col, id_col=id_col)
+    if sample_rate < 1.0:
+        d = hash_sample(d, sample_rate, id_col)
+    return d

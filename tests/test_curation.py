@@ -58,3 +58,56 @@ def test_length_quartiles_hand_computed(spark):
     # empty text counts 0 tokens
     assert (got["b"]["p25"], got["b"]["p50"], got["b"]["p75"]) == (
         0.0, 0.0, 0.0)
+
+
+def test_curate_corpus_v2_stage_interactions(spark):
+    from ecokg_spark.operators.curation import curate_corpus_v2
+
+    body = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        # 1: clean doc with a boilerplate paragraph shared with 2
+        (1, f"{body}\n\nCOOKIE BANNER NOTICE HERE", "https://ok.example.org/a"),
+        (2, f"COOKIE BANNER NOTICE HERE\n\n{body} tail", "https://ok.example.org/b"),
+        # 3: blocked domain
+        (3, body, "https://bad.example.net/x"),
+        # 4: too short for the token gate
+        (4, "tiny doc here", "https://ok.example.org/c"),
+        # 5: shares BOTH paragraphs with doc 1 -> both docs reduce to ""
+        # and exact dedup collapses the empties to the min id
+        (5, f"COOKIE BANNER NOTICE HERE\n\n{body}", "https://ok.example.org/d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, url string")
+    bl = spark.createDataFrame([("example.net", "malware")],
+                               "domain string, category string")
+    out = {r["doc_id"]: r for r in
+           curate_corpus_v2(docs, bl, min_tokens=10, lm_floor_frac=0.0,
+                            sample_rate=1.0).collect()}
+    assert 3 not in out          # domain-blocked
+    assert 4 not in out          # token gate
+    assert 5 not in out          # emptied like doc 1, min id wins the dedup
+    assert set(out) == {1, 2}
+    # every paragraph of doc 1 (banner AND body) repeats cross-doc, so its
+    # rebuilt text is empty — paragraph dedup at min_docs=2 subsumes the
+    # exact-dup pair by emptying both before the fingerprint dedup
+    assert out[1]["text"] == "" and out[1]["n_kept"] == 0
+    assert out[1]["n_paras"] == 2
+    # doc 2's banner is boilerplate but its body+tail paragraph is unique
+    assert out[2]["text"] == f"{body} tail"
+
+
+def test_curate_corpus_v2_lm_floor_drops_gibberish(spark):
+    from ecokg_spark.operators.curation import curate_corpus_v2
+
+    base = "the cat sat on the mat and the dog sat on the rug again today"
+    rows = [(i, base, f"https://ok.example.org/{i}") for i in range(10)]
+    rows.append((99, "qq zz xx vv qq pp ww mm nn kk jj hh gg ff",
+                 "https://ok.example.org/odd"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string, url string")
+    bl = spark.createDataFrame([("none.example", "x")],
+                               "domain string, category string")
+    # exact dedup collapses the 10 copies to doc 0; gibberish doc 99 falls
+    # below half the corpus-mean LM score
+    out = {r["doc_id"] for r in
+           curate_corpus_v2(docs, bl, min_tokens=5, lm_floor_frac=0.5,
+                            sample_rate=1.0).collect()}
+    assert out == {0}
