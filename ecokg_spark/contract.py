@@ -3160,13 +3160,26 @@ def q_curate_stream(spark, sf):
     src = tempfile.mkdtemp(prefix="ecokg_cur_src_")
     hi = d.agg(F.max("doc_id")).first()[0]
     cuts = [None, hi // 3, 2 * hi // 3, None]
-    for lo, up in zip(cuts[:-1], cuts[1:]):
+    import os as _os
+    stamped: set[str] = set()
+    for fi, (lo, up) in enumerate(zip(cuts[:-1], cuts[1:])):
         part = d
         if lo is not None:
             part = part.where(F.col("doc_id") > lo)
         if up is not None:
             part = part.where(F.col("doc_id") <= up)
         part.coalesce(1).write.mode("append").parquet(src)
+        # FileStreamSource orders files by modification time and breaks
+        # ties arbitrarily; three fast local writes can land in one mtime
+        # tick, making batch order (and thus first-wins survivors)
+        # nondeterministic vs the oracle's min(doc_id). Stamp strictly
+        # increasing mtimes so ingestion order is the write order.
+        for name in _os.listdir(src):
+            pth = _os.path.join(src, name)
+            if name.endswith(".parquet") and pth not in stamped:
+                st = _os.stat(pth)
+                _os.utime(pth, (st.st_atime, 1_000_000_000 + fi * 100))
+                stamped.add(pth)
 
     stream = (spark.readStream.schema(d.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
@@ -3186,6 +3199,15 @@ def q_curate_stream(spark, sf):
          .option("checkpointLocation", ck)
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    # the stream has fully drained: the source copy and checkpoint are
+    # dead weight — delete now; the output dir must outlive the returned
+    # (lazy) DataFrame, so it is reclaimed at interpreter exit instead of
+    # accumulating one full corpus copy per invocation
+    import atexit
+    import shutil
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     return hash_sample(spark.read.parquet(out), 0.5, "doc_id").select(
         "doc_id", "source", "n_tokens", "rep_ratio")
 
@@ -4157,7 +4179,7 @@ ORACLES: dict[str, str] = {
 # the iteration order is rebuilt here. Rotate this list next round so every
 # row re-certifies on a cadence.
 _CERT_WINDOW = [
-    # never driver-certified (28)
+    # never driver-certified (29)
     "sparql_select", "sparql_filter", "sparql_distinct", "sparql_optional",
     "sparql_order_limit", "sparql_union", "sparql_values", "sparql_path_seq",
     "sparql_path_plus", "sparql_path_star", "sparql_path_inverse",

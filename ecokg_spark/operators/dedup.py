@@ -827,22 +827,27 @@ def semantic_dedup(
     if transitive:
         from ecokg_spark.operators.components import connected_components
 
-        # CC node ids are strings (CURIE convention); zero-pad numeric ids
-        # so the lexicographic component-min matches the numeric min.
+        # CC node ids are strings (CURIE convention). NUMERIC ids are
+        # zero-padded so the lexicographic component-min matches the
+        # numeric min — lpad also TRUNCATES overlong strings, which would
+        # collide distinct ids, so string-typed ids pass through raw and
+        # take the lexicographic min (documented survivor choice).
+        id_type = dict(df.dtypes)[id_col]
+        if id_type in ("int", "bigint", "smallint", "tinyint"):
+            def key(c):
+                return F.lpad(F.col(c).cast("string"), 20, "0")
+        else:
+            def key(c):
+                return F.col(c).cast("string")
         comp = connected_components(
-            pairs.select(
-                F.lpad(F.col("id_a").cast("string"), 20, "0").alias("u"),
-                F.lpad(F.col("id_b").cast("string"), 20, "0").alias("v"),
-            )
+            pairs.select(key("id_a").alias("u"), key("id_b").alias("v"))
         )
         # component = min id in the component; drop every non-min member.
         drops = comp.where(F.col("node") != F.col("component")).select(
             F.col("node").alias("_drop")
         )
         return df.join(
-            drops,
-            F.lpad(F.col(id_col).cast("string"), 20, "0") == F.col("_drop"),
-            "left_anti",
+            drops, key(id_col) == F.col("_drop"), "left_anti",
         )
     # id_a < id_b by construction -> id_b always has a smaller neighbor.
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()

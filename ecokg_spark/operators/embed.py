@@ -62,7 +62,11 @@ def hashed_bow_embed(
         F.sequence(F.lit(0), F.lit(dims - 1)),
         lambda i: F.coalesce(F.element_at("_m", i), F.lit(0.0)),
     )
-    # index-ordered sum -> identical float accumulation on any engine
+    # index-ordered sum -> identical float accumulation on any engine.
+    # The norm is STAGED as its own column before the normalizing
+    # transform: higher-order lambdas are interpreted with no CSE, so a
+    # fold closed over inside the lambda would re-run once per element
+    # (O(dims^2) per doc — the stage-the-column rule, functions/text.py).
     norm = F.sqrt(F.aggregate(
         "_v", F.lit(0.0), lambda acc, x: acc + x * x))
     vecs = (
@@ -70,11 +74,12 @@ def hashed_bow_embed(
         .agg(F.map_from_entries(
             F.collect_list(F.struct("_b", "_c"))).alias("_m"))
         .select(F.col(id_col), dense.alias("_v"))
+        .select(F.col(id_col), "_v", norm.alias("_n"))
         .select(
             F.col(id_col),
             F.when(
-                norm > 0,
-                F.transform("_v", lambda x: x / norm),
+                F.col("_n") > 0,
+                F.transform("_v", lambda x: x / F.col("_n")),
             ).otherwise(F.col("_v")).alias("embedding"),
         )
     )

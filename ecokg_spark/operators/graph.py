@@ -222,7 +222,7 @@ def kcore(
     k: int,
     src: str = "src",
     dst: str = "dst",
-    max_rounds: int = 64,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """k-core of the undirected simple graph: the maximal subgraph where
     every node has degree >= k (Seidman 1983) — the standard structural
@@ -234,9 +234,12 @@ def kcore(
     combinable — hub skew collapses before the shuffle) plus two anti-joins
     removing edges incident to under-degree nodes. The edge set only
     shrinks, and each round's survivor set is localCheckpoint'ed so the
-    plan stays a leaf (same rationale as pagerank/bfs above). Converges in
-    at most |V| rounds; real graphs take O(log) — the cap is a guard, and
-    extra rounds past the fixpoint are no-ops.
+    plan stays a leaf (same rationale as pagerank/bfs above). Every
+    continuing round removes at least one node, so the peel terminates in
+    at most |V| rounds unconditionally — a long chain with k=2 genuinely
+    needs ~|V|/2 rounds, which is why there is NO default cap (a cap
+    would reject a valid graph); pass ``max_rounds`` only as an explicit
+    circuit-breaker, accepting a ValueError past it.
     """
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .where(F.col("u") != F.col("v")))
@@ -245,7 +248,8 @@ def kcore(
          .distinct()
          .localCheckpoint())
     prev = e
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
         deg = prev.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
         bad = deg.where(F.col("_d") < k).select("u")
         if bad.isEmpty():
@@ -259,7 +263,10 @@ def kcore(
         if prev.isEmpty():
             return prev.sparkSession.createDataFrame(
                 [], "id " + dict(e.dtypes)["u"] + ", core_deg long")
-    raise ValueError(f"k-core peel did not converge in {max_rounds} rounds")
+        rounds += 1
+        if max_rounds is not None and rounds >= max_rounds:
+            raise ValueError(
+                f"k-core peel exceeded max_rounds={max_rounds}")
 
 
 def personalized_pagerank(

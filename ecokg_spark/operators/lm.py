@@ -92,9 +92,16 @@ def bigram_lm_score(
     counts, vstats = train_bigram_counts(
         train if train is not None else docs, id_col, text_col
     )
+    # c1 joins on w1 ALONE: an unseen bigram whose left word IS in the
+    # training vocabulary must still see its context total (the add-k
+    # floor k/(c1 + k·V)); joining c1 through the (w1, w2) counts row
+    # would zero it and score unseen continuations of frequent words 1/V
+    # — far ABOVE seen ones, inverting the quality signal.
+    c1_tbl = counts.select("w1", "c1").dropDuplicates(["w1"])
     scored = (
         _bigrams(docs, id_col, text_col)
-        .join(counts, ["w1", "w2"], "left")
+        .join(counts.select("w1", "w2", "c2"), ["w1", "w2"], "left")
+        .join(c1_tbl, "w1", "left")
         .crossJoin(F.broadcast(vstats))
         .select(
             "id",

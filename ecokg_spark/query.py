@@ -244,6 +244,16 @@ def _split_patterns(raw: str) -> list[tuple[str, str, str]]:
         terms = part.split()
         if len(terms) != 3:
             raise SparqlError(f"bad triple pattern: {part!r}")
+        # a keyword leaking into pattern position means a construct in an
+        # unsupported scope (e.g. FILTER/BIND inside a UNION branch) —
+        # splitting on whitespace can land such text on exactly 3 tokens,
+        # which would compile to an always-empty predicate filter
+        if any(t.upper() in ("FILTER", "BIND", "OPTIONAL", "VALUES",
+                             "UNION") for t in terms):
+            raise SparqlError(
+                f"unsupported construct in pattern position: {part!r} "
+                "(FILTER/BIND/OPTIONAL/VALUES are not allowed inside "
+                "this block)")
         patterns.append(tuple(terms))
     return patterns
 
@@ -261,6 +271,10 @@ def _parse(query: str):
             raise SparqlError(
                 f"DISTINCT inside {func}() is a no-op in SPARQL; write "
                 f"{func}(?var)")
+    if re.search(r"(?i)GROUP_CONCAT\s*\(\s*DISTINCT\b", select_raw):
+        raise SparqlError(
+            "GROUP_CONCAT(DISTINCT ?v) is unsupported; pre-deduplicate or "
+            "use GROUP_CONCAT(?v)")
     # GROUP_CONCAT rides the agg list with the separator in the slot the
     # other apply functions use for DISTINCT (type-distinguished downstream)
     aggs += [("GROUP_CONCAT", sep[1:-1] if sep else " ", v, alias)
@@ -293,17 +307,6 @@ def _parse(query: str):
                 "equality/inequality and regex() filters are compiled)")
         optionals.append((_split_patterns(block), ofl, orx))
     where_raw = _OPTIONAL_RE.sub(" ", where_raw)
-    # BIND and the global (post-join) filters extract AFTER the block
-    # constructs above, so block-scoped filters are never stolen globally
-    binds = [(_parse_expr(expr), var)
-             for expr, var in _BIND_RE.findall(where_raw)]
-    where_raw = _BIND_RE.sub(" ", where_raw)
-    rx_filters = [(v, pat, flags)
-                  for _paren, v, pat, flags in _REGEX_FILTER_RE.findall(where_raw)]
-    for _v, _pat, flags in rx_filters:
-        if flags not in ("", "i"):
-            raise SparqlError(f"unsupported regex flags: {flags!r}")
-    where_raw = _REGEX_FILTER_RE.sub(" ", where_raw)
     values: list[tuple[str, list[str]]] = []
     for var, block in _VALUES_RE.findall(where_raw):
         vals = [v[1:-1] if v.startswith('"') else v for v in block.split()]
@@ -319,6 +322,21 @@ def _parse(query: str):
     for chain in _UNION_CHAIN_RE.findall(where_raw):
         unions.append([_split_patterns(b) for b in _BRACE_RE.findall(chain)])
     where_raw = _UNION_CHAIN_RE.sub(" ", where_raw)
+    # BIND and the global (post-join) filters extract only AFTER every
+    # block construct (OPTIONAL, VALUES, UNION) has been consumed: a
+    # BIND / FILTER regex written INSIDE a union branch must stay in the
+    # branch text and fail _split_patterns there (reject, like equality
+    # FILTERs in the same position) rather than be silently hoisted to
+    # global post-join scope and applied to all branches
+    binds = [(_parse_expr(expr), var)
+             for expr, var in _BIND_RE.findall(where_raw)]
+    where_raw = _BIND_RE.sub(" ", where_raw)
+    rx_filters = [(v, pat, flags)
+                  for _paren, v, pat, flags in _REGEX_FILTER_RE.findall(where_raw)]
+    for _v, _pat, flags in rx_filters:
+        if flags not in ("", "i"):
+            raise SparqlError(f"unsupported regex flags: {flags!r}")
+    where_raw = _REGEX_FILTER_RE.sub(" ", where_raw)
     filters = [(v, op, val[1:-1] if val.startswith('"') else val)
                for v, op, val in _FILTER_RE.findall(where_raw)]
     where_raw = _FILTER_RE.sub(" ", where_raw)

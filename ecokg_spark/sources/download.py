@@ -84,7 +84,12 @@ def download_from_manifest(
                 continue
         log.info("Retrieving %s from %s", outfile, url)
         data = fetch(url)
-        with open(outfile, "wb") as out:
+        # write-then-rename: an interrupted run must not leave a
+        # truncated file at the final path, or the next run's cache check
+        # would trust it and feed a partial download into the transforms
+        tmp = outfile + ".part"
+        with open(tmp, "wb") as out:
             out.write(data)
+        os.replace(tmp, outfile)
         out_paths.append(outfile)
     return out_paths

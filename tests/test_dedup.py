@@ -517,3 +517,20 @@ def test_remove_dup_spans_short_docs_untouched(spark):
     out = {r["doc_id"]: r for r in
            remove_dup_spans(df, n=8, min_docs=2).collect()}
     assert all(r["n_kept"] == r["n_tokens"] == 2 for r in out.values())
+
+
+def test_semantic_dedup_transitive_long_string_ids(spark):
+    from ecokg_spark.operators.dedup import semantic_dedup
+
+    # >20-char string ids must NOT collide (lpad truncation regression)
+    rows = [
+        ("NCBIGene:100000000001", [1.0, 0.0], "x"),
+        ("NCBIGene:100000000002", [0.0, 1.0], "x"),   # NOT a near-dup
+        ("NCBIGene:100000000003", [0.9999, 0.005], "x"),  # dup of ...001
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>, label string")
+    kept = {r["doc_id"] for r in
+            semantic_dedup(df, "embedding", "doc_id", block_col="x"
+                           if False else "label", threshold=0.99,
+                           transitive=True).collect()}
+    assert kept == {"NCBIGene:100000000001", "NCBIGene:100000000002"}

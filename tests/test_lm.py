@@ -69,3 +69,21 @@ def test_train_counts_persisted_against_replay(spark):
     # the persisted aggregate appears as an InMemoryRelation leaf
     plan = counts._jdf.queryExecution().optimizedPlan().toString()
     assert "InMemoryRelation" in plan
+
+
+def test_unseen_bigram_seen_context_gets_addk_floor(spark):
+    """An unseen continuation of a seen left word must score the add-k
+    floor k/(c1 + k*V), NOT 1/V — otherwise gibberish continuations of
+    frequent words outscore fluent text."""
+    train = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id int, text string")
+    # bigrams: (a,b)x2 (b,a)x2 (a,c) -> c1(a)=3, V={a,b,c}=3
+    score = spark.createDataFrame([(9, "a zz")], "doc_id int, text string")
+    out = bigram_lm_score(score, train=train).first()
+    k, c1, v = 0.5, 3.0, 3.0
+    assert math.isclose(out["avg_p"], k / (c1 + k * v), rel_tol=1e-9)
+    # and it must be BELOW a seen bigram's score
+    seen = bigram_lm_score(
+        spark.createDataFrame([(9, "a b")], "doc_id int, text string"),
+        train=train).first()
+    assert out["avg_p"] < seen["avg_p"]

@@ -866,3 +866,34 @@ def test_random_optional_inner_filters_match_duckdb(spark, kg):
         assert got == want, f"seed {seed}: {sparql}\n got {got}\nwant {want}"
         checked += 1
     assert checked >= 30
+
+
+def test_union_branch_scoped_filter_and_bind_rejected(spark, kg):
+    """A FILTER regex or BIND inside a UNION branch is branch-scoped in
+    SPARQL; hoisting it to global post-join scope would silently apply it
+    to ALL branches — reject, like equality FILTERs in that position."""
+    nodes, edges = kg
+    with pytest.raises(SparqlError):
+        sparql_select(
+            spark,
+            "SELECT ?x ?y WHERE { { ?x biolink:in_taxon ?y . "
+            'FILTER regex(?y, "^T") } UNION '
+            "{ ?x biolink:has_phenotype ?y } }",
+            nodes, edges)
+    with pytest.raises(SparqlError):
+        sparql_select(
+            spark,
+            "SELECT ?x ?y ?z WHERE { { ?x biolink:in_taxon ?y . "
+            "BIND(UCASE(?y) AS ?z) } UNION "
+            "{ ?x biolink:has_phenotype ?y } }",
+            nodes, edges)
+
+
+def test_group_concat_distinct_targeted_error(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="GROUP_CONCAT.DISTINCT"):
+        sparql_select(
+            spark,
+            "SELECT (GROUP_CONCAT(DISTINCT ?g) AS ?gs) ?t "
+            "WHERE { ?g biolink:in_taxon ?t } GROUP BY ?t",
+            nodes, edges)
