@@ -3635,6 +3635,158 @@ LEFT JOIN (
 """
 
 
+def _kg_tables_part_sized(spark, sf):
+    """nodes(id, category) from part + has_size edges ONLY for p_size < 25
+    — the partial-edge fixture the negation/optional rows share (a row
+    with no edge is what distinguishes EXISTS / MINUS / OPTIONAL)."""
+    p = t(spark, sf, "part")
+    nodes = p.select(
+        F.concat(F.lit("P:"), F.col("p_partkey")).alias("id"),
+        F.col("p_brand").alias("category"),
+    )
+    edges = p.where(F.col("p_size") < 25).select(
+        F.concat(F.lit("P:"), F.col("p_partkey")).alias("subject"),
+        F.lit("biolink:has_size").alias("predicate"),
+        F.concat(F.lit("SZ:"), F.col("p_size").cast("string")).alias("object"),
+    )
+    return nodes, edges
+
+
+def q_sparql_exists(spark, sf):
+    """FILTER EXISTS (SPARQL 1.1 §8.1.1, round 4): keep solutions that DO
+    have a compatible inner solution — a LEFT SEMI join on the shared
+    variable. Only parts with p_size < 25 have a has_size edge."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_part_sized(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT ?x ?cat WHERE { ?x biolink:category ?cat . "
+        "FILTER EXISTS { ?x biolink:has_size ?m } }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_EXISTS = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x, p_brand AS cat
+FROM part WHERE p_size < 25
+"""
+
+
+def q_sparql_minus(spark, sf):
+    """MINUS (SPARQL 1.1 §8.3, round 4): remove solutions with a
+    compatible overlapping inner solution — LEFT ANTI on the shared
+    variable. Survivors are exactly the parts WITHOUT a has_size edge
+    (p_size >= 25); the disjoint-domain no-op case is pytest-covered."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_part_sized(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT ?x ?cat WHERE { ?x biolink:category ?cat . "
+        "MINUS { ?x biolink:has_size ?m } }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_MINUS = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x, p_brand AS cat
+FROM part WHERE p_size >= 25
+"""
+
+
+def q_sparql_sum_avg(spark, sf):
+    """SUM/AVG aggregates (round 4) over a BIND-derived numeric lexical
+    form: STRAFTER peels the SZ: prefix, SUM/AVG cast it to double. The
+    addends are small integers (exact in fp at any accumulation order) so
+    the cross-engine hash needs no rounding."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT (SUM(?n) AS ?tot) (AVG(?n) AS ?mean) ?cat WHERE "
+        "{ ?x biolink:category ?cat . ?x biolink:has_size ?m . "
+        'BIND(STRAFTER(?m, "SZ:") AS ?n) } GROUP BY ?cat',
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_SUM_AVG = """
+SELECT CAST(SUM(p_size) AS DOUBLE) AS tot,
+       AVG(CAST(p_size AS DOUBLE)) AS mean,
+       p_brand AS cat
+FROM part GROUP BY p_brand
+"""
+
+
+def q_sparql_having(spark, sf):
+    """HAVING over an aggregate NOT in the SELECT list (round 4): the
+    COUNT computes as a hidden column, filters the groups, and is dropped
+    — spec §11.1 evaluation order (group -> aggregate -> having ->
+    project)."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_part_sized(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT ?cat WHERE { ?x biolink:category ?cat . "
+        "?x biolink:has_size ?m } GROUP BY ?cat HAVING(COUNT(?x) >= 2)",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_HAVING = """
+SELECT p_brand AS cat FROM part WHERE p_size < 25
+GROUP BY p_brand HAVING COUNT(*) >= 2
+"""
+
+
+def q_sparql_ask(spark, sf):
+    """ASK (round 4): single boolean row — does any part have size 5?
+    Evaluated as limit(1) + count (LocalLimit short-circuit; the scan
+    stops at the first match at any scale)."""
+    from ecokg_spark.query import sparql_ask
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_ask(
+        spark, 'ASK { ?x biolink:has_size "SZ:5" }', nodes, edges)
+
+
+SQL_SPARQL_ASK = """
+SELECT EXISTS(SELECT 1 FROM part WHERE p_size = 5) AS ask
+"""
+
+
+def q_sparql_construct(spark, sf):
+    """CONSTRUCT (round 4): two-triple template over an OPTIONAL body —
+    the has_size triple instantiates only where the edge exists (NULL
+    instantiations dropped per spec §16.2), the brand triple always; the
+    result is the distinct triple SET."""
+    from ecokg_spark.query import sparql_construct
+
+    nodes, edges = _kg_tables_part_sized(spark, sf)
+    return sparql_construct(
+        spark,
+        "CONSTRUCT { ?x ex:size_class ?m . ?x ex:brand ?cat } "
+        "WHERE { ?x biolink:category ?cat . "
+        "OPTIONAL { ?x biolink:has_size ?m } }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_CONSTRUCT = """
+SELECT DISTINCT * FROM (
+  SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS subject,
+         'ex:size_class' AS predicate,
+         'SZ:' || CAST(p_size AS VARCHAR) AS object
+  FROM part WHERE p_size < 25
+  UNION ALL
+  SELECT 'P:' || CAST(p_partkey AS VARCHAR), 'ex:brand', p_brand FROM part
+)
+"""
+
+
 def q_kcore(spark, sf):
     """k-core decomposition (operators/graph.py kcore): peel iteration on
     the undirected graph synthesized from nation (i -- (3i+1)%25 and
@@ -4042,6 +4194,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_removal": q_dup_span_removal,
     "sparql_optional_filter": q_sparql_optional_filter,
     "curate_v2": q_curate_v2,
+    "sparql_exists": q_sparql_exists,
+    "sparql_minus": q_sparql_minus,
+    "sparql_sum_avg": q_sparql_sum_avg,
+    "sparql_having": q_sparql_having,
+    "sparql_ask": q_sparql_ask,
+    "sparql_construct": q_sparql_construct,
 }
 
 ORACLES: dict[str, str] = {
@@ -4159,6 +4317,12 @@ ORACLES: dict[str, str] = {
     "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
     "sparql_optional_filter": SQL_SPARQL_OPTIONAL_FILTER,
     "curate_v2": SQL_CURATE_V2,
+    "sparql_exists": SQL_SPARQL_EXISTS,
+    "sparql_minus": SQL_SPARQL_MINUS,
+    "sparql_sum_avg": SQL_SPARQL_SUM_AVG,
+    "sparql_having": SQL_SPARQL_HAVING,
+    "sparql_ask": SQL_SPARQL_ASK,
+    "sparql_construct": SQL_SPARQL_CONSTRUCT,
 }
 
 

@@ -10,12 +10,16 @@ the same queries compile straight to Catalyst plans — no endpoint:
   beyond parity — DISTINCT, equality FILTERs, OPTIONAL, ORDER BY/LIMIT):
 
     SELECT [DISTINCT] (agg AS ?alias)* ?var*
-    WHERE { pattern (('.' pattern) | filter | notexists | optional
-                     | union | values | bind)* }
-    [GROUP BY ?var*] [ORDER BY (?var | ASC(?var) | DESC(?var))*] [LIMIT n]
+    WHERE { pattern (('.' pattern) | filter | notexists | exists | minus
+                     | optional | union | values | bind)* }
+    [GROUP BY ?var*] [HAVING( agg cmp value )]
+    [ORDER BY (?var | ASC(?var) | DESC(?var))*] [LIMIT n]
 
-    agg      := COUNT([DISTINCT] ?x) | MIN(?x) | MAX(?x)
-              | GROUP_CONCAT(?x [; SEPARATOR="s"])
+    ASK { <same WHERE body> }                       -- sparql_ask()
+    CONSTRUCT { pattern+ } WHERE { <body> }         -- sparql_construct()
+
+    agg      := COUNT([DISTINCT] ?x) | MIN(?x) | MAX(?x) | SUM(?x)
+              | AVG(?x) | GROUP_CONCAT(?x [; SEPARATOR="s"])
     pattern  := term path term
     term     := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
     path     := term | step('/'step)*
@@ -24,6 +28,8 @@ the same queries compile straight to Catalyst plans — no endpoint:
     filter   := FILTER( ?var (=|!=) value ) | FILTER regex(?var, "re" [,"i"])
               value := "quoted" | token
     notexists:= FILTER NOT EXISTS { pattern (. pattern)* }
+    exists   := FILTER EXISTS { pattern (. pattern)* }
+    minus    := MINUS { pattern (. pattern)* }
     optional := OPTIONAL { pattern (. pattern)* filter* }
     union    := { pattern+ } UNION { pattern+ } (UNION { pattern+ })*
     values   := VALUES ?var { value+ }
@@ -47,9 +53,30 @@ the same queries compile straight to Catalyst plans — no endpoint:
   "no compatible solution exists" test for the variable-sharing case
   (SPARQL 1.1 §8.1.1); a NOT EXISTS group sharing no variable with the
   required part is rejected rather than silently reinterpreted as an
-  is-the-subquery-empty test. MIN/MAX aggregate RDF terms by codepoint
+  is-the-subquery-empty test. FILTER EXISTS is the dual — a LEFT SEMI
+  join on the shared variables (same no-shared-variable rejection).
+  MINUS (§8.3) also anti-joins on shared variables, but its
+  no-shared-variable case is DIFFERENT by spec: dom(μ1) ∩ dom(μ2) = ∅
+  makes every inner solution non-compatible, so MINUS removes NOTHING —
+  compiled faithfully as a no-op (the spec's own EXISTS-vs-MINUS
+  divergence example, §8.3.3). MIN/MAX aggregate RDF terms by codepoint
   string order (the only term type these KG tables hold); COUNT(DISTINCT)
-  is the spec's set-cardinality form.
+  is the spec's set-cardinality form. SUM/AVG apply SPARQL's numeric
+  semantics by casting the term's lexical form to double (a non-numeric
+  lexical form becomes NULL and is skipped, where strict SPARQL would
+  raise a type error — documented divergence, same policy as DuckDB's
+  TRY_CAST). HAVING( agg cmp value ) filters groups after aggregation;
+  the aggregate is computed as a hidden column so it need not appear in
+  the SELECT list.
+
+  ASK { body } (sparql_ask) returns a single-row DataFrame with one
+  boolean `ask` column — true iff the body has at least one solution
+  (evaluated as limit(1) + count, never a full materialization).
+  CONSTRUCT { template } WHERE { body } (sparql_construct) instantiates
+  each template triple per solution, drops any instantiation with an
+  unbound (NULL, e.g. OPTIONAL-miss) position per spec §16.2, and
+  returns the SET of triples (subject, predicate, object) — distinct,
+  because a CONSTRUCT result is an RDF graph.
 
   UNION compiles each branch to its own conjunctive join, aligns branches
   on variable name (a variable absent from a branch binds NULL, per SPARQL
@@ -114,11 +141,20 @@ _SELECT_RE = re.compile(
     r"(?is)^\s*SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*"
     r"\{((?:[^{}]|\{[^{}]*\})*)\}"          # WHERE body, one nesting level
     r"\s*(?:GROUP\s+BY\s+(.*?))?"
+    r"\s*(?:HAVING\s*\((.*?)\))?"
     r"\s*(?:ORDER\s+BY\s+(.*?))?"
     r"\s*(?:LIMIT\s+(\d+))?\s*$")
+_ASK_RE = re.compile(
+    r"(?is)^\s*ASK\s*\{((?:[^{}]|\{[^{}]*\})*)\}\s*$")
+_CONSTRUCT_RE = re.compile(
+    r"(?is)^\s*CONSTRUCT\s*\{([^{}]*)\}\s*WHERE\s*"
+    r"\{((?:[^{}]|\{[^{}]*\})*)\}\s*$")
 _AGG_RE = re.compile(
-    r"\(\s*(COUNT|MIN|MAX)\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)"
+    r"\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)"
     r"\s+AS\s+\?(\w+)\s*\)", re.I)
+_HAVING_RE = re.compile(
+    r'(?i)^\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*\?(\w+)\s*\)\s*'
+    r'(>=|<=|!=|=|>|<)\s*("[^"]*"|-?[\d.]+)\s*$')
 _GROUP_CONCAT_RE = re.compile(
     r"\(\s*GROUP_CONCAT\s*\(\s*\?(\w+)\s*"
     r'(?:;\s*SEPARATOR\s*=\s*("[^"]*"))?\s*\)'
@@ -130,6 +166,8 @@ _REGEX_FILTER_RE = re.compile(
     r'(?i)FILTER\s*(\()?\s*regex\s*\(\s*\?(\w+)\s*,\s*"([^"]*)"'
     r'\s*(?:,\s*"([^"]*)")?\s*\)\s*(?(1)\))')
 _NOT_EXISTS_RE = re.compile(r"(?is)FILTER\s+NOT\s+EXISTS\s*\{([^{}]*)\}")
+_EXISTS_RE = re.compile(r"(?is)FILTER\s+EXISTS\s*\{([^{}]*)\}")
+_MINUS_RE = re.compile(r"(?is)MINUS\s*\{([^{}]*)\}")
 _VAR_RE = re.compile(r"\?(\w+)")
 _FILTER_RE = re.compile(r'(?i)FILTER\s*\(\s*\?(\w+)\s*(!=|=)\s*("[^"]*"|[^\s)]+)\s*\)')
 _OPTIONAL_RE = re.compile(r"(?is)OPTIONAL\s*\{([^{}]*)\}")
@@ -258,32 +296,24 @@ def _split_patterns(raw: str) -> list[tuple[str, str, str]]:
     return patterns
 
 
-def _parse(query: str):
-    m = _SELECT_RE.match(query)
-    if not m:
-        raise SparqlError(f"unsupported SPARQL shape: {query!r}")
-    (distinct_raw, select_raw, where_raw, group_raw, order_raw,
-     limit_raw) = m.groups()
-    aggs = [(func.upper(), bool(dist), v, alias)
-            for func, dist, v, alias in _AGG_RE.findall(select_raw)]
-    for func, dist, _v, _a in aggs:
-        if dist and func != "COUNT":
-            raise SparqlError(
-                f"DISTINCT inside {func}() is a no-op in SPARQL; write "
-                f"{func}(?var)")
-    if re.search(r"(?i)GROUP_CONCAT\s*\(\s*DISTINCT\b", select_raw):
-        raise SparqlError(
-            "GROUP_CONCAT(DISTINCT ?v) is unsupported; pre-deduplicate or "
-            "use GROUP_CONCAT(?v)")
-    # GROUP_CONCAT rides the agg list with the separator in the slot the
-    # other apply functions use for DISTINCT (type-distinguished downstream)
-    aggs += [("GROUP_CONCAT", sep[1:-1] if sep else " ", v, alias)
-             for v, sep, alias in _GROUP_CONCAT_RE.findall(select_raw)]
-    plain = _VAR_RE.findall(
-        _GROUP_CONCAT_RE.sub(" ", _AGG_RE.sub(" ", select_raw)))
+def _parse_body(where_raw: str):
+    """The WHERE-body constructs shared by SELECT/ASK/CONSTRUCT. Block
+    constructs extract first (their inner text must not leak into the
+    global filter/bind scans), then global BIND/filters, then the
+    required triple patterns. Returns a dict of parsed pieces."""
     not_exists = [_split_patterns(block)
                   for block in _NOT_EXISTS_RE.findall(where_raw)]
     where_raw = _NOT_EXISTS_RE.sub(" ", where_raw)
+    # EXISTS extracts AFTER NOT EXISTS: _EXISTS_RE requires EXISTS
+    # immediately after FILTER, so a surviving "FILTER NOT EXISTS" could
+    # never match it anyway — the order just makes that non-overlap
+    # structural rather than incidental
+    exists = [_split_patterns(block)
+              for block in _EXISTS_RE.findall(where_raw)]
+    where_raw = _EXISTS_RE.sub(" ", where_raw)
+    minus = [_split_patterns(block)
+             for block in _MINUS_RE.findall(where_raw)]
+    where_raw = _MINUS_RE.sub(" ", where_raw)
     optionals = []
     for block in _OPTIONAL_RE.findall(where_raw):
         # FILTER inside OPTIONAL is part of the LeftJoin condition (spec
@@ -341,13 +371,58 @@ def _parse(query: str):
                for v, op, val in _FILTER_RE.findall(where_raw)]
     where_raw = _FILTER_RE.sub(" ", where_raw)
     patterns = _split_patterns(where_raw)
+    return {
+        "patterns": patterns, "filters": filters, "optionals": optionals,
+        "unions": unions, "values": values, "not_exists": not_exists,
+        "exists": exists, "minus": minus, "binds": binds,
+        "rx_filters": rx_filters,
+    }
+
+
+def _parse(query: str):
+    m = _SELECT_RE.match(query)
+    if not m:
+        raise SparqlError(f"unsupported SPARQL shape: {query!r}")
+    (distinct_raw, select_raw, where_raw, group_raw, having_raw, order_raw,
+     limit_raw) = m.groups()
+    aggs = [(func.upper(), bool(dist), v, alias)
+            for func, dist, v, alias in _AGG_RE.findall(select_raw)]
+    for func, dist, _v, _a in aggs:
+        if dist and func in ("MIN", "MAX"):
+            raise SparqlError(
+                f"DISTINCT inside {func}() is a no-op in SPARQL; write "
+                f"{func}(?var)")
+        if dist and func in ("SUM", "AVG"):
+            raise SparqlError(
+                f"{func}(DISTINCT ?v) is unsupported (set-semantics "
+                "numeric aggregation; pre-deduplicate instead)")
+    if re.search(r"(?i)GROUP_CONCAT\s*\(\s*DISTINCT\b", select_raw):
+        raise SparqlError(
+            "GROUP_CONCAT(DISTINCT ?v) is unsupported; pre-deduplicate or "
+            "use GROUP_CONCAT(?v)")
+    # GROUP_CONCAT rides the agg list with the separator in the slot the
+    # other apply functions use for DISTINCT (type-distinguished downstream)
+    aggs += [("GROUP_CONCAT", sep[1:-1] if sep else " ", v, alias)
+             for v, sep, alias in _GROUP_CONCAT_RE.findall(select_raw)]
+    plain = _VAR_RE.findall(
+        _GROUP_CONCAT_RE.sub(" ", _AGG_RE.sub(" ", select_raw)))
+    body = _parse_body(where_raw)
     group = _VAR_RE.findall(group_raw) if group_raw else []
+    having = []
+    if having_raw:
+        hm = _HAVING_RE.match(having_raw)
+        if not hm:
+            raise SparqlError(
+                f"unsupported HAVING expression: {having_raw!r} (supported "
+                "form: AGG(?var) cmp value)")
+        hf, hv, hop, hval = hm.groups()
+        having.append((hf.upper(), hv, hop,
+                       hval[1:-1] if hval.startswith('"') else hval))
     order = [(d.upper() if d else "ASC", v1 or v2)
              for d, v1, v2 in _ORDER_RE.findall(order_raw)] if order_raw else []
     limit = int(limit_raw) if limit_raw else None
-    return (aggs, plain, patterns, group, filters, bool(distinct_raw),
-            optionals, order, limit, unions, values, not_exists, binds,
-            rx_filters)
+    return (aggs, plain, group, having, bool(distinct_raw), order, limit,
+            body)
 
 
 def _term_col(df: DataFrame, col: str, term: str, binds: dict[str, list]):
@@ -356,6 +431,10 @@ def _term_col(df: DataFrame, col: str, term: str, binds: dict[str, list]):
     if term.startswith("?"):
         binds.setdefault(term[1:], []).append(col)
         return df
+    # a quoted literal compares by its lexical form (the quotes are
+    # syntax, not data — a retained quote could never match an RDF term)
+    if term.startswith('"') and term.endswith('"') and len(term) >= 2:
+        term = term[1:-1]
     return df.where(F.col(col) == term)
 
 
@@ -541,15 +620,19 @@ def _compile_group(nodes: DataFrame, edges: DataFrame, idx: int,
     return grp, grp_bound, idx
 
 
-def sparql_select(
-    spark: SparkSession,
-    query: str,
-    nodes: DataFrame,
-    edges: DataFrame,
-) -> DataFrame:
-    """Compile + run a (restricted) SPARQL SELECT over the KG tables."""
-    (aggs, plain, patterns, group, filters, distinct, optionals, order,
-     limit, unions, values, not_exists, binds, rx_filters) = _parse(query)
+def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
+    """Compile a parsed WHERE body to (solution DataFrame, {var: column}).
+    Shared by sparql_select / sparql_ask / sparql_construct."""
+    patterns = body["patterns"]
+    filters = body["filters"]
+    optionals = body["optionals"]
+    unions = body["unions"]
+    values = body["values"]
+    not_exists = body["not_exists"]
+    exists = body["exists"]
+    minus = body["minus"]
+    binds = body["binds"]
+    rx_filters = body["rx_filters"]
     if not patterns and not unions:
         raise SparqlError("empty WHERE clause")
 
@@ -646,6 +729,28 @@ def sparql_select(
                 "required patterns (emptiness test unsupported)")
         out = out.join(grp, cond, "left_anti")
 
+    # FILTER EXISTS — the dual: LEFT SEMI join keeps rows that DO have a
+    # compatible inner solution (spec §8.1.1)
+    for gi, ex_patterns in enumerate(exists):
+        grp, grp_bound, idx = _compile_group(nodes, edges, idx, ex_patterns)
+        cond = _shared_cond(bound, grp_bound)
+        if cond is None:
+            raise SparqlError(
+                f"FILTER EXISTS group {gi} shares no variable with the "
+                "required patterns (non-emptiness test unsupported)")
+        out = out.join(grp, cond, "left_semi")
+
+    # MINUS (spec §8.3): remove solutions with a compatible inner solution
+    # SHARING at least one variable. With no shared variable dom(μ1) ∩
+    # dom(μ2) = ∅ and no inner solution is "compatible-and-overlapping",
+    # so MINUS removes nothing — a faithful no-op, NOT an error (this is
+    # the spec's own EXISTS-vs-MINUS divergence case, §8.3.3)
+    for gi, mn_patterns in enumerate(minus):
+        grp, grp_bound, idx = _compile_group(nodes, edges, idx, mn_patterns)
+        cond = _shared_cond(bound, grp_bound)
+        if cond is not None:
+            out = out.join(grp, cond, "left_anti")
+
     # BIND: evaluate over the joined solution, then the new variable is a
     # first-class binding (projectable, filterable, groupable); binds
     # apply in written order so a later BIND may reference an earlier one
@@ -657,9 +762,8 @@ def sparql_select(
 
     # ORDER BY vars are checked against the PROJECTED columns below (they
     # may name an aggregate alias, which is never pattern-bound)
-    missing = [v for v in plain + [a for _, _, a, _ in aggs] + group
-               + [v for v, _, _ in filters] + [v for v, _ in values]
-               + [v for v, _, _ in rx_filters]
+    missing = [v for v in [v for v, _, _ in filters]
+               + [v for v, _ in values] + [v for v, _, _ in rx_filters]
                if v not in bound]
     if missing:
         raise SparqlError(f"unbound variables: {missing}")
@@ -679,26 +783,70 @@ def sparql_select(
     for v, pat, flags in rx_filters:
         out = out.where(F.col(bound[v]).rlike(f"(?{flags}){pat}" if flags
                                               else pat))
+    return out, bound
 
-    if aggs:
+
+def _agg_col(func: str, dist, c: str, alias: str):
+    """One SPARQL aggregate -> Column. `dist` carries DISTINCT for COUNT
+    and the separator string for GROUP_CONCAT (type-distinguished)."""
+    if func == "COUNT":
+        e = F.countDistinct(c) if dist else F.count(c)
+        return e.cast("long").alias(alias)
+    if func == "GROUP_CONCAT":
+        # values sorted first so the implementation-defined SPARQL order
+        # is deterministic (and DuckDB-recomputable)
+        return F.array_join(F.array_sort(F.collect_list(c)), dist).alias(alias)
+    if func in ("SUM", "AVG"):
+        # numeric semantics over string-typed lexical forms: cast-to-
+        # double; non-numeric forms -> NULL, skipped (documented divergence
+        # from strict SPARQL type errors)
+        e = F.col(c).cast("double")
+        return (F.sum(e) if func == "SUM" else F.avg(e)).alias(alias)
+    return (F.min(c) if func == "MIN" else F.max(c)).alias(alias)
+
+
+def _cmp(col, op: str, val: str):
+    """HAVING comparison: numeric literal -> double compare; quoted
+    literal (already unquoted upstream) -> codepoint string compare."""
+    try:
+        v = float(val)
+        col = col.cast("double")
+    except ValueError:
+        v = val
+    return {"=": col == v, "!=": col != v, ">": col > v, "<": col < v,
+            ">=": col >= v, "<=": col <= v}[op]
+
+
+def sparql_select(
+    spark: SparkSession,
+    query: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+) -> DataFrame:
+    """Compile + run a (restricted) SPARQL SELECT over the KG tables."""
+    (aggs, plain, group, having, distinct, order, limit,
+     body) = _parse(query)
+    out, bound = _compile_body(nodes, edges, body)
+
+    missing = [v for v in plain + [a for _, _, a, _ in aggs] + group
+               + [v for _, v, _, _ in having]
+               if v not in bound]
+    if missing:
+        raise SparqlError(f"unbound variables: {missing}")
+
+    if aggs or having:
         keys = group or plain
-
-        def agg_expr(func: str, dist, v: str, alias: str):
-            c = bound[v]
-            if func == "COUNT":
-                e = F.countDistinct(c) if dist else F.count(c)
-                return e.cast("long").alias(alias)
-            if func == "GROUP_CONCAT":
-                # `dist` slot carries the separator; values sorted first so
-                # the implementation-defined SPARQL order is deterministic
-                return F.array_join(
-                    F.array_sort(F.collect_list(c)), dist
-                ).alias(alias)
-            return (F.min(c) if func == "MIN" else F.max(c)).alias(alias)
-
+        agg_exprs = [_agg_col(func, dist, bound[v], alias)
+                     for func, dist, v, alias in aggs]
+        # HAVING aggregates compute as hidden columns — they need not
+        # appear in the SELECT list (spec §11.1 evaluation order)
+        agg_exprs += [_agg_col(hf, False, bound[hv], f"_h{hi}")
+                      for hi, (hf, hv, _op, _val) in enumerate(having)]
         out = out.groupBy(*[F.col(bound[v]).alias(v) for v in keys]).agg(
-            *[agg_expr(*a) for a in aggs]
+            *agg_exprs
         )
+        for hi, (_hf, _hv, hop, hval) in enumerate(having):
+            out = out.where(_cmp(F.col(f"_h{hi}"), hop, hval))
         # SELECT order: aggregates and plain vars as written
         out = out.select(*([alias for *_, alias in aggs] + list(plain)))
     else:
@@ -715,3 +863,67 @@ def sparql_select(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def sparql_ask(
+    spark: SparkSession,
+    query: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+) -> DataFrame:
+    """ASK { body } -> single-row DataFrame with one boolean `ask` column:
+    true iff the body has at least one solution. Evaluated as limit(1) +
+    count — Spark stops the scan at the first matching row (LocalLimit
+    short-circuit), never materializing the full solution set; the same
+    plan shape at 100 TB."""
+    m = _ASK_RE.match(query)
+    if not m:
+        raise SparqlError(f"unsupported ASK shape: {query!r}")
+    body = _parse_body(m.group(1))
+    out, _bound = _compile_body(nodes, edges, body)
+    return out.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+
+
+def sparql_construct(
+    spark: SparkSession,
+    query: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+) -> DataFrame:
+    """CONSTRUCT { template } WHERE { body } -> the constructed RDF graph
+    as a (subject, predicate, object) DataFrame.
+
+    Each template triple instantiates once per solution (one narrow
+    projection each, unioned bag-style); instantiations with an unbound
+    (NULL — e.g. OPTIONAL-miss) position are dropped per spec §16.2, and
+    the result is distinct because a CONSTRUCT result is an RDF GRAPH (a
+    set of triples). Template terms are variables or whitespace-free
+    constants (CURIEs / plain literals). At scale this is projections +
+    one distinct — a single shuffle on the triple key."""
+    m = _CONSTRUCT_RE.match(query)
+    if not m:
+        raise SparqlError(f"unsupported CONSTRUCT shape: {query!r}")
+    template = _split_patterns(m.group(1))
+    if not template:
+        raise SparqlError("empty CONSTRUCT template")
+    body = _parse_body(m.group(2))
+    out, bound = _compile_body(nodes, edges, body)
+
+    def term(alias: str, t: str):
+        if t.startswith("?"):
+            v = t[1:]
+            if v not in bound:
+                raise SparqlError(
+                    f"CONSTRUCT template references unbound variable ?{v}")
+            return F.col(bound[v]).alias(alias)
+        return F.lit(t[1:-1] if t.startswith('"') else t).alias(alias)
+
+    triples = None
+    for s, p, o in template:
+        tri = out.select(term("subject", s), term("predicate", p),
+                         term("object", o))
+        triples = tri if triples is None else triples.unionByName(tri)
+    return triples.where(
+        F.col("subject").isNotNull() & F.col("predicate").isNotNull()
+        & F.col("object").isNotNull()
+    ).distinct()

@@ -897,3 +897,167 @@ def test_group_concat_distinct_targeted_error(spark, kg):
             "SELECT (GROUP_CONCAT(DISTINCT ?g) AS ?gs) ?t "
             "WHERE { ?g biolink:in_taxon ?t } GROUP BY ?t",
             nodes, edges)
+
+
+def test_exists_keeps_matching_rows(spark, kg):
+    """FILTER EXISTS = left semi join on shared variables (spec §8.1.1):
+    only subjects that DO have an in_taxon edge survive."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x WHERE { ?x biolink:category ?c . "
+        "FILTER EXISTS { ?x biolink:in_taxon ?t } }",
+        nodes, edges)
+    assert sorted(r["x"] for r in out.collect()) == ["G:1", "G:2"]
+
+
+def test_exists_requires_shared_variable(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="EXISTS group 0 shares no"):
+        sparql_select(
+            spark,
+            "SELECT ?x WHERE { ?x biolink:category ?c . "
+            "FILTER EXISTS { ?a biolink:in_taxon ?t } }",
+            nodes, edges).collect()
+
+
+def test_minus_removes_shared_variable_matches(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x WHERE { ?x biolink:category ?c . "
+        "MINUS { ?x biolink:in_taxon ?t } }",
+        nodes, edges)
+    assert sorted(r["x"] for r in out.collect()) == ["P:1", "T:1"]
+
+
+def test_minus_disjoint_domain_is_noop(spark, kg):
+    """The spec's EXISTS-vs-MINUS divergence (§8.3.3): a MINUS group
+    sharing no variable removes NOTHING (dom(μ1) ∩ dom(μ2) = ∅ means no
+    inner solution overlaps), where NOT EXISTS would empty the result."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x WHERE { ?x biolink:category ?c . "
+        "MINUS { ?a biolink:in_taxon ?t } }",
+        nodes, edges)
+    assert out.count() == 4  # all nodes kept
+
+
+def test_sum_avg_aggregates(spark):
+    nodes = spark.createDataFrame(
+        [("D:1", "A"), ("D:2", "A"), ("D:3", "B")], "id string, category string")
+    edges = spark.createDataFrame(
+        [("D:1", "ex:w", "1.5"), ("D:2", "ex:w", "2.5"), ("D:3", "ex:w", "4.0")],
+        "subject string, predicate string, object string")
+    out = sparql_select(
+        spark,
+        "SELECT (SUM(?w) AS ?tot) (AVG(?w) AS ?mean) ?c WHERE "
+        "{ ?x ex:w ?w . ?x biolink:category ?c } GROUP BY ?c",
+        nodes, edges)
+    got = {r["c"]: (r["tot"], r["mean"]) for r in out.collect()}
+    assert got == {"A": (4.0, 2.0), "B": (4.0, 4.0)}
+
+
+def test_sum_distinct_rejected(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="SUM\\(DISTINCT"):
+        sparql_select(
+            spark,
+            "SELECT (SUM(DISTINCT ?w) AS ?t) WHERE { ?x ex:w ?w }",
+            nodes, edges)
+
+
+def test_having_filters_groups(spark, kg):
+    """HAVING over an aggregate NOT in the SELECT list (hidden column)."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?c WHERE { ?x biolink:category ?c } GROUP BY ?c "
+        "HAVING(COUNT(?x) > 1)",
+        nodes, edges)
+    assert [r["c"] for r in out.collect()] == ["biolink:GenomicEntity"]
+
+
+def test_having_with_projected_aggregate(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT (COUNT(?x) AS ?n) ?c WHERE { ?x biolink:category ?c } "
+        "GROUP BY ?c HAVING(COUNT(?x) <= 1) ORDER BY ?c",
+        nodes, edges)
+    assert [(r["n"], r["c"]) for r in out.collect()] == [
+        (1, "biolink:OrganismTaxon"), (1, "biolink:PhenotypicFeature")]
+
+
+def test_having_unsupported_expression_rejected(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="unsupported HAVING"):
+        sparql_select(
+            spark,
+            "SELECT ?c WHERE { ?x biolink:category ?c } GROUP BY ?c "
+            "HAVING(COUNT(?x) + 1 > 2)",
+            nodes, edges)
+
+
+def test_ask_true_and_false(spark, kg):
+    from ecokg_spark.query import sparql_ask
+
+    nodes, edges = kg
+    t = sparql_ask(spark, "ASK { ?g biolink:in_taxon T:1 }", nodes, edges)
+    assert t.columns == ["ask"] and t.collect()[0]["ask"] is True
+    f = sparql_ask(spark, "ASK { ?g biolink:in_taxon T:99 }", nodes, edges)
+    assert f.collect()[0]["ask"] is False
+
+
+def test_ask_with_filter_and_quoted_literal(spark, kg):
+    from ecokg_spark.query import sparql_ask
+
+    nodes, edges = kg
+    out = sparql_ask(
+        spark, 'ASK { ?g biolink:in_taxon "T:1" . '
+        'FILTER(?g = "G:2") }', nodes, edges)
+    assert out.collect()[0]["ask"] is True
+
+
+def test_construct_template_instantiation(spark, kg):
+    from ecokg_spark.query import sparql_construct
+
+    nodes, edges = kg
+    out = sparql_construct(
+        spark,
+        "CONSTRUCT { ?g ex:taxon ?t . ?g ex:kind gene } "
+        "WHERE { ?g biolink:in_taxon ?t }",
+        nodes, edges)
+    assert out.columns == ["subject", "predicate", "object"]
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("G:1", "ex:kind", "gene"), ("G:1", "ex:taxon", "T:1"),
+                   ("G:2", "ex:kind", "gene"), ("G:2", "ex:taxon", "T:1")]
+
+
+def test_construct_drops_optional_null_instantiations(spark, kg):
+    """Spec §16.2: a template triple with an unbound position is not
+    instantiated — OPTIONAL-miss rows emit the required triple only."""
+    from ecokg_spark.query import sparql_construct
+
+    nodes, edges = kg
+    out = sparql_construct(
+        spark,
+        "CONSTRUCT { ?g ex:seen yes . ?g ex:pheno ?p } "
+        "WHERE { ?g biolink:in_taxon ?t . "
+        "OPTIONAL { ?g biolink:has_phenotype ?p } }",
+        nodes, edges)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("G:1", "ex:pheno", "P:1"), ("G:1", "ex:seen", "yes"),
+                   ("G:2", "ex:seen", "yes")]
+
+
+def test_construct_unbound_template_variable_rejected(spark, kg):
+    from ecokg_spark.query import sparql_construct
+
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="unbound variable \\?z"):
+        sparql_construct(
+            spark,
+            "CONSTRUCT { ?g ex:x ?z } WHERE { ?g biolink:in_taxon ?t }",
+            nodes, edges)
