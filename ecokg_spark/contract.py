@@ -3787,6 +3787,110 @@ SELECT DISTINCT * FROM (
 """
 
 
+def q_hits(spark, sf):
+    """HITS hubs/authorities (operators/graph.py hits): the pagerank row's
+    dangling-exercising directed graph (i -> (3i+1)%25 and (7i+2)%25,
+    sources i%5==0 dropped), 3 rounds, L1 normalization. Scores rounded to
+    6 dp — cross-engine float summation order differs."""
+    from ecokg_spark.operators.graph import hits
+
+    n = t(spark, sf, "nation").select("n_nationkey")
+    k = F.col("n_nationkey")
+    e = (n.where(k % 5 != 0).select(k.alias("src"),
+                                    ((k * 3 + 1) % 25).alias("dst"))
+         .union(n.where(k % 5 != 0).select(k.alias("src"),
+                                           ((k * 7 + 2) % 25).alias("dst"))))
+    out = hits(e, iterations=3)
+    return out.select("id", F.round("hub", 6).alias("hub"),
+                      F.round("authority", 6).alias("authority"))
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled fixed-iteration HITS as plain CTE SQL (auth from hubs,
+    hub from the NEW auth, each L1-normalized — exactly graph.hits)."""
+    parts = [
+        "WITH e AS ("
+        "SELECT DISTINCT src, dst FROM ("
+        "SELECT n_nationkey AS src, (3*n_nationkey+1)%25 AS dst "
+        "FROM nation WHERE n_nationkey%5<>0 "
+        "UNION ALL "
+        "SELECT n_nationkey, (7*n_nationkey+2)%25 "
+        "FROM nation WHERE n_nationkey%5<>0)),",
+        "nds AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),",
+        "s0 AS (SELECT id, 1.0 AS hub FROM nds)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"s{i - 1}"
+        parts.append(
+            f", ar{i} AS (SELECT e.dst AS id, SUM(s.hub) AS a "
+            f"FROM e JOIN {p} s ON s.id = e.src GROUP BY e.dst)"
+            f", at{i} AS (SELECT SUM(a) AS t FROM ar{i})"
+            f", a{i} AS (SELECT nds.id, COALESCE(ar{i}.a, 0)/at{i}.t "
+            f"AS authority FROM nds LEFT JOIN ar{i} ON ar{i}.id = nds.id "
+            f"CROSS JOIN at{i})"
+            f", hr{i} AS (SELECT e.src AS id, SUM(a.authority) AS h "
+            f"FROM e JOIN a{i} a ON a.id = e.dst GROUP BY e.src)"
+            f", ht{i} AS (SELECT SUM(h) AS t FROM hr{i})"
+            f", s{i} AS (SELECT nds.id, COALESCE(hr{i}.h, 0)/ht{i}.t AS hub,"
+            f" a{i}.authority FROM nds LEFT JOIN hr{i} ON hr{i}.id = nds.id "
+            f"CROSS JOIN ht{i} JOIN a{i} ON a{i}.id = nds.id)"
+        )
+    parts.append(
+        f" SELECT id, ROUND(hub, 6) AS hub, ROUND(authority, 6) "
+        f"AS authority FROM s{iters}")
+    return "".join(parts)
+
+
+SQL_HITS = _hits_sql(3)
+
+
+def q_label_prop(spark, sf):
+    """Label-propagation communities (operators/graph.py
+    label_propagation): the kcore row's undirected graph (i -- (3i+1)%25,
+    i -- (7i+2)%25), 3 synchronous rounds, min tie-break. Integer labels —
+    exact cross-engine match, no rounding."""
+    from ecokg_spark.operators.graph import label_propagation
+
+    n = t(spark, sf, "nation").select("n_nationkey")
+    k = F.col("n_nationkey")
+    e = (n.select(k.alias("src"), ((k * 3 + 1) % 25).alias("dst"))
+         .union(n.select(k.alias("src"), ((k * 7 + 2) % 25).alias("dst"))))
+    return label_propagation(e, iterations=3)
+
+
+def _label_prop_sql(iters: int) -> str:
+    """Unrolled synchronous LPA rounds as CTE SQL: per round, count
+    neighbor labels and keep the (count DESC, label ASC) argmax."""
+    parts = [
+        "WITH raw AS ("
+        "SELECT n_nationkey AS x, (3*n_nationkey+1)%25 AS y FROM nation "
+        "UNION ALL "
+        "SELECT n_nationkey, (7*n_nationkey+2)%25 FROM nation),",
+        "e AS (SELECT DISTINCT u, v FROM "
+        "(SELECT x AS u, y AS v FROM raw UNION ALL SELECT y, x FROM raw) "
+        "WHERE u <> v),",
+        "nds AS (SELECT DISTINCT u AS id FROM e),",
+        "l0 AS (SELECT id, id AS label FROM nds)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"l{i - 1}"
+        parts.append(
+            f", c{i} AS (SELECT e.u, l.label, COUNT(*) AS n "
+            f"FROM e JOIN {p} l ON l.id = e.v GROUP BY e.u, l.label)"
+            f", t{i} AS (SELECT u AS id, label AS nw FROM ("
+            f"SELECT u, label, ROW_NUMBER() OVER (PARTITION BY u "
+            f"ORDER BY n DESC, label ASC) AS rn FROM c{i}) WHERE rn = 1)"
+            f", l{i} AS (SELECT l.id, COALESCE(t{i}.nw, l.label) AS label "
+            f"FROM {p} l LEFT JOIN t{i} ON t{i}.id = l.id)"
+        )
+    parts.append(f" SELECT id, label FROM l{iters}")
+    return "".join(parts)
+
+
+SQL_LABEL_PROP = _label_prop_sql(3)
+
+
 def q_kcore(spark, sf):
     """k-core decomposition (operators/graph.py kcore): peel iteration on
     the undirected graph synthesized from nation (i -- (3i+1)%25 and
@@ -4200,6 +4304,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_having": q_sparql_having,
     "sparql_ask": q_sparql_ask,
     "sparql_construct": q_sparql_construct,
+    "hits": q_hits,
+    "label_prop": q_label_prop,
 }
 
 ORACLES: dict[str, str] = {
@@ -4323,6 +4429,8 @@ ORACLES: dict[str, str] = {
     "sparql_having": SQL_SPARQL_HAVING,
     "sparql_ask": SQL_SPARQL_ASK,
     "sparql_construct": SQL_SPARQL_CONSTRUCT,
+    "hits": SQL_HITS,
+    "label_prop": SQL_LABEL_PROP,
 }
 
 

@@ -333,3 +333,121 @@ def personalized_pagerank(
     for df in (e, nodes, s, tele, deg):
         df.unpersist(blocking=False)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) over the
+    DISTINCT directed edge set. Returns (id, hub, authority) for every
+    node.
+
+    Per round: authority(v) = sum of hub(u) over in-edges u->v, then hub(u)
+    = sum of the NEW authority(v) over out-edges u->v, each L1-normalized
+    (scores sum to 1 — the classical formulation uses L2, but any p-norm
+    yields the same principal-eigenvector direction and L1 keeps the
+    cross-engine oracle exactly recomputable in SQL). A node with no
+    in-edges has authority 0; no out-edges, hub 0.
+
+    Spark shape (same rationale as pagerank above): each half-round is ONE
+    shuffle (groupBy on the gathering key) plus a broadcast 1-row
+    normalizer; the score vector localCheckpoints per round so the plan
+    stays a leaf instead of growing 2^iterations. Hot hubs/authorities are
+    map-side-combinable SUMs — AQE absorbs skew without salting.
+    Deterministic up to float summation order; round before hashing across
+    engines.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("id"))
+             .union(e.select(F.col("dst").alias("id")))
+             .distinct().persist())
+    scores = nodes.select("id", F.lit(1.0).alias("hub"),
+                          F.lit(1.0).alias("authority")).localCheckpoint()
+    for _ in range(iterations):
+        auth = (
+            e.join(scores.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        a_tot = auth.agg(F.sum("_a").alias("_at"))
+        auth = (nodes.join(auth, "id", "left")
+                .crossJoin(F.broadcast(a_tot))
+                .select("id", (F.coalesce(F.col("_a"), F.lit(0.0))
+                               / F.col("_at")).alias("authority")))
+        hub = (
+            e.join(auth.select(F.col("id").alias("dst"), "authority"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("_h"))
+        )
+        h_tot = hub.agg(F.sum("_h").alias("_ht"))
+        scores = (
+            nodes.join(hub, "id", "left")
+            .crossJoin(F.broadcast(h_tot))
+            .join(auth, "id")
+            .select("id",
+                    (F.coalesce(F.col("_h"), F.lit(0.0))
+                     / F.col("_ht")).alias("hub"),
+                    "authority")
+            .localCheckpoint()
+        )
+    for df in (e, nodes):
+        df.unpersist(blocking=False)
+    return scores
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, Phys. Rev. E 76) over the UNDIRECTED simple graph (edges
+    symmetrized, self-loops dropped). Returns (id, label).
+
+    Every node starts labeled with its own id; each round it adopts the
+    label most frequent among its neighbors, ties broken by SMALLEST label
+    (codepoint order) — the deterministic variant (the published algorithm
+    breaks ties randomly; a fixed tie-break makes runs and engines agree).
+    Isolated-by-filter nodes keep their label. Fixed iteration count: LPA
+    on synchronous schedules can oscillate 2-cycles, so a caller-chosen
+    bound is the standard termination (GraphX's LPA does the same).
+
+    Spark shape: per round ONE shuffle for the (node, neighbor-label)
+    count and one partial-top-1 window on the node key (WindowGroupLimit
+    keeps it map-side partial); labels localCheckpoint per round (plan
+    truncation, same rationale as pagerank).
+    """
+    from pyspark.sql import Window
+
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (fwd.unionByName(fwd.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+           .where(F.col("u") != F.col("v"))
+           .distinct().persist())
+    nodes = sym.select(F.col("u").alias("id")).distinct().persist()
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    w = Window.partitionBy("u").orderBy(F.col("_n").desc(),
+                                        F.col("label").asc())
+    for _ in range(iterations):
+        counts = (
+            sym.join(labels.select(F.col("id").alias("v"), "label"), "v")
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        top = (counts.withColumn("_rk", F.row_number().over(w))
+               .where(F.col("_rk") == 1)
+               .select(F.col("u").alias("id"), F.col("label").alias("_new")))
+        labels = (
+            labels.join(top, "id", "left")
+            .select("id", F.coalesce(F.col("_new"),
+                                     F.col("label")).alias("label"))
+            .localCheckpoint()
+        )
+    for df in (sym, nodes):
+        df.unpersist(blocking=False)
+    return labels

@@ -194,3 +194,50 @@ def test_personalized_pagerank_requires_graph_seed(spark):
     seeds = spark.createDataFrame([(42,)], "id int")
     with pytest.raises(ValueError, match="no seed"):
         personalized_pagerank(e, seeds)
+
+
+def test_hits_star(spark):
+    """Two hubs pointing at one authority: authority mass all on the
+    sink, hub mass split evenly (L1-normalized)."""
+    from ecokg_spark.operators.graph import hits
+
+    e = spark.createDataFrame([("a", "c"), ("b", "c")], "src string, dst string")
+    got = {r["id"]: (r["hub"], r["authority"]) for r in hits(e, iterations=3).collect()}
+    assert got["c"] == (0.0, 1.0)
+    assert got["a"] == (0.5, 0.0)
+    assert got["b"] == (0.5, 0.0)
+
+
+def test_hits_dedups_multi_edges(spark):
+    """The kernel runs on the DISTINCT edge set — a duplicated edge must
+    not double its hub's weight."""
+    from ecokg_spark.operators.graph import hits
+
+    e1 = spark.createDataFrame([("a", "c"), ("b", "c")], "src string, dst string")
+    e2 = spark.createDataFrame(
+        [("a", "c"), ("a", "c"), ("b", "c")], "src string, dst string")
+    r1 = sorted(map(tuple, hits(e1, iterations=2).collect()))
+    r2 = sorted(map(tuple, hits(e2, iterations=2).collect()))
+    assert r1 == r2
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disconnected triangles converge to one label per clique (the
+    min id) within 3 synchronous rounds under the min tie-break."""
+    from ecokg_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("x", "z")], "src string, dst string")
+    got = {r["id"]: r["label"] for r in label_propagation(e, iterations=3).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_label_propagation_ignores_self_loops(spark):
+    from ecokg_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(
+        [("a", "a"), ("a", "b")], "src string, dst string")
+    got = {r["id"]: r["label"] for r in label_propagation(e, iterations=2).collect()}
+    # path a-b: round 1 swaps labels, round 2 swaps back
+    assert got == {"a": "a", "b": "b"}
