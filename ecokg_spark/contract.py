@@ -1496,6 +1496,76 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
 """
 
 
+def q_fuzzy_dedup(spark, sf):
+    """End-to-end MinHash fuzzy dedup (operators/dedup.py fuzzy_dedup):
+    the banded md5-portable funnel (the minhash_banded row's spec) ->
+    connected components over the verified near-dup pairs -> keep the
+    min doc_id per cluster. Certifies the COMPOSITION of two
+    already-certified stages (banded pairs + CC) as one operator."""
+    from ecokg_spark.operators.dedup import fuzzy_dedup
+
+    d = t(spark, sf, "documents")
+    out = fuzzy_dedup(d, "text", "doc_id", threshold=0.5, k=16, bands=4,
+                      transitive=True)
+    return out.select("doc_id", "source", "n_chars")
+
+
+SQL_FUZZY_DEDUP = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct({{shingle}})) AS s FROM documents
+),
+hs AS (
+  SELECT doc_id, r.i AS seed,
+         md5(CAST(r.i AS VARCHAR) || ':' || s) AS h
+  FROM sh CROSS JOIN range(16) r(i)
+),
+sig AS (
+  SELECT doc_id, seed, MIN({{hex15}}) AS mh
+  FROM hs GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band_idx,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT c.id_a, c.id_b FROM (
+    SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+    GROUP BY c.id_a, c.id_b
+  ) c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+    SELECT und.u, reach.r FROM und JOIN reach ON reach.u = und.v
+),
+drops AS (
+  SELECT u AS node FROM reach GROUP BY u HAVING u <> MIN(r)
+)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT node FROM drops)
+"""
+SQL_FUZZY_DEDUP = SQL_FUZZY_DEDUP.format(
+    shingle=_SHINGLE_SQL, hex15=_HEX15.format(h="h"))
+
+
 def q_simhash_neardup(spark, sf):
     """SimHash hamming<=3 near-dup pairs over the PORTABLE md5 token-hash
     spec (bit i of token hash = bit (i%4) of hex digit (i//4) of
@@ -4306,6 +4376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_construct": q_sparql_construct,
     "hits": q_hits,
     "label_prop": q_label_prop,
+    "fuzzy_dedup": q_fuzzy_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -4431,6 +4502,7 @@ ORACLES: dict[str, str] = {
     "sparql_construct": SQL_SPARQL_CONSTRUCT,
     "hits": SQL_HITS,
     "label_prop": SQL_LABEL_PROP,
+    "fuzzy_dedup": SQL_FUZZY_DEDUP,
 }
 
 

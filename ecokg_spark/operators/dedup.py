@@ -824,6 +824,21 @@ def semantic_dedup(
         block_col=block_col, threshold=threshold,
         planes=planes, tables=tables, exact=exact,
     )
+    return _keep_by_pairs(df, pairs, id_col, transitive)
+
+
+def _keep_by_pairs(df: DataFrame, pairs: DataFrame, id_col: str,
+                   transitive: bool) -> DataFrame:
+    """Shared retention rule for pair-graph dedup (semantic_dedup /
+    fuzzy_dedup): given near-dup pairs (id_a < id_b), keep one document
+    per neighborhood.
+
+    - ``transitive=False``: dominance rule — drop iff ANY smaller-id
+      neighbor exists (single distinct projection of the pair table).
+    - ``transitive=True``: connected components over the pair graph
+      (large-star/small-star), keep the min id per component — the
+      published "keep one per cluster" semantics.
+    """
     if transitive:
         from ecokg_spark.operators.components import connected_components
 
@@ -852,3 +867,36 @@ def semantic_dedup(
     # id_a < id_b by construction -> id_b always has a smaller neighbor.
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, id_col, "left_anti")
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    transitive: bool = True,
+) -> DataFrame:
+    """End-to-end MinHash fuzzy deduplication — the full production
+    funnel the corpus pipelines publish (SlimPajama, Falcon/RefinedWeb,
+    Lee et al. 2022 §4.2): banded MinHash-LSH candidates -> exact-Jaccard
+    verify -> connected components over the near-dup pair graph -> keep
+    exactly ONE document per cluster (min id), return the kept rows.
+
+    Builds on ``minhash_banded_portable_pairs`` (portable md5 hash spec,
+    so a SQL oracle can recompute the WHOLE funnel including banding
+    losses) and the shared ``_keep_by_pairs`` retention rule.
+
+    100-TB shape: one uniform (band_idx, band_key) bucket-join shuffle
+    for candidates (volume ~ true near-dups, never ~N²), exact verify on
+    survivors only, CC over a pair graph bounded by #near-dups (not
+    corpus size) with large-star/small-star rounds, and one final
+    left_anti shuffle on the id key. Every stage is a shape already
+    certified by its own contract row (minhash_banded,
+    connected_components); this row certifies their composition.
+    """
+    pairs = minhash_banded_portable_pairs(
+        df, text_col, id_col, threshold=threshold, k=k, bands=bands, n=n)
+    return _keep_by_pairs(df, pairs, id_col, transitive)

@@ -534,3 +534,38 @@ def test_semantic_dedup_transitive_long_string_ids(spark):
                            if False else "label", threshold=0.99,
                            transitive=True).collect()}
     assert kept == {"NCBIGene:100000000001", "NCBIGene:100000000002"}
+
+
+def test_fuzzy_dedup_keeps_one_per_cluster(spark):
+    """End-to-end funnel: near-identical docs collapse to the min id;
+    the unique doc survives untouched."""
+    from ecokg_spark.operators.dedup import fuzzy_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, base),
+         (4, "completely different content about spark engines at scale")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in fuzzy_dedup(
+        docs, threshold=0.5, transitive=True).collect())
+    assert 4 in kept and 1 in kept
+    assert 3 not in kept  # exact dup of 1
+    assert kept == sorted(kept)
+
+
+def test_fuzzy_dedup_transitive_chain_single_survivor(spark):
+    """A ~ B and B ~ C but A !~ C: transitive CC still keeps ONE doc."""
+    from ecokg_spark.operators.dedup import fuzzy_dedup
+
+    w = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa"]
+    a = " ".join(w)
+    b = " ".join(w[2:] + ["mu", "nu"])       # overlaps a
+    c = " ".join(w[4:] + ["mu", "nu", "xi", "omicron"])  # overlaps b more than a
+    docs = spark.createDataFrame(
+        [(10, a), (20, b), (30, c)], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in fuzzy_dedup(
+        docs, threshold=0.3, transitive=True).collect())
+    # whatever pairs the banding yields, survivors must be cluster minima:
+    # if all three chain together only 10 survives
+    assert 10 in kept
