@@ -736,6 +736,70 @@ FROM documents
 """
 
 
+def q_quality_logit(spark, sf):
+    """Fixed-weight logistic quality classifier (functions/text.py
+    classifier_score): sigmoid over stopword/punct/repetition ratios +
+    log1p token count, one Catalyst expression per doc. Rounded to 6 dp —
+    exp/ln differ across engines in the last ulp."""
+    from ecokg_spark.functions.text import classifier_score
+
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.round(classifier_score("text"), 6).alias("q_score"))
+
+
+_TOKCNT_SQL = (f"(CASE WHEN length({_NORM_SQL.format(c='text')}) = 0 THEN 0 "
+               f"ELSE len(string_split({_NORM_SQL.format(c='text')}, ' ')) END)")
+
+SQL_QUALITY_LOGIT = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST({_marker_sql(['the', 'and', 'of', 'to', 'is'])} AS DOUBLE)
+           / greatest({_TOKCNT_SQL}, 1) AS sw,
+         CAST(length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct,
+         CAST(1.0 - len(list_distinct({_LOWTOK_SQL}))
+                    / len({_LOWTOK_SQL}) AS DOUBLE) AS rep,
+         ln(1.0 + {_TOKCNT_SQL}) AS logtok
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-(-1.0 + 6.0*sw - 4.0*punct - 3.0*rep
+                                + 0.35*logtok))), 6) AS q_score
+FROM f
+"""
+
+
+def q_stratified_sample(spark, sf):
+    """Per-stratum deterministic Bernoulli mixture (operators/sample.py
+    stratified_sample): language strata at rates en=1.0 / de=0.5 /
+    fr=0.25, unknown strata dropped — the temperature-resampling
+    primitive; same md5 prefix decides every stratum so mixtures re-cut
+    monotonically."""
+    from ecokg_spark.operators.sample import stratified_sample
+
+    d = t(spark, sf, "documents")
+    out = stratified_sample(d, "lang", {"en": 1.0, "de": 0.5, "fr": 0.25},
+                            key_col="doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
+def _sql_stratified_sample() -> str:
+    from ecokg_spark.operators.sample import sample_threshold_hex
+
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE (lang = 'en')
+   OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        < '{sample_threshold_hex(0.5)}')
+   OR (lang = 'fr' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        < '{sample_threshold_hex(0.25)}')
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
 def q_dup_ngram_ratio(spark, sf):
     """Gopher duplicate-3-gram fraction per document; the token array is
     staged as a real column (no per-shingle re-tokenization)."""
@@ -4377,6 +4441,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits": q_hits,
     "label_prop": q_label_prop,
     "fuzzy_dedup": q_fuzzy_dedup,
+    "quality_logit": q_quality_logit,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -4503,6 +4569,8 @@ ORACLES: dict[str, str] = {
     "hits": SQL_HITS,
     "label_prop": SQL_LABEL_PROP,
     "fuzzy_dedup": SQL_FUZZY_DEDUP,
+    "quality_logit": SQL_QUALITY_LOGIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }
 
 

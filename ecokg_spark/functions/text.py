@@ -233,3 +233,45 @@ def with_word_shingles(df, text_col: str, out_col: str = "_sh", k: int = 3,
     if distinct:
         sh = F.array_distinct(sh)
     return staged.withColumn(out_col, F.explode(sh)).drop("_toks")
+
+
+# Fixed, interpretable weights for classifier_score — a deterministic
+# stand-in for a learned linear/fastText quality model (no model artifact
+# ships in this environment; the plumbing — featurize -> dot -> sigmoid ->
+# threshold gate — is the production shape and the weights are swappable).
+# Signs follow the published signals: stopword presence is positive
+# evidence of running prose (Gopher rule), punctuation soup and token
+# repetition are negative, and longer documents get a mild log-scale boost.
+CLASSIFIER_WEIGHTS: dict[str, float] = {
+    "bias": -1.0,
+    "stopword_ratio": 6.0,
+    "punct_ratio": -4.0,
+    "repetition_ratio": -3.0,
+    "log1p_tokens": 0.35,
+}
+
+
+def classifier_score(col: Column | str,
+                     weights: dict[str, float] | None = None) -> Column:
+    """Logistic quality-classifier score in (0, 1): sigmoid of a fixed
+    linear model over four pure-Catalyst text features (stopword ratio,
+    punctuation ratio, repetition ratio, log1p token count). One JVM-side
+    expression — no UDF, no shuffle; exactly recomputable in SQL (exp/ln
+    differ across engines only in the last ulp — round to 6 dp before
+    cross-engine hashing, contract row `quality_logit`)."""
+    w = dict(CLASSIFIER_WEIGHTS)
+    if weights:
+        unknown = sorted(set(weights) - set(w))
+        if unknown:
+            raise ValueError(f"unknown classifier feature weights: {unknown}")
+        w.update(weights)
+    c = _c(col)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["stopword_ratio"]) * stopword_ratio(c)
+        + F.lit(w["punct_ratio"]) * punct_ratio(c)
+        + F.lit(w["repetition_ratio"]) * repetition_ratio(c)
+        + F.lit(w["log1p_tokens"])
+        * F.log1p(token_count(c).cast("double"))
+    )
+    return (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).cast("double")

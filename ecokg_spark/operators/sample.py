@@ -76,3 +76,46 @@ def domain_quota_sample(
         .withColumnRenamed("_dom", "domain")
         .drop("_h", "_salt")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sampling — the
+    temperature/importance-resampling primitive training-data mixes are
+    built from (upsample rare high-quality strata, downsample the head;
+    cf. the public data-mixture weighting in Gopher/Pile-style recipes,
+    done here as exact per-stratum keep rates).
+
+    Each stratum s keeps rows whose md5(key) 8-hex prefix sorts below
+    threshold(rates[s]); a stratum absent from `rates` uses
+    `default_rate` (0.0 = drop — an explicit mixture spec drops unknown
+    strata rather than silently passing them). Rates >= 1.0 keep the
+    whole stratum. The SAME key prefix decides every stratum, so nested
+    mixtures compose: a row kept at rate r stays kept at any rate > r
+    (coupon-collector-free monotone subsampling, the property you need
+    to re-cut a mixture without reshuffling data).
+
+    100-TB shape: a narrow filter against a broadcast-size CASE — no
+    shuffle, no UDF, exact DuckDB twin.
+    """
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 8)
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        th = F.lit(sample_threshold_hex(min(rate, 1.0)))
+        cond = (F.col(strata_col) == stratum) & (
+            F.lit(rate >= 1.0) | (h < th))
+        expr = cond if expr is None else (expr | cond)
+    if default_rate > 0.0:
+        known = list(sorted(rates))
+        dflt = (~F.col(strata_col).isin(known)) & (
+            F.lit(default_rate >= 1.0)
+            | (h < F.lit(sample_threshold_hex(min(default_rate, 1.0)))))
+        expr = dflt if expr is None else (expr | dflt)
+    if expr is None:
+        return df.where(F.lit(False))
+    return df.where(expr)

@@ -79,3 +79,56 @@ def test_domain_quota_caps_and_matches_naive_window(spark):
     )
     assert ({(r["doc_id"], r["rank"]) for r in out.collect()}
             == {(r["doc_id"], r["rank"]) for r in exp.collect()})
+
+
+def test_stratified_sample_rates_and_monotonicity(spark):
+    from ecokg_spark.operators.sample import stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "xx"))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "lang", {"en": 1.0, "de": 0.5})
+    got = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert by.get("en") == 100          # rate 1.0 keeps everything
+    assert 25 <= by.get("de", 0) <= 75  # ~50 of 100
+    assert "xx" not in by               # unknown stratum dropped
+
+    # monotone subsampling: the 0.25 cut is a subset of the 0.5 cut
+    small = {r["doc_id"] for r in stratified_sample(
+        df, "lang", {"de": 0.25}).select("doc_id").collect()}
+    big = {r["doc_id"] for r in stratified_sample(
+        df, "lang", {"de": 0.5}).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_stratified_sample_default_rate(spark):
+    from ecokg_spark.operators.sample import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "zz") for i in range(200)], "doc_id long, lang string")
+    out = stratified_sample(df, "lang", {"en": 1.0}, default_rate=1.0)
+    assert out.count() == 200
+
+
+def test_classifier_score_orders_quality(spark):
+    """Running prose with stopwords scores above punctuation soup; score
+    stays within (0, 1)."""
+    from ecokg_spark.functions.text import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog ran to the park and it is sunny today"),
+         (2, "@@@ ??? !!! ,,, ;;; ::: ((( ))) [[[ ]]] --- ...")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", classifier_score("text").alias("s")).collect()}
+    assert 0.0 < got[2] < got[1] < 1.0
+
+
+def test_classifier_score_rejects_unknown_weight(spark):
+    import pytest as _pytest
+
+    from ecokg_spark.functions.text import classifier_score
+
+    with _pytest.raises(ValueError, match="unknown classifier"):
+        classifier_score("text", weights={"nope": 1.0})
