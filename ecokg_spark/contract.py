@@ -3346,6 +3346,67 @@ def q_curate_stream(spark, sf):
         "doc_id", "source", "n_tokens", "rep_ratio")
 
 
+def q_dedup_stream(spark, sf):
+    """Watermarked streaming dedup (streaming/ingest.py
+    dedup_within_watermark -> dropDuplicatesWithinWatermark): every event
+    row is fed TWICE (same micro-batch — the retry/at-least-once shape),
+    three ascending-ts files; the drained append-mode output must equal
+    the distinct event set. State is bounded by the watermark horizon —
+    the infinite-stream complement of the merge-sink dedup."""
+    import os as _os
+    import tempfile
+
+    from ecokg_spark.streaming.ingest import dedup_within_watermark
+
+    d = t(spark, sf, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value")  # parquet holds NTZ; watermarks need TIMESTAMP
+    src = tempfile.mkdtemp(prefix="ecokg_ds_src_")
+    hi = d.agg(F.max("event_id")).first()[0]
+    cuts = [None, hi // 3, 2 * hi // 3, None]
+    stamped: set[str] = set()
+    for fi, (lo, up) in enumerate(zip(cuts[:-1], cuts[1:])):
+        part = d
+        if lo is not None:
+            part = part.where(F.col("event_id") > lo)
+        if up is not None:
+            part = part.where(F.col("event_id") <= up)
+        # the duplicate lands in the SAME file -> same micro-batch, always
+        # inside the watermark horizon whatever the ts spread is
+        part.unionAll(part).coalesce(1).write.mode("append").parquet(src)
+        for name in _os.listdir(src):
+            pth = _os.path.join(src, name)
+            if name.endswith(".parquet") and pth not in stamped:
+                st = _os.stat(pth)
+                _os.utime(pth, (st.st_atime, 1_000_000_000 + fi * 100))
+                stamped.add(pth)
+
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts",
+                                     delay="1 hour")
+    out = tempfile.mkdtemp(prefix="ecokg_ds_out_")
+    ck = tempfile.mkdtemp(prefix="ecokg_ds_ck_")
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ck)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    import atexit
+    import shutil
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", "event_type", "value")
+
+
+SQL_DEDUP_STREAM = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
 def q_kg_pipeline(spark, sf):
     """Full north-star pipeline on the synthetic CC corpus (rows-only:
     multi-stage UDF pipeline is not SQL-expressible)."""
@@ -4443,6 +4504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_dedup": q_fuzzy_dedup,
     "quality_logit": q_quality_logit,
     "stratified_sample": q_stratified_sample,
+    "dedup_stream": q_dedup_stream,
 }
 
 ORACLES: dict[str, str] = {
@@ -4571,6 +4633,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_dedup": SQL_FUZZY_DEDUP,
     "quality_logit": SQL_QUALITY_LOGIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "dedup_stream": SQL_DEDUP_STREAM,
 }
 
 

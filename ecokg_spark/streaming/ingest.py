@@ -72,3 +72,26 @@ def run_stream_to_parquet(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked streaming deduplication: emit the FIRST row per key,
+    with the dedup state EVICTED once the event-time watermark passes
+    key-arrival + `delay` — Spark's dropDuplicatesWithinWatermark.
+
+    This is the scale-complement of the foreachBatch first-wins merge
+    sink (merge_sink.upsert_first_wins_batch): the sink form keeps the
+    whole merged table as its dedup set (exact forever, unbounded probe),
+    while this form bounds state to the watermark horizon — the right
+    shape for infinite streams where duplicates arrive close together
+    (retries, at-least-once upstream delivery). A duplicate arriving
+    AFTER eviction passes through again; choose `delay` >= the upstream
+    redelivery horizon.
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        keys)

@@ -218,3 +218,27 @@ def test_upsert_first_wins_batch(spark, tmp_path):
 
     upsert_first_wins_batch(b2, table, "fp", "doc_id")  # replay: idempotent
     assert spark.read.parquet(table).count() == 3
+
+
+def test_dedup_within_watermark_suppresses_batch_dups(spark, tmp_path):
+    """Each row fed twice in the same micro-batch -> emitted once; output
+    equals the distinct input set (batch parity)."""
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.streaming.ingest import dedup_within_watermark
+
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", i * 1.5) for i in range(30)]
+    d = spark.createDataFrame(rows, "event_id long, ts string, value double") \
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    src = str(tmp_path / "src")
+    d.unionAll(d).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(d.schema).parquet(src)
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (dedup_within_watermark(stream, ["event_id"], "ts", "10 minutes")
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.read.parquet(out_dir).collect())
+    assert got == list(range(30))
