@@ -800,6 +800,60 @@ WHERE (lang = 'en')
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
+# base-16 parse of the first 15 hex chars of an md5 column {h} — a strpos
+# digit polynomial (60 bits, fits BIGINT); mirrors Spark's conv(substr) path
+_HEX15 = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr({{h}}, {p}, 1)) - 1) * {16 ** (15 - p)}"
+    for p in range(1, 16)) + ")"
+
+def q_hll_distinct(spark, sf):
+    """HyperLogLog distinct-text estimate per source (operators/sketch.py
+    hll_distinct, p=12): portable md5/60-bit spec, integer-exact register
+    sums (bucket order cannot perturb the estimate), LinearCounting
+    small-range branch; the only cross-engine floats are one division and
+    one ln(), rounded to 4 dp."""
+    from ecokg_spark.operators.sketch import hll_distinct
+
+    d = t(spark, sf, "documents")
+    return hll_distinct(d, "text", p=12, group_cols=["source"])
+
+
+def _sql_hll_distinct(p: int = 12) -> str:
+    from ecokg_spark.operators.sketch import _alpha
+
+    m = 2 ** p
+    w = 2 ** (60 - p)
+    s50 = 2 ** 50
+    num = repr(_alpha(m) * m * m * float(s50))  # the exact double Spark uses
+    return f"""
+WITH x AS (
+  SELECT source, {_HEX15.format(h='md5(text)')} AS h FROM documents
+),
+r AS (
+  SELECT source, h // {w} AS bucket,
+         CASE WHEN h % {w} = 0 THEN {60 - p + 1}
+              ELSE {60 - p + 1} - length(bin(h % {w})) END AS rho
+  FROM x
+),
+reg AS (SELECT source, bucket, MAX(rho) AS register FROM r GROUP BY 1, 2),
+agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+               SUM(CAST(pow(2.0, 50 - register) AS BIGINT)) AS s_used
+        FROM reg GROUP BY source),
+e AS (SELECT source, n_buckets_used, ({m} - n_buckets_used) AS zeros,
+             {num} / CAST(s_used + ({m} - n_buckets_used)
+                          * CAST({s50} AS BIGINT) AS DOUBLE) AS raw
+      FROM agg)
+SELECT source, n_buckets_used,
+       ROUND(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)} * ln({float(m)} / zeros)
+                  ELSE raw END, 4) AS estimate
+FROM e
+"""
+
+
+SQL_HLL_DISTINCT = _sql_hll_distinct()
+
+
 def q_dup_ngram_ratio(spark, sf):
     """Gopher duplicate-3-gram fraction per document; the token array is
     staged as a real column (no per-shingle re-tokenization)."""
@@ -1512,12 +1566,6 @@ def q_minhash_banded(spark, sf):
     return minhash_banded_portable_pairs(d, "text", "doc_id", threshold=0.5,
                                          k=16, bands=4)
 
-
-# base-16 parse of the first 15 hex chars of an md5 column {h} — a strpos
-# digit polynomial (60 bits, fits BIGINT); mirrors Spark's conv(substr) path
-_HEX15 = "(" + " + ".join(
-    f"(strpos('0123456789abcdef', substr({{h}}, {p}, 1)) - 1) * {16 ** (15 - p)}"
-    for p in range(1, 16)) + ")"
 
 SQL_MINHASH_BANDED = f"""
 WITH sh AS (
@@ -4505,6 +4553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_logit": q_quality_logit,
     "stratified_sample": q_stratified_sample,
     "dedup_stream": q_dedup_stream,
+    "hll_distinct": q_hll_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -4634,6 +4683,7 @@ ORACLES: dict[str, str] = {
     "quality_logit": SQL_QUALITY_LOGIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "dedup_stream": SQL_DEDUP_STREAM,
+    "hll_distinct": SQL_HLL_DISTINCT,
 }
 
 

@@ -1,0 +1,115 @@
+"""Distinct-count sketching (HyperLogLog) for corpus-scale cardinality.
+
+At 100 TB, COUNT(DISTINCT url) / COUNT(DISTINCT fingerprint) per source is
+a shuffle of every distinct key; an HLL register table is a fixed
+2^p-bucket aggregate that map-side-combines (max per bucket) and answers
+the same question within ~1.04/sqrt(2^p) relative error (Flajolet et al.
+2007, AofA; the LinearCounting small-range correction per the HLL paper's
+§4 / Heule et al. 2013 practice).
+
+PORTABILITY SPEC (same philosophy as dedup.minhash_banded_portable_pairs):
+hash = first 15 hex chars of md5(value) parsed base-16 (60 bits, fits
+BIGINT in any engine); bucket = top p bits; rho = leading-zero count of
+the remaining (60-p)-bit word + 1, computed via the INTEGER identity
+rho = (60-p) - length(bin(w)) + 1 (bin() = minimal binary string, no
+float log2 anywhere). The register sum stages as an exact BIGINT —
+sum(2^(50-rho)) with rho <= 49 — so bucket-order float drift cannot move
+the estimate; the only floats are the final division and (in the
+small-range branch) one ln(), rounded before cross-engine hashing.
+
+Register tables are also MERGEABLE (max per bucket) — union two corpora's
+registers and re-estimate without touching the data, the property that
+makes the sketch shippable across snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    """HLL bias constant (Flajolet et al. 2007 §4)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 12,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The 2^p-bucket register table: (group_cols..., bucket, register).
+
+    One groupBy — the max() per bucket is map-side combinable, so a hot
+    value (or a skewed group) collapses before the shuffle. Only occupied
+    buckets appear (empty buckets are implicit zeros, reconstructed at
+    estimate time)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    w_bits = 60 - p
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    bucket = (h / F.lit(2 ** w_bits)).cast("long")
+    w = h % F.lit(2 ** w_bits)
+    rho = (
+        F.when(w == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits) - F.length(F.bin(w)) + 1)
+    ).cast("int")
+    gcols = list(group_cols or [])
+    return (
+        df.select(*gcols, bucket.alias("bucket"), rho.alias("_rho"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("_rho").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 12,
+    group_cols: list[str] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Estimate distinct counts from a register table: (group_cols...,
+    n_buckets_used, estimate). Applies the LinearCounting small-range
+    correction (estimate <= 2.5m with empty buckets present)."""
+    m = 2 ** p
+    alpha = _alpha(m)
+    gcols = list(group_cols or [])
+    # exact integer register sum: sum(2^-rho) * 2^50, rho in [1, 60-p+1]
+    # (pow(2.0, k) is exact in double for k <= 50; the cast and the sum
+    # are integer-exact, so bucket order cannot perturb the estimate)
+    term = F.pow(F.lit(2.0), F.lit(50) - F.col("register")).cast("long")
+    agg = registers.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.sum(term).alias("_s_used"),
+    )
+    zeros = F.lit(m) - F.col("n_buckets_used")
+    s = F.col("_s_used") + zeros * F.lit(2 ** 50)
+    raw = F.lit(alpha * m * m * float(2 ** 50)) / s.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *gcols, "n_buckets_used",
+        F.round(est, round_to).alias("estimate"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    p: int = 12,
+    group_cols: list[str] | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """registers + estimate in one call: approximate COUNT(DISTINCT col)
+    [per group]. See module docstring for the portability spec."""
+    regs = hll_registers(df, col, p=p, group_cols=group_cols)
+    return hll_estimate(regs, p=p, group_cols=group_cols, round_to=round_to)

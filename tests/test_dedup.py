@@ -569,3 +569,36 @@ def test_fuzzy_dedup_transitive_chain_single_survivor(spark):
     # whatever pairs the banding yields, survivors must be cluster minima:
     # if all three chain together only 10 survives
     assert 10 in kept
+
+
+def test_hll_distinct_accuracy_and_merge(spark):
+    """Estimate within a few percent of the true cardinality; register
+    tables from two halves merge (max per bucket) to the full estimate."""
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.operators.sketch import (hll_distinct, hll_estimate,
+                                              hll_registers)
+
+    df = spark.range(20000).select(
+        F.concat(F.lit("u-"), F.col("id")).alias("u"))
+    est = hll_distinct(df, "u", p=12).collect()[0]["estimate"]
+    assert abs(est - 20000) / 20000 < 0.05
+
+    # mergeability: max-combine two halves' registers == whole registers
+    a = hll_registers(df.where(F.col("u") < "u-2"), "u", p=12)
+    b = hll_registers(df.where(~(F.col("u") < "u-2")), "u", p=12)
+    merged = (a.unionByName(b).groupBy("bucket")
+              .agg(F.max("register").alias("register")))
+    est_m = hll_estimate(merged, p=12).collect()[0]["estimate"]
+    assert est_m == est
+
+
+def test_hll_duplicates_do_not_inflate(spark):
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.operators.sketch import hll_distinct
+
+    base = spark.range(1000).select(
+        F.concat(F.lit("k"), (F.col("id") % 100)).alias("k"))
+    est = hll_distinct(base, "k", p=12).collect()[0]["estimate"]
+    assert abs(est - 100) < 5
