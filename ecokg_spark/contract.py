@@ -800,6 +800,73 @@ WHERE (lang = 'en')
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
+def q_c4_rules(spark, sf):
+    """C4 line+document cleaning rules (functions/text.py
+    c4_quality_flags): terminal-punctuation / >=5-word / no-javascript
+    line filter, lorem-ipsum + brace + >=3-kept-lines document gate.
+    The corpus text has no terminal punctuation, so the fixture
+    synthesizes four variants from doc_id: 3 clean punctuated lines
+    (passes), a javascript line (line dropped), a lorem-ipsum prefix
+    (doc fails), a brace suffix (doc fails) — every rule fires both
+    ways."""
+    from ecokg_spark.functions.text import c4_quality_flags
+
+    d = t(spark, sf, "documents")
+    nl = F.lit("\n")
+    base = F.col("text")
+    v = F.col("doc_id") % 4
+    text2 = (
+        F.when(v == 0, F.concat(base, F.lit("."), nl, base, F.lit("!"),
+                                nl, base, F.lit("?")))
+        .when(v == 1, F.concat(base, F.lit("."), nl, base,
+                               F.lit(" javascript rules."), nl, base,
+                               F.lit("?"), nl, base, F.lit("!")))
+        .when(v == 2, F.concat(F.lit("lorem ipsum "), base, F.lit("."), nl,
+                               base, F.lit("!"), nl, base, F.lit("?")))
+        .otherwise(F.concat(base, F.lit(" { code }."), nl, base, F.lit("!"),
+                            nl, base, F.lit("?")))
+    )
+    flags = c4_quality_flags(text2)
+    return d.select("doc_id", flags["n_lines"].alias("n_lines"),
+                    flags["n_kept"].alias("n_kept"),
+                    flags["kept_text"].alias("kept_text"),
+                    flags["passes_c4"].alias("passes_c4"))
+
+
+_C4_KEEP_SQL = (
+    "list_filter(list_transform(string_split(t2, chr(10)), "
+    "l -> trim(regexp_replace(l, ' +', ' ', 'g'))), "
+    "t -> regexp_matches(t, '[.!?]$') AND len(string_split(t, ' ')) >= 5 "
+    "AND NOT regexp_matches(t, '(?i)javascript'))")
+
+SQL_C4_RULES = f"""
+WITH v AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN text || '.' || chr(10) || text || '!'
+                       || chr(10) || text || '?'
+           WHEN 1 THEN text || '.' || chr(10) || text
+                       || ' javascript rules.' || chr(10) || text || '?'
+                       || chr(10) || text || '!'
+           WHEN 2 THEN 'lorem ipsum ' || text || '.' || chr(10) || text
+                       || '!' || chr(10) || text || '?'
+           ELSE text || ' {{ code }}.' || chr(10) || text || '!'
+                || chr(10) || text || '?'
+         END AS t2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(string_split(t2, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len({_C4_KEEP_SQL}) AS BIGINT) AS n_kept,
+       COALESCE(list_aggregate({_C4_KEEP_SQL}, 'string_agg', chr(10)),
+                '') AS kept_text,
+       (len({_C4_KEEP_SQL}) >= 3
+        AND NOT contains(lower(t2), 'lorem ipsum')
+        AND NOT contains(t2, '{{')) AS passes_c4
+FROM v
+"""
+
+
 # base-16 parse of the first 15 hex chars of an md5 column {h} — a strpos
 # digit polynomial (60 bits, fits BIGINT); mirrors Spark's conv(substr) path
 _HEX15 = "(" + " + ".join(
@@ -4554,6 +4621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "dedup_stream": q_dedup_stream,
     "hll_distinct": q_hll_distinct,
+    "c4_rules": q_c4_rules,
 }
 
 ORACLES: dict[str, str] = {
@@ -4684,6 +4752,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "dedup_stream": SQL_DEDUP_STREAM,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "c4_rules": SQL_C4_RULES,
 }
 
 

@@ -275,3 +275,46 @@ def classifier_score(col: Column | str,
         * F.log1p(token_count(c).cast("double"))
     )
     return (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).cast("double")
+
+
+def c4_quality_flags(col: Column | str) -> dict[str, Column]:
+    """C4-style (Raffel et al. 2020 §2.2, public) line + document
+    cleaning rules as named column expressions — the other canonical
+    published web-text filter set next to gopher_quality_flags. Pure
+    Catalyst; exact DuckDB twin (contract row `c4_rules`).
+
+    Line rule (applied to each single-space-normalized, trimmed line):
+    keep iff it ends in terminal punctuation ([.!?] — the paper also
+    accepts a closing quote; simplified here), has >= 5 words, and does
+    not mention javascript (case-insensitive). Document rules: >= 3
+    retained lines, no "lorem ipsum", no '{' (code marker).
+
+      n_lines     lines in the raw document
+      n_kept      lines surviving the line rule
+      kept_text   the rebuilt document (kept lines joined with \\n)
+      passes_c4   n_kept >= 3 AND no lorem-ipsum AND no brace
+    """
+    c = _c(col)
+    lines = F.split(c, "\n")
+    # stage the normalization once per line — a filter lambda re-evaluates
+    # its whole body per reference (no CSE in interpreted HOFs)
+    norm_lines = F.transform(
+        lines, lambda l: F.trim(F.regexp_replace(l, " +", " ")))
+    kept = F.filter(
+        norm_lines,
+        lambda t: t.rlike("[.!?]$")
+        & (F.size(F.split(t, " ")) >= 5)
+        & ~t.rlike("(?i)javascript"),
+    )
+    n_kept = F.size(kept).cast("long")
+    passes = (
+        (n_kept >= 3)
+        & ~F.lower(c).contains("lorem ipsum")
+        & ~c.contains("{")
+    )
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_kept": n_kept,
+        "kept_text": F.array_join(kept, "\n"),
+        "passes_c4": passes,
+    }

@@ -150,3 +150,32 @@ def test_dup_ngram_ratio(spark):
     got = [r[0] for r in df.select(dup_ngram_ratio(F.col("_toks"))).collect()]
     # 6 shingles, 3 distinct -> 0.5; 3 shingles all distinct -> 0; short -> 0
     assert got == [0.5, 0.0, 0.0]
+
+
+def test_c4_flags_line_and_doc_rules(spark):
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.functions.text import c4_quality_flags
+
+    rows = [
+        (1, "this line ends with a period here.\n"
+            "another good long line goes here!\n"
+            "and a third quality line appears?"),          # passes
+        (2, "short line.\nno punct here at all\n"
+            "this javascript line would be long enough."),  # all dropped
+        (3, "lorem ipsum dolor sit amet something.\n"
+            "another good long line goes here!\n"
+            "and a third quality line appears?"),          # lorem gate
+        (4, "a { brace } marks code in this line.\n"
+            "another good long line goes here!\n"
+            "and a third quality line appears?"),          # brace gate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fl = c4_quality_flags("text")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", fl["n_kept"].alias("k"), fl["passes_c4"].alias("p"),
+        fl["kept_text"].alias("t")).collect()}
+    assert got[1]["k"] == 3 and got[1]["p"] is True
+    assert got[2]["k"] == 0 and got[2]["p"] is False and got[2]["t"] == ""
+    assert got[3]["k"] == 3 and got[3]["p"] is False   # lorem ipsum
+    assert got[4]["k"] == 3 and got[4]["p"] is False   # brace
