@@ -1675,6 +1675,96 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
 """
 
 
+def q_incremental_dedup(spark, sf):
+    """Cross-snapshot incremental dedup (operators/dedup.py
+    incremental_dedup): even doc_ids play the EXISTING corpus, odd ids
+    the NEW batch; the admitted set must survive the four-stage funnel
+    (batch-exact, corpus-exact, corpus-near, batch-near dominance) —
+    recomputed verbatim by the oracle over the portable md5 spec."""
+    from ecokg_spark.operators.dedup import incremental_dedup
+
+    d = t(spark, sf, "documents")
+    corpus = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    out = incremental_dedup(new, corpus, threshold=0.5, k=16, bands=4)
+    return out.select("doc_id", "source", "n_chars")
+
+
+def _sql_incremental_dedup() -> str:
+    fp = f"md5(lower({_NORM_SQL.format(c='text')}))"
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS s FROM documents
+),
+hs AS (
+  SELECT doc_id, r.i AS seed,
+         md5(CAST(r.i AS VARCHAR) || ':' || s) AS h
+  FROM sh CROSS JOIN range(16) r(i)
+),
+sig AS (
+  SELECT doc_id, seed, MIN({_HEX15.format(h='h')}) AS mh
+  FROM hs GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band_idx,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+nfp AS (SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 2 = 1),
+k1 AS (SELECT fp, MIN(doc_id) AS doc_id FROM nfp GROUP BY fp),
+s2 AS (
+  SELECT doc_id FROM k1
+  WHERE fp NOT IN (SELECT DISTINCT {fp} FROM documents WHERE doc_id % 2 = 0)
+),
+xcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id IN (SELECT doc_id FROM s2) AND b.doc_id % 2 = 0
+),
+xhit AS (
+  SELECT c.id_a FROM (
+    SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i
+    FROM xcand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+    GROUP BY c.id_a, c.id_b
+  ) c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+),
+s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT id_a FROM xhit)),
+bcand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM s3)
+    AND b.doc_id IN (SELECT doc_id FROM s3)
+),
+bhit AS (
+  SELECT c.id_b FROM (
+    SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i
+    FROM bcand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+    GROUP BY c.id_a, c.id_b
+  ) c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+)
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id IN (SELECT doc_id FROM s3)
+  AND doc_id NOT IN (SELECT id_b FROM bhit)
+"""
+
+
+SQL_INCREMENTAL_DEDUP = _sql_incremental_dedup()
+
+
 def q_fuzzy_dedup(spark, sf):
     """End-to-end MinHash fuzzy dedup (operators/dedup.py fuzzy_dedup):
     the banded md5-portable funnel (the minhash_banded row's spec) ->
@@ -4622,6 +4712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_stream": q_dedup_stream,
     "hll_distinct": q_hll_distinct,
     "c4_rules": q_c4_rules,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -4753,6 +4844,7 @@ ORACLES: dict[str, str] = {
     "dedup_stream": SQL_DEDUP_STREAM,
     "hll_distinct": SQL_HLL_DISTINCT,
     "c4_rules": SQL_C4_RULES,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
 }
 
 

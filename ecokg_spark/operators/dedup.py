@@ -250,6 +250,23 @@ def minhash_banded_portable_pairs(
     true near-dups, exact verify on the survivors. Default k=16 x 4 bands
     keeps the oracle's md5 volume (docs x shingles x k) tractable while
     exercising the same rows=4 banding the xxhash64 production path uses."""
+    sets, banded = _portable_banded(df, text_col, id_col, k, bands, n)
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _exact_verify(cand, sets, id_col, threshold)
+
+
+def _portable_banded(df: DataFrame, text_col: str, id_col: str, k: int,
+                     bands: int, n: int):
+    """(shingle sets, banded keys) under the portable md5 minhash spec —
+    shared by minhash_banded_portable_pairs (within one table) and
+    incremental_dedup (across a new batch and an existing corpus)."""
     if k % bands != 0:
         raise ValueError(f"bands={bands} must divide k={k}")
     rows = k // bands
@@ -269,15 +286,97 @@ def minhash_banded_portable_pairs(
     ])
     banded = sig.select(
         id_col, F.posexplode(band_keys).alias("band_idx", "band_key"))
-    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
-    cand = (
-        a.join(b, ["band_idx", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    return sets, banded
+
+
+def _exact_verify_cross(cand: DataFrame, sets_a: DataFrame,
+                        sets_b: DataFrame, id_col: str,
+                        threshold: float) -> DataFrame:
+    """_exact_verify across TWO set tables: cand (id_a, id_b) with id_a
+    from sets_a and id_b from sets_b."""
+    pa = sets_a.select(F.col(id_col).alias("id_a"),
+                       F.col("_set").alias("_seta"))
+    pb = sets_b.select(F.col(id_col).alias("id_b"),
+                       F.col("_set").alias("_setb"))
+    inter = F.size(F.array_intersect("_seta", "_setb"))
+    jac = inter / (F.size("_seta") + F.size("_setb") - inter)
+    return (
+        cand.join(pa, "id_a").join(pb, "id_b")
+        .select("id_a", "id_b", jac.cast("double").alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
-    return _exact_verify(cand, sets, id_col, threshold)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-snapshot incremental deduplication: admit only the rows of a
+    NEW crawl batch that are neither exact nor near duplicates of the
+    EXISTING corpus, nor of an earlier (smaller-id) admitted row in the
+    same batch — the snapshot-over-snapshot ingestion gate every
+    continuously-crawled corpus needs (new CC snapshot vs what's already
+    in the training set).
+
+    Four-stage funnel, applied in this order (mirrored by the oracle):
+      1. exact within batch  — keep the min-id row per fingerprint;
+      2. exact vs corpus     — anti-join on the corpus fingerprint set;
+      3. near vs corpus      — banded portable-md5 minhash candidates
+                               (new bands JOIN corpus bands), exact
+                               Jaccard >= threshold verify, drop matches;
+      4. near within batch   — banded pairs among survivors, dominance
+                               rule (drop the larger id of a verified
+                               pair; transitive chains may keep >1 per
+                               neighborhood — use fuzzy_dedup on a full
+                               rebuild when cluster-exact retention
+                               matters).
+
+    100-TB shape: stage 2 is one shuffle on a 16-byte key against a
+    fingerprint INDEX (persist the corpus fingerprints/bands once, reuse
+    per snapshot); stage 3's bucket join touches only band-key collisions
+    (~true near-dups); nothing ever rescans the corpus text. Returns the
+    admitted rows of `new_docs`.
+    """
+    from ecokg_spark.functions.text import doc_fingerprint
+
+    fp_new = new_docs.withColumn("_fp", doc_fingerprint(text_col))
+    keep1 = fp_new.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    s1 = fp_new.join(keep1, ["_fp", id_col])
+    cfp = corpus.select(doc_fingerprint(text_col).alias("_fp")).distinct()
+    s2 = s1.join(cfp, "_fp", "left_anti").drop("_fp")
+
+    nsets, nband = _portable_banded(s2, text_col, id_col, k, bands, n)
+    csets, cband = _portable_banded(corpus, text_col, id_col, k, bands, n)
+    cross = (
+        nband.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+        .join(cband.select(F.col(id_col).alias("id_b"), "band_idx",
+                           "band_key"), ["band_idx", "band_key"])
+        .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    )
+    hit = _exact_verify_cross(cross, nsets, csets, id_col, threshold)
+    s3 = s2.join(hit.select(F.col("id_a").alias(id_col)).distinct(),
+                 id_col, "left_anti")
+
+    # stage 4 reuses the stage-3 bands/sets (one minhash pass for both
+    # stages), restricted to the stage-3 survivors
+    ids3 = s3.select(id_col)
+    band3 = nband.join(ids3, id_col, "left_semi")
+    cand3 = (
+        band3.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+        .join(band3.select(F.col(id_col).alias("id_b"), "band_idx",
+                           "band_key"), ["band_idx", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    )
+    batch_pairs = _exact_verify(cand3, nsets, id_col, threshold)
+    drops = batch_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return s3.join(drops, id_col, "left_anti")
 
 
 def _mask(i: int) -> int:

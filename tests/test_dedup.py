@@ -602,3 +602,31 @@ def test_hll_duplicates_do_not_inflate(spark):
         F.concat(F.lit("k"), (F.col("id") % 100)).alias("k"))
     est = hll_distinct(base, "k", p=12).collect()[0]["estimate"]
     assert abs(est - 100) < 5
+
+
+def test_incremental_dedup_four_gates(spark):
+    """Each funnel stage drops exactly its case: batch-exact dup,
+    corpus-exact dup, corpus-near dup, batch-near dominance."""
+    from ecokg_spark.operators.dedup import incremental_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    corpus = spark.createDataFrame(
+        [(100, base), (102, "totally different corpus content here "
+                            "about engines and scale and shuffles")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "a genuinely new document with fresh words entirely "
+             "unseen before anywhere"),
+         (3, base),                                   # corpus-exact dup
+         (5, base + " extra tail"),                   # corpus-near dup
+         (7, "a genuinely new document with fresh words entirely "
+             "unseen before anywhere"),               # batch-exact dup of 1
+         (9, "independent second admission with its own novel "
+             "vocabulary and nothing shared"),
+         (11, "independent second admission with its own novel "
+              "vocabulary and nothing shared plus tail")],  # near dup of 9
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in incremental_dedup(
+        new, corpus, threshold=0.5).collect())
+    assert kept == [1, 9]
