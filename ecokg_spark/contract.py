@@ -29,6 +29,7 @@ from ecokg_spark.functions.curie import (
 from ecokg_spark.functions.text import (
     doc_fingerprint,
     lang_id,
+    normalize_ws,
     quality_score,
     token_count,
 )
@@ -919,6 +920,55 @@ FROM e
 
 
 SQL_HLL_DISTINCT = _sql_hll_distinct()
+
+
+def q_count_min(spark, sf):
+    """Count-Min token-frequency sketch (operators/sketch.py
+    count_min_table + count_min_estimate, w=256 d=4): build the counter
+    table over every corpus token, point-query six tokens (five present,
+    one absent). Integer arithmetic end to end — the oracle recomputes
+    the sketch cell-for-cell including its collision overcounts."""
+    from ecokg_spark.operators.sketch import (count_min_estimate,
+                                              count_min_table)
+
+    d = t(spark, sf, "documents")
+    toks = d.select(F.explode(
+        F.split(F.lower(normalize_ws("text")), " ")).alias("tok"))
+    counters = count_min_table(toks, "tok", w=256, d=4)
+    queries = spark.createDataFrame(
+        [("the",), ("and",), ("spark",), ("batch",), ("window",),
+         ("zzz-absent",)], "tok string")
+    return count_min_estimate(counters, queries, "tok", w=256, d=4)
+
+
+def _sql_count_min(w: int = 256, d: int = 4) -> str:
+    hx = _HEX15.format(h="md5(CAST(r.i AS VARCHAR) || ':' || v)")
+    qhx = _HEX15.format(h="md5(CAST(r.i AS VARCHAR) || ':' || tok)")
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower({_NORM_SQL.format(c='text')}), ' ')) AS v
+  FROM documents
+),
+cells AS (
+  SELECT r.i AS hrow, ({hx}) % {w} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN range({d}) r(i) GROUP BY 1, 2
+),
+q AS (
+  SELECT unnest(['the', 'and', 'spark', 'batch', 'window',
+                 'zzz-absent']) AS tok
+),
+probes AS (
+  SELECT tok, r.i AS hrow, ({qhx}) % {w} AS bucket
+  FROM q CROSS JOIN range({d}) r(i)
+)
+SELECT tok, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS estimate
+FROM probes p LEFT JOIN cells c ON c.hrow = p.hrow AND c.bucket = p.bucket
+GROUP BY tok
+"""
+
+
+SQL_COUNT_MIN = _sql_count_min()
 
 
 def q_dup_ngram_ratio(spark, sf):
@@ -4713,6 +4763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "c4_rules": q_c4_rules,
     "incremental_dedup": q_incremental_dedup,
+    "count_min": q_count_min,
 }
 
 ORACLES: dict[str, str] = {
@@ -4845,6 +4896,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "c4_rules": SQL_C4_RULES,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "count_min": SQL_COUNT_MIN,
 }
 
 

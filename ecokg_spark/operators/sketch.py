@@ -1,4 +1,4 @@
-"""Distinct-count sketching (HyperLogLog) for corpus-scale cardinality.
+"""Sketch operators (HyperLogLog, Count-Min) for corpus-scale summaries.
 
 At 100 TB, COUNT(DISTINCT url) / COUNT(DISTINCT fingerprint) per source is
 a shuffle of every distinct key; an HLL register table is a fixed
@@ -113,3 +113,68 @@ def hll_distinct(
     [per group]. See module docstring for the portability spec."""
     regs = hll_registers(df, col, p=p, group_cols=group_cols)
     return hll_estimate(regs, p=p, group_cols=group_cols, round_to=round_to)
+
+
+def count_min_table(
+    df: DataFrame,
+    col: str,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Count-Min sketch counter table (Cormode & Muthukrishnan 2005):
+    (row, bucket, cnt) with d hash rows of w counters — a fixed d*w-cell
+    frequency summary of an unbounded value stream.
+
+    Same portability spec as hll_registers: hash row r of value v buckets
+    at (md5-60-bit of "r:"||v) % w — integer arithmetic end to end, so
+    the oracle recomputes the table cell-for-cell. Build is ONE groupBy
+    on (row, bucket): map-side partial sums absorb hot values before the
+    shuffle (the sketch's whole point at 100 TB — frequency without a
+    per-key shuffle). Tables are MERGEABLE: cell-wise SUM combines
+    snapshots."""
+    if w < 2 or d < 1:
+        raise ValueError(f"need w >= 2, d >= 1; got w={w}, d={d}")
+
+    def bucket(r: int):
+        h = F.conv(F.substring(F.md5(
+            F.concat(F.lit(f"{r}:"), F.col(col).cast("string"))), 1, 15),
+            16, 10).cast("long")
+        return (h % w).cast("long")
+
+    rows = F.array(*[bucket(r) for r in range(d)])
+    return (
+        df.select(F.posexplode(rows).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    counters: DataFrame,
+    queries: DataFrame,
+    query_col: str,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Point-query the sketch: estimate(v) = min over the d rows of the
+    counter at that row's bucket for v — an upper bound on the true count
+    (>= true, within eps*N with probability 1-delta for w=ceil(e/eps),
+    d=ceil(ln 1/delta)). `queries` is a (small) DataFrame of values;
+    missing cells count 0. Returns (query_col, estimate)."""
+
+    def bucket(r: int):
+        h = F.conv(F.substring(F.md5(
+            F.concat(F.lit(f"{r}:"), F.col(query_col).cast("string"))),
+            1, 15), 16, 10).cast("long")
+        return (h % w).cast("long")
+
+    probes = queries.select(
+        query_col,
+        F.posexplode(F.array(*[bucket(r) for r in range(d)])
+                     ).alias("row", "bucket"))
+    return (
+        probes.join(counters, ["row", "bucket"], "left")
+        .groupBy(query_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
+             .alias("estimate"))
+    )

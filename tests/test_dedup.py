@@ -630,3 +630,33 @@ def test_incremental_dedup_four_gates(spark):
     kept = sorted(r["doc_id"] for r in incremental_dedup(
         new, corpus, threshold=0.5).collect())
     assert kept == [1, 9]
+
+
+def test_count_min_upper_bound_and_merge(spark):
+    """Estimates are >= true counts (never undercount) and close at this
+    sketch size; cell-wise-summed tables equal the whole-corpus table."""
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.operators.sketch import (count_min_estimate,
+                                              count_min_table)
+
+    vals = (["hot"] * 500) + (["warm"] * 50) + [f"cold-{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    counters = count_min_table(df, "v", w=512, d=4)
+    q = spark.createDataFrame([("hot",), ("warm",), ("absent",)], "v string")
+    got = {r["v"]: r["estimate"] for r in count_min_estimate(
+        counters, q, "v", w=512, d=4).collect()}
+    assert got["hot"] >= 500 and got["hot"] <= 510
+    assert got["warm"] >= 50 and got["warm"] <= 60
+    assert got["absent"] <= 5  # only collision mass
+
+    # mergeability on a clean split: rebuild from two disjoint halves
+    a = spark.createDataFrame([(v,) for v in vals[:300]], "v string")
+    b = spark.createDataFrame([(v,) for v in vals[300:]], "v string")
+    merged = (count_min_table(a, "v", w=512, d=4)
+              .unionByName(count_min_table(b, "v", w=512, d=4))
+              .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")))
+    whole = counters
+    diff = merged.join(whole, ["row", "bucket"], "full") \
+        .where(F.coalesce(merged["cnt"], F.lit(0)) != F.coalesce(whole["cnt"], F.lit(0)))
+    assert diff.count() == 0
