@@ -241,3 +241,76 @@ def test_bigram_lm_probe_join_no_udf(spark):
     plan = physical_plan(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_registers_single_exchange_no_udf(spark):
+    """HLL register build: exactly one shuffle (the bucket groupBy with a
+    map-side-combinable max), everything JVM-side."""
+    from ecokg_spark.operators.sketch import hll_registers
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    regs = hll_registers(d, "text", p=12)
+    plan = physical_plan(regs)
+    assert count_exchanges(regs) == 1, plan
+    assert "partial_max" in plan  # map-side combine before the shuffle
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_count_min_build_single_exchange(spark):
+    from ecokg_spark.operators.sketch import count_min_table
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    counters = count_min_table(toks, "tok", w=256, d=4)
+    plan = physical_plan(counters)
+    assert count_exchanges(counters) == 1, plan
+    assert "partial_count" in plan
+
+
+def test_count_min_probe_broadcasts_queries(spark):
+    """Point queries broadcast the tiny probe side against the counter
+    table — no shuffle of the counters for a lookup."""
+    from ecokg_spark.operators.sketch import (count_min_estimate,
+                                              count_min_table)
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    counters = count_min_table(toks, "tok", w=256, d=4)
+    q = spark.createDataFrame([("the",), ("and",)], "tok string")
+    est = count_min_estimate(counters, q, "tok", w=256, d=4)
+    assert has_broadcast_join(est), physical_plan(est)
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """The mixture cut is a narrow filter — zero exchanges."""
+    from ecokg_spark.operators.sample import stratified_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = stratified_sample(d, "lang", {"en": 1.0, "de": 0.5})
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 0, plan
+    assert "Python" not in plan
+
+
+def test_classifier_score_pure_catalyst(spark):
+    from ecokg_spark.functions.text import classifier_score
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = d.select("doc_id", classifier_score("text").alias("s"))
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 0, plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_incremental_dedup_no_cartesian(spark):
+    """The cross-snapshot funnel must never produce a cartesian or
+    nested-loop join: every stage is an equi-join on fingerprints or
+    band keys."""
+    from ecokg_spark.operators.dedup import incremental_dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = incremental_dedup(d.where(F.col("doc_id") % 2 == 1),
+                            d.where(F.col("doc_id") % 2 == 0))
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
