@@ -922,6 +922,85 @@ FROM e
 SQL_HLL_DISTINCT = _sql_hll_distinct()
 
 
+def q_sparql_offset(spark, sf):
+    """ORDER BY + LIMIT + OFFSET slice (SPARQL §15.4-15.5; OFFSET without
+    ORDER BY is rejected as nondeterministic): page 3 of the size-ordered
+    part listing, 20 rows per page."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT ?x ?m WHERE { ?x biolink:has_size ?m } "
+        "ORDER BY ?m ?x LIMIT 20 OFFSET 40",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_OFFSET = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x,
+       'SZ:' || CAST(p_size AS VARCHAR) AS m
+FROM part
+ORDER BY m, x LIMIT 20 OFFSET 40
+"""
+
+
+def q_vocab_topk(spark, sf):
+    """Vocabulary induction (functions/text.py build_vocab): top-25
+    corpus tokens with counts and deterministic rank (count DESC, token
+    ASC). The global top-k is TakeOrderedAndProject — never a full
+    sort."""
+    from ecokg_spark.functions.text import build_vocab
+
+    d = t(spark, sf, "documents")
+    return build_vocab(d, "text", k=25)
+
+
+SQL_VOCAB_TOPK = f"""
+WITH c AS (
+  SELECT unnest(string_split(lower({_NORM_SQL.format(c='text')}), ' ')) AS token
+  FROM documents
+),
+n AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY token)
+SELECT token, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+FROM n ORDER BY n DESC, token ASC LIMIT 25
+"""
+
+
+def q_audio_chunks(spark, sf):
+    """Audio chunk scheduling (operators/multimodal.py audio_chunk_plan):
+    30 s chunks with 5 s overlap over synthesized per-doc durations
+    (1-121 s from doc_id); last chunk clamps to the duration. Pure
+    integer arithmetic — exact cross-engine."""
+    from ecokg_spark.operators.multimodal import audio_chunk_plan
+
+    d = t(spark, sf, "documents").select(
+        "doc_id",
+        (F.lit(1000) + (F.col("doc_id") * 7919) % 120000)
+        .cast("long").alias("duration_ms"))
+    return audio_chunk_plan(d, chunk_ms=30_000, overlap_ms=5_000)
+
+
+SQL_AUDIO_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, CAST(1000 + (doc_id * 7919) % 120000 AS BIGINT) AS dur
+  FROM documents
+),
+n AS (
+  SELECT doc_id, dur,
+         1 + (greatest(dur - 30000, 0) + 24999) // 25000 AS n_chunks
+  FROM d
+)
+SELECT doc_id,
+       CAST(g.i AS BIGINT) AS chunk_idx,
+       CAST(g.i * 25000 AS BIGINT) AS start_ms,
+       CAST(least(g.i * 25000 + 30000, dur) AS BIGINT) AS end_ms
+FROM n CROSS JOIN generate_series(0, 119) g(i)
+WHERE g.i < n.n_chunks
+"""
+
+
 def q_count_min(spark, sf):
     """Count-Min token-frequency sketch (operators/sketch.py
     count_min_table + count_min_estimate, w=256 d=4): build the counter
@@ -4764,6 +4843,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_rules": q_c4_rules,
     "incremental_dedup": q_incremental_dedup,
     "count_min": q_count_min,
+    "sparql_offset": q_sparql_offset,
+    "vocab_topk": q_vocab_topk,
+    "audio_chunks": q_audio_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -4897,6 +4979,9 @@ ORACLES: dict[str, str] = {
     "c4_rules": SQL_C4_RULES,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "count_min": SQL_COUNT_MIN,
+    "sparql_offset": SQL_SPARQL_OFFSET,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "audio_chunks": SQL_AUDIO_CHUNKS,
 }
 
 

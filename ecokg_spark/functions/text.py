@@ -318,3 +318,26 @@ def c4_quality_flags(col: Column | str) -> dict[str, Column]:
         "kept_text": F.array_join(kept, "\n"),
         "passes_c4": passes,
     }
+
+
+def build_vocab(df, text_col: str = "text", k: int = 1000):
+    """Vocabulary induction: the k most frequent whitespace tokens with
+    counts and 1-based rank (ties broken by token codepoint order — fully
+    deterministic, cross-engine recomputable).
+
+    100-TB shape: token counts are ONE map-side-combinable shuffle; the
+    global top-k executes as TakeOrderedAndProject (per-partition top-k,
+    driver merges k rows — never a full sort) and the rank window runs
+    over the k surviving rows only. The Zipf head ('the') is absorbed by
+    partial_count before the exchange."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(
+            F.split(F.lower(normalize_ws(text_col)), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -264,3 +264,44 @@ def synth_media(spark, n: int = 100) -> DataFrame:
         ).alias("payload"),
         (F.col("id") % 100 + 1).cast("int").alias("n_frames"),
     )
+
+
+def audio_chunk_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    duration_ms_col: str = "duration_ms",
+    chunk_ms: int = 30_000,
+    overlap_ms: int = 0,
+) -> DataFrame:
+    """Chunking plan for long audio (the Whisper-style segment scheduler):
+    one row per (media item, chunk) with [start_ms, end_ms) boundaries,
+    fixed chunk length and optional overlap, last chunk clamped to the
+    item's duration.
+
+    n_chunks = 1 if duration <= chunk else ceil((duration - chunk) /
+    (chunk - overlap)) + 1 — pure integer arithmetic (ceil via
+    (a + b - 1) div b), so the plan is exactly recomputable anywhere.
+    The decode/transcribe stage this plan feeds is the mapInPandas
+    stage shape of extract_media_features; planning stays JVM-side
+    (sequence + explode, zero UDF) and fans out ~duration/step rows per
+    item — bounded, known in advance, and partitionable by (id, chunk).
+    """
+    if chunk_ms <= 0 or not 0 <= overlap_ms < chunk_ms:
+        raise ValueError(
+            f"need chunk_ms > 0 and 0 <= overlap_ms < chunk_ms; got "
+            f"{chunk_ms=}, {overlap_ms=}")
+    step = chunk_ms - overlap_ms
+    dur = F.col(duration_ms_col).cast("long")
+    extra = F.greatest(dur - F.lit(chunk_ms), F.lit(0))
+    n_chunks = (extra + F.lit(step - 1)) / F.lit(step)  # integer-exact ceil
+    n_chunks = n_chunks.cast("long") + 1
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    out = df.select(F.col(id_col), dur.alias("_dur"), idx)
+    start = F.col("chunk_idx") * F.lit(step)
+    end = F.least(start + F.lit(chunk_ms), F.col("_dur"))
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_ms"),
+        end.cast("long").alias("end_ms"),
+    )

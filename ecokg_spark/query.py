@@ -13,7 +13,8 @@ the same queries compile straight to Catalyst plans — no endpoint:
     WHERE { pattern (('.' pattern) | filter | notexists | exists | minus
                      | optional | union | values | bind)* }
     [GROUP BY ?var*] [HAVING( agg cmp value )]
-    [ORDER BY (?var | ASC(?var) | DESC(?var))*] [LIMIT n]
+    [ORDER BY (?var | ASC(?var) | DESC(?var))*] [LIMIT n] [OFFSET n]
+    (OFFSET requires ORDER BY — an unordered slice is nondeterministic)
 
     ASK { <same WHERE body> }                       -- sparql_ask()
     CONSTRUCT { pattern+ } WHERE { <body> }         -- sparql_construct()
@@ -143,7 +144,8 @@ _SELECT_RE = re.compile(
     r"\s*(?:GROUP\s+BY\s+(.*?))?"
     r"\s*(?:HAVING\s*\((.*?)\))?"
     r"\s*(?:ORDER\s+BY\s+(.*?))?"
-    r"\s*(?:LIMIT\s+(\d+))?\s*$")
+    r"\s*(?:LIMIT\s+(\d+))?"
+    r"\s*(?:OFFSET\s+(\d+))?\s*$")
 _ASK_RE = re.compile(
     r"(?is)^\s*ASK\s*\{((?:[^{}]|\{[^{}]*\})*)\}\s*$")
 _CONSTRUCT_RE = re.compile(
@@ -384,7 +386,7 @@ def _parse(query: str):
     if not m:
         raise SparqlError(f"unsupported SPARQL shape: {query!r}")
     (distinct_raw, select_raw, where_raw, group_raw, having_raw, order_raw,
-     limit_raw) = m.groups()
+     limit_raw, offset_raw) = m.groups()
     aggs = [(func.upper(), bool(dist), v, alias)
             for func, dist, v, alias in _AGG_RE.findall(select_raw)]
     for func, dist, _v, _a in aggs:
@@ -421,8 +423,13 @@ def _parse(query: str):
     order = [(d.upper() if d else "ASC", v1 or v2)
              for d, v1, v2 in _ORDER_RE.findall(order_raw)] if order_raw else []
     limit = int(limit_raw) if limit_raw else None
+    offset = int(offset_raw) if offset_raw else None
+    if offset is not None and not order:
+        raise SparqlError(
+            "OFFSET without ORDER BY is nondeterministic (SPARQL leaves "
+            "the solution sequence unspecified); add ORDER BY")
     return (aggs, plain, group, having, bool(distinct_raw), order, limit,
-            body)
+            offset, body)
 
 
 def _term_col(df: DataFrame, col: str, term: str, binds: dict[str, list]):
@@ -824,7 +831,7 @@ def sparql_select(
     edges: DataFrame,
 ) -> DataFrame:
     """Compile + run a (restricted) SPARQL SELECT over the KG tables."""
-    (aggs, plain, group, having, distinct, order, limit,
+    (aggs, plain, group, having, distinct, order, limit, offset,
      body) = _parse(query)
     out, bound = _compile_body(nodes, edges, body)
 
@@ -860,6 +867,10 @@ def sparql_select(
             raise SparqlError(f"ORDER BY on unprojected variables: {bad}")
         out = out.orderBy(*[F.col(v).desc() if d == "DESC" else F.col(v).asc()
                             for d, v in order])
+    # SPARQL slice semantics (§15.4-15.5): OFFSET skips first, LIMIT then
+    # caps what remains
+    if offset is not None:
+        out = out.offset(offset)
     if limit is not None:
         out = out.limit(limit)
     return out

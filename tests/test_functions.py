@@ -179,3 +179,13 @@ def test_c4_flags_line_and_doc_rules(spark):
     assert got[2]["k"] == 0 and got[2]["p"] is False and got[2]["t"] == ""
     assert got[3]["k"] == 3 and got[3]["p"] is False   # lorem ipsum
     assert got[4]["k"] == 3 and got[4]["p"] is False   # brace
+
+
+def test_build_vocab_topk_rank(spark):
+    from ecokg_spark.functions.text import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b a z")], "doc_id long, text string")
+    got = [(r["token"], r["n"], r["rank"])
+           for r in build_vocab(df, k=3).collect()]
+    assert got == [("a", 4, 1), ("b", 3, 2), ("c", 1, 3)]  # c before z: tie->codepoint

@@ -132,3 +132,33 @@ def test_resize_plan_aspect_preserving(spark):
     assert (got[3]["out_w"], got[3]["out_h"]) == (50, 50)
     # zero width clamps to 1 before scaling, never emits 0
     assert got[4]["out_w"] >= 1 and got[4]["out_h"] == 224
+
+
+def test_audio_chunk_plan_boundaries(spark):
+    from ecokg_spark.operators.multimodal import audio_chunk_plan
+
+    df = spark.createDataFrame(
+        [(1, 70_000), (2, 30_000), (3, 10_000), (4, 61_000)],
+        "doc_id long, duration_ms long")
+    out = audio_chunk_plan(df, chunk_ms=30_000, overlap_ms=5_000)
+    by = {}
+    for r in out.collect():
+        by.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["start_ms"], r["end_ms"]))
+    for v in by.values():
+        v.sort()
+    # 70s at 25s step: chunks at 0, 25, 50 (clamped)
+    assert by[1] == [(0, 0, 30_000), (1, 25_000, 55_000), (2, 50_000, 70_000)]
+    assert by[2] == [(0, 0, 30_000)]           # exactly one chunk
+    assert by[3] == [(0, 0, 10_000)]           # short item clamps
+    assert by[4][-1] == (2, 50_000, 61_000)    # last chunk clamped
+
+
+def test_audio_chunk_plan_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from ecokg_spark.operators.multimodal import audio_chunk_plan
+
+    df = spark.createDataFrame([(1, 1000)], "doc_id long, duration_ms long")
+    with _pytest.raises(ValueError, match="overlap_ms"):
+        audio_chunk_plan(df, chunk_ms=10, overlap_ms=10)

@@ -1061,3 +1061,22 @@ def test_construct_unbound_template_variable_rejected(spark, kg):
             spark,
             "CONSTRUCT { ?g ex:x ?z } WHERE { ?g biolink:in_taxon ?t }",
             nodes, edges)
+
+
+def test_offset_skips_ordered_solutions(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?c WHERE { ?x biolink:category ?c } "
+        "ORDER BY ?x LIMIT 2 OFFSET 1",
+        nodes, edges)
+    assert [r["x"] for r in out.collect()] == ["G:2", "P:1"]
+
+
+def test_offset_without_order_rejected(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="OFFSET without ORDER BY"):
+        sparql_select(
+            spark,
+            "SELECT ?x WHERE { ?x biolink:category ?c } OFFSET 1",
+            nodes, edges)
