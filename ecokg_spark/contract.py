@@ -4316,6 +4316,58 @@ SELECT DISTINCT * FROM (
 """
 
 
+def q_sparql_count_star(spark, sf):
+    """COUNT(*) vs COUNT(?var) (spec §11.4.3.1): over an OPTIONAL join,
+    COUNT(*) counts every solution while COUNT(?m) skips the
+    OPTIONAL-miss NULLs — the two columns differ exactly where p_size >=
+    25 rows exist in a brand."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_part_sized(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT (COUNT(*) AS ?n) (COUNT(?m) AS ?nm) ?cat WHERE "
+        "{ ?x biolink:category ?cat . "
+        "OPTIONAL { ?x biolink:has_size ?m } } GROUP BY ?cat",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_COUNT_STAR = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(e.m) AS BIGINT) AS nm,
+       p.p_brand AS cat
+FROM part p
+LEFT JOIN (SELECT p_partkey, 'SZ:' || CAST(p_size AS VARCHAR) AS m
+           FROM part WHERE p_size < 25) e
+  ON e.p_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+def q_sparql_filter_cmp(spark, sf):
+    """Ordering FILTER comparisons (round 4): numeric when the literal is
+    numeric — BIND peels the size digits, FILTER(?szn >= 25) keeps sizes
+    25-50; codepoint order would also keep '3'..'9' (3 > 2), so the row
+    only matches under true numeric semantics."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT ?x ?szn WHERE { ?x biolink:has_size ?m . "
+        'BIND(STRAFTER(?m, "SZ:") AS ?szn) FILTER(?szn >= 25) }',
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_FILTER_CMP = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x,
+       CAST(p_size AS VARCHAR) AS szn
+FROM part WHERE p_size >= 25
+"""
+
+
 def q_hits(spark, sf):
     """HITS hubs/authorities (operators/graph.py hits): the pagerank row's
     dangling-exercising directed graph (i -> (3i+1)%25 and (7i+2)%25,
@@ -4846,6 +4898,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_offset": q_sparql_offset,
     "vocab_topk": q_vocab_topk,
     "audio_chunks": q_audio_chunks,
+    "sparql_count_star": q_sparql_count_star,
+    "sparql_filter_cmp": q_sparql_filter_cmp,
 }
 
 ORACLES: dict[str, str] = {
@@ -4982,6 +5036,8 @@ ORACLES: dict[str, str] = {
     "sparql_offset": SQL_SPARQL_OFFSET,
     "vocab_topk": SQL_VOCAB_TOPK,
     "audio_chunks": SQL_AUDIO_CHUNKS,
+    "sparql_count_star": SQL_SPARQL_COUNT_STAR,
+    "sparql_filter_cmp": SQL_SPARQL_FILTER_CMP,
 }
 
 

@@ -19,14 +19,15 @@ the same queries compile straight to Catalyst plans — no endpoint:
     ASK { <same WHERE body> }                       -- sparql_ask()
     CONSTRUCT { pattern+ } WHERE { <body> }         -- sparql_construct()
 
-    agg      := COUNT([DISTINCT] ?x) | MIN(?x) | MAX(?x) | SUM(?x)
-              | AVG(?x) | GROUP_CONCAT(?x [; SEPARATOR="s"])
+    agg      := COUNT([DISTINCT] ?x) | COUNT(*) | MIN(?x) | MAX(?x)
+              | SUM(?x) | AVG(?x) | GROUP_CONCAT(?x [; SEPARATOR="s"])
     pattern  := term path term
     term     := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
     path     := term | step('/'step)*
     step     := ['^'](CURIE | '('alt('|'alt)*')')['+'|'*'|'?']
     alt      := ['^']CURIE
-    filter   := FILTER( ?var (=|!=) value ) | FILTER regex(?var, "re" [,"i"])
+    filter   := FILTER( ?var (=|!=|>|<|>=|<=) value )
+              | FILTER regex(?var, "re" [,"i"])
               value := "quoted" | token
     notexists:= FILTER NOT EXISTS { pattern (. pattern)* }
     exists   := FILTER EXISTS { pattern (. pattern)* }
@@ -154,6 +155,8 @@ _CONSTRUCT_RE = re.compile(
 _AGG_RE = re.compile(
     r"\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)"
     r"\s+AS\s+\?(\w+)\s*\)", re.I)
+_COUNT_STAR_RE = re.compile(
+    r"\(\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+\?(\w+)\s*\)", re.I)
 _HAVING_RE = re.compile(
     r'(?i)^\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*\?(\w+)\s*\)\s*'
     r'(>=|<=|!=|=|>|<)\s*("[^"]*"|-?[\d.]+)\s*$')
@@ -171,7 +174,8 @@ _NOT_EXISTS_RE = re.compile(r"(?is)FILTER\s+NOT\s+EXISTS\s*\{([^{}]*)\}")
 _EXISTS_RE = re.compile(r"(?is)FILTER\s+EXISTS\s*\{([^{}]*)\}")
 _MINUS_RE = re.compile(r"(?is)MINUS\s*\{([^{}]*)\}")
 _VAR_RE = re.compile(r"\?(\w+)")
-_FILTER_RE = re.compile(r'(?i)FILTER\s*\(\s*\?(\w+)\s*(!=|=)\s*("[^"]*"|[^\s)]+)\s*\)')
+_FILTER_RE = re.compile(
+    r'(?i)FILTER\s*\(\s*\?(\w+)\s*(>=|<=|!=|=|>|<)\s*("[^"]*"|[^\s)]+)\s*\)')
 _OPTIONAL_RE = re.compile(r"(?is)OPTIONAL\s*\{([^{}]*)\}")
 _VALUES_RE = re.compile(r"(?is)VALUES\s+\?(\w+)\s*\{([^{}]*)\}")
 _UNION_CHAIN_RE = re.compile(r"(?is)\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+")
@@ -406,8 +410,13 @@ def _parse(query: str):
     # other apply functions use for DISTINCT (type-distinguished downstream)
     aggs += [("GROUP_CONCAT", sep[1:-1] if sep else " ", v, alias)
              for v, sep, alias in _GROUP_CONCAT_RE.findall(select_raw)]
+    # COUNT(*) counts SOLUTIONS (spec §11.4.3.1) — no variable argument;
+    # encoded with var=None and special-cased at aggregation time
+    aggs += [("COUNT_STAR", False, None, alias)
+             for alias in _COUNT_STAR_RE.findall(select_raw)]
     plain = _VAR_RE.findall(
-        _GROUP_CONCAT_RE.sub(" ", _AGG_RE.sub(" ", select_raw)))
+        _COUNT_STAR_RE.sub(" ", _GROUP_CONCAT_RE.sub(
+            " ", _AGG_RE.sub(" ", select_raw))))
     body = _parse_body(where_raw)
     group = _VAR_RE.findall(group_raw) if group_raw else []
     having = []
@@ -430,6 +439,28 @@ def _parse(query: str):
             "the solution sequence unspecified); add ORDER BY")
     return (aggs, plain, group, having, bool(distinct_raw), order, limit,
             offset, body)
+
+
+def _filter_cond(col, op: str, val: str):
+    """FILTER comparison over string-typed RDF terms: = / != compare the
+    lexical form; ordering comparisons (> < >= <=) compare NUMERICALLY
+    when the literal parses as a number — a term whose lexical form is
+    not numeric casts to NULL and the row is eliminated, exactly SPARQL's
+    type-error semantics (§17.2) — and by codepoint order otherwise."""
+    if op == "=":
+        return col == val
+    if op == "!=":
+        return col != val
+    v: float | str
+    try:
+        v = float(val)
+        # try_cast: a non-numeric lexical form becomes NULL and the row
+        # is eliminated (ANSI cast would error the whole query instead)
+        col = col.try_cast("double")
+    except ValueError:
+        v = val
+    return {">": col > v, "<": col < v,
+            ">=": col >= v, "<=": col <= v}[op]
 
 
 def _term_col(df: DataFrame, col: str, term: str, binds: dict[str, list]):
@@ -706,8 +737,7 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
                     f"FILTER inside OPTIONAL group {gi} references ?{v}, "
                     "which is not bound in that block (join-condition "
                     "filters on required-side variables are unsupported)")
-            c = F.col(grp_bound[v])
-            grp = grp.where(c == val if op == "=" else c != val)
+            grp = grp.where(_filter_cond(F.col(grp_bound[v]), op, val))
         for v, pat, flags in orx:
             if v not in grp_bound:
                 raise SparqlError(
@@ -778,8 +808,7 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
     # FILTER(?v = literal / != literal) — plain post-join predicates;
     # Catalyst pushes them below the joins where legal
     for v, op, val in filters:
-        c = F.col(bound[v])
-        out = out.where(c == val if op == "=" else c != val)
+        out = out.where(_filter_cond(F.col(bound[v]), op, val))
 
     # VALUES ?v { ... } on a pattern-bound variable == IN-list join
     for v, vals in values:
@@ -793,9 +822,12 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
     return out, bound
 
 
-def _agg_col(func: str, dist, c: str, alias: str):
+def _agg_col(func: str, dist, c: str | None, alias: str):
     """One SPARQL aggregate -> Column. `dist` carries DISTINCT for COUNT
-    and the separator string for GROUP_CONCAT (type-distinguished)."""
+    and the separator string for GROUP_CONCAT (type-distinguished);
+    `c` is None only for COUNT_STAR."""
+    if func == "COUNT_STAR":
+        return F.count(F.lit(1)).cast("long").alias(alias)
     if func == "COUNT":
         e = F.countDistinct(c) if dist else F.count(c)
         return e.cast("long").alias(alias)
@@ -807,7 +839,7 @@ def _agg_col(func: str, dist, c: str, alias: str):
         # numeric semantics over string-typed lexical forms: cast-to-
         # double; non-numeric forms -> NULL, skipped (documented divergence
         # from strict SPARQL type errors)
-        e = F.col(c).cast("double")
+        e = F.col(c).try_cast("double")
         return (F.sum(e) if func == "SUM" else F.avg(e)).alias(alias)
     return (F.min(c) if func == "MIN" else F.max(c)).alias(alias)
 
@@ -835,7 +867,8 @@ def sparql_select(
      body) = _parse(query)
     out, bound = _compile_body(nodes, edges, body)
 
-    missing = [v for v in plain + [a for _, _, a, _ in aggs] + group
+    missing = [v for v in plain
+               + [a for _, _, a, _ in aggs if a is not None] + group
                + [v for _, v, _, _ in having]
                if v not in bound]
     if missing:
@@ -843,7 +876,8 @@ def sparql_select(
 
     if aggs or having:
         keys = group or plain
-        agg_exprs = [_agg_col(func, dist, bound[v], alias)
+        agg_exprs = [_agg_col(func, dist,
+                              bound[v] if v is not None else None, alias)
                      for func, dist, v, alias in aggs]
         # HAVING aggregates compute as hidden columns — they need not
         # appear in the SELECT list (spec §11.1 evaluation order)

@@ -1080,3 +1080,40 @@ def test_offset_without_order_rejected(spark, kg):
             spark,
             "SELECT ?x WHERE { ?x biolink:category ?c } OFFSET 1",
             nodes, edges)
+
+
+def test_count_star_counts_solutions(spark, kg):
+    """COUNT(*) counts solutions (spec §11.4.3.1), including rows where
+    an OPTIONAL variable is NULL — COUNT(?v) would skip those."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT (COUNT(*) AS ?n) (COUNT(?p) AS ?np) WHERE "
+        "{ ?x biolink:category ?c . "
+        "OPTIONAL { ?x biolink:has_phenotype ?p } }",
+        nodes, edges)
+    r = out.collect()[0]
+    assert r["n"] == 4 and r["np"] == 1
+
+
+def test_filter_numeric_comparison(spark):
+    """Ordering FILTER compares numerically when the literal is numeric;
+    a non-numeric term is eliminated (SPARQL type-error semantics) —
+    note '9' > '10' by codepoint, so this only passes numerically."""
+    nodes = spark.createDataFrame([("X:1", "c")], "id string, category string")
+    edges = spark.createDataFrame(
+        [("X:1", "ex:w", "9"), ("X:2", "ex:w", "10"), ("X:3", "ex:w", "abc")],
+        "subject string, predicate string, object string")
+    out = sparql_select(
+        spark, "SELECT ?x ?w WHERE { ?x ex:w ?w . FILTER(?w < 10) }",
+        nodes, edges)
+    assert [tuple(r) for r in out.collect()] == [("X:1", "9")]
+
+
+def test_filter_codepoint_comparison_for_text(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        'SELECT ?x WHERE { ?x biolink:category ?c . FILTER(?c >= "biolink:P") }',
+        nodes, edges)
+    assert sorted(r["x"] for r in out.collect()) == ["P:1"]
