@@ -1001,6 +1001,49 @@ WHERE g.i < n.n_chunks
 """
 
 
+def q_bloom_probe(spark, sf):
+    """Portable Bloom filter (operators/sketch.py bloom_bits +
+    bloom_might_contain, m=2^16 k=5): bit-set over the EVEN docs'
+    fingerprints, probed by every doc — even ids must be true (no false
+    negatives), odd ids true only on hash collisions, which the oracle
+    reproduces bit-for-bit (same md5 positions => same false
+    positives)."""
+    from ecokg_spark.functions.text import doc_fingerprint
+    from ecokg_spark.operators.sketch import bloom_bits, bloom_might_contain
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("v"))
+    bits = bloom_bits(d.where(F.col("doc_id") % 2 == 0), "v",
+                      m=1 << 16, k=5)
+    out = bloom_might_contain(d, bits, "v", m=1 << 16, k=5)
+    return out.select("doc_id", "might_contain")
+
+
+def _sql_bloom_probe(m: int = 1 << 16, k: int = 5) -> str:
+    hx = _HEX15.format(h="md5(CAST(r.i AS VARCHAR) || ':' || v)")
+    return f"""
+WITH fp AS (
+  SELECT doc_id, md5(lower({_NORM_SQL.format(c='text')})) AS v
+  FROM documents
+),
+bits AS (
+  SELECT DISTINCT ({hx}) % {m} AS bit
+  FROM fp CROSS JOIN range({k}) r(i) WHERE doc_id % 2 = 0
+),
+probe AS (
+  SELECT doc_id, ({hx}) % {m} AS bit
+  FROM fp CROSS JOIN range({k}) r(i)
+)
+SELECT doc_id,
+       SUM(CASE WHEN bit IN (SELECT bit FROM bits) THEN 1 ELSE 0 END) = {k}
+         AS might_contain
+FROM probe GROUP BY doc_id
+"""
+
+
+SQL_BLOOM_PROBE = _sql_bloom_probe()
+
+
 def q_count_min(spark, sf):
     """Count-Min token-frequency sketch (operators/sketch.py
     count_min_table + count_min_estimate, w=256 d=4): build the counter
@@ -4900,6 +4943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_chunks": q_audio_chunks,
     "sparql_count_star": q_sparql_count_star,
     "sparql_filter_cmp": q_sparql_filter_cmp,
+    "bloom_probe": q_bloom_probe,
 }
 
 ORACLES: dict[str, str] = {
@@ -5038,6 +5082,7 @@ ORACLES: dict[str, str] = {
     "audio_chunks": SQL_AUDIO_CHUNKS,
     "sparql_count_star": SQL_SPARQL_COUNT_STAR,
     "sparql_filter_cmp": SQL_SPARQL_FILTER_CMP,
+    "bloom_probe": SQL_BLOOM_PROBE,
 }
 
 

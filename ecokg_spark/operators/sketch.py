@@ -178,3 +178,69 @@ def count_min_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long")
              .alias("estimate"))
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    m: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom filter bit-set (Bloom 1970) as a one-column DataFrame of SET
+    bit positions: value v sets bits (md5-60-bit of "r:"||v) % m for r in
+    0..k-1 — the same portable spec as the other sketches, so an oracle
+    reproduces the bit-set (and therefore the exact same false positives).
+
+    Stored sparse (only set positions, distinct) — at most min(k*N, m)
+    rows; broadcast it to prune a big join/scan before the shuffle (the
+    classic semi-join pruning shape). Bit-sets from two corpora merge by
+    plain union+distinct."""
+    if m < 2 or k < 1:
+        raise ValueError(f"need m >= 2, k >= 1; got m={m}, k={k}")
+
+    def pos(r: int):
+        h = F.conv(F.substring(F.md5(
+            F.concat(F.lit(f"{r}:"), F.col(col).cast("string"))), 1, 15),
+            16, 10).cast("long")
+        return (h % m).cast("long")
+
+    return (
+        df.select(F.explode(F.array(*[pos(r) for r in range(k)]))
+                  .alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    probes: DataFrame,
+    bits: DataFrame,
+    col: str,
+    m: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Probe the filter: might_contain(v) = all k of v's bit positions
+    are set. No false negatives; false-positive rate ~ (1 - e^(-kN/m))^k.
+    Returns `probes` + a boolean `might_contain` column.
+
+    Plan shape: explode each probe to its k positions, LEFT join the
+    (broadcastable) bit-set, AND-reduce per probe — the big probe side
+    shuffles on nothing when `bits` broadcasts. Probes are treated as a
+    SET (the AND-reduce groups by the full probe row; duplicates
+    collapse)."""
+
+    def pos(r: int):
+        h = F.conv(F.substring(F.md5(
+            F.concat(F.lit(f"{r}:"), F.col(col).cast("string"))), 1, 15),
+            16, 10).cast("long")
+        return (h % m).cast("long")
+
+    cols = probes.columns
+    exploded = probes.select(
+        *cols, F.explode(F.array(*[pos(r) for r in range(k)])).alias("bit"))
+    marked = exploded.join(
+        bits.select("bit", F.lit(True).alias("_set")), "bit", "left")
+    return (
+        marked.groupBy(*cols)
+        .agg((F.sum(F.coalesce(F.col("_set").cast("int"), F.lit(0)))
+              == F.lit(k)).alias("might_contain"))
+    )

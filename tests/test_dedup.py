@@ -660,3 +660,28 @@ def test_count_min_upper_bound_and_merge(spark):
     diff = merged.join(whole, ["row", "bucket"], "full") \
         .where(F.coalesce(merged["cnt"], F.lit(0)) != F.coalesce(whole["cnt"], F.lit(0)))
     assert diff.count() == 0
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.operators.sketch import bloom_bits, bloom_might_contain
+
+    members = spark.createDataFrame(
+        [(f"m-{i}",) for i in range(500)], "v string")
+    bits = bloom_bits(members, "v", m=1 << 14, k=5)
+    probes = spark.createDataFrame(
+        [(f"m-{i}",) for i in range(0, 500, 50)]
+        + [(f"x-{i}",) for i in range(100)], "v string")
+    got = {r["v"]: r["might_contain"] for r in bloom_might_contain(
+        probes, bits, "v", m=1 << 14, k=5).collect()}
+    assert all(got[f"m-{i}"] for i in range(0, 500, 50))  # no false negatives
+    fp = sum(got[f"x-{i}"] for i in range(100))
+    assert fp <= 5  # ~0.0005 expected rate at this sizing
+
+    # merge = union+distinct of bit-sets
+    b1 = bloom_bits(members.where(F.col("v") < "m-25"), "v", m=1 << 14, k=5)
+    b2 = bloom_bits(members.where(~(F.col("v") < "m-25")), "v", m=1 << 14, k=5)
+    merged = b1.unionByName(b2).distinct()
+    assert merged.subtract(bits).count() == 0
+    assert bits.subtract(merged).count() == 0
