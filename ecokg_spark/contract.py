@@ -4411,6 +4411,94 @@ FROM part WHERE p_size >= 25
 """
 
 
+def q_kgx_validate(spark, sf):
+    """KGX validation report (operators/validate.py validate_kgx — the
+    reference toolchain's `kgx validate` publishing gate): graph
+    synthesized from part with one planted violation class per id-modulus
+    (empty/non-CURIE ids, missing/non-biolink categories, duplicate
+    nodes, dangling subjects/objects, bare predicates, self loops)."""
+    from ecokg_spark.operators.validate import validate_kgx
+
+    p = t(spark, sf, "part")
+    k = F.col("p_partkey")
+    node_id = (F.when(k % 10 == 2, F.lit(""))
+               .when(k % 10 == 1, F.concat(F.lit("badid"), k))
+               .otherwise(F.concat(F.lit("P:"), k)))
+    cat = (F.when(k % 10 == 3, F.lit(""))
+           .when(k % 10 == 4, F.lit("Gene"))
+           .otherwise(F.lit("biolink:Gene")))
+    nodes = p.select(node_id.alias("id"), cat.alias("category"))
+    nodes = nodes.unionAll(p.where(k % 25 == 0).select(
+        node_id.alias("id"), cat.alias("category")))
+    subj = F.concat(F.lit("P:"), k)
+    obj = (F.when(k % 11 == 0, subj)
+           .when(k % 7 == 0, F.concat(F.lit("X:"), k))
+           .otherwise(F.concat(F.lit("P:"), (k % 50) + 1)))
+    pred = F.when(k % 5 == 0, F.lit("related_to")).otherwise(
+        F.lit("biolink:related_to"))
+    edges = p.select(subj.alias("subject"), pred.alias("predicate"),
+                     obj.alias("object"))
+    return validate_kgx(nodes, edges)
+
+
+SQL_KGX_VALIDATE = """
+WITH n0 AS (
+  SELECT CASE WHEN p_partkey % 10 = 2 THEN ''
+              WHEN p_partkey % 10 = 1 THEN 'badid' || CAST(p_partkey AS VARCHAR)
+              ELSE 'P:' || CAST(p_partkey AS VARCHAR) END AS id,
+         CASE WHEN p_partkey % 10 = 3 THEN ''
+              WHEN p_partkey % 10 = 4 THEN 'Gene'
+              ELSE 'biolink:Gene' END AS category,
+         p_partkey AS k
+  FROM part
+),
+nodes AS (
+  SELECT id, category FROM n0
+  UNION ALL SELECT id, category FROM n0 WHERE k % 25 = 0
+),
+edges AS (
+  SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS subject,
+         CASE WHEN p_partkey % 5 = 0 THEN 'related_to'
+              ELSE 'biolink:related_to' END AS predicate,
+         CASE WHEN p_partkey % 11 = 0 THEN 'P:' || CAST(p_partkey AS VARCHAR)
+              WHEN p_partkey % 7 = 0 THEN 'X:' || CAST(p_partkey AS VARCHAR)
+              ELSE 'P:' || CAST((p_partkey % 50) + 1 AS VARCHAR) END AS object
+  FROM part
+),
+ids AS (SELECT DISTINCT id FROM nodes WHERE id IS NOT NULL)
+SELECT 'node_id_null' AS check, CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM nodes WHERE id IS NULL OR id = ''
+UNION ALL
+SELECT 'node_id_duplicate',
+       CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+FROM (SELECT COUNT(*) AS c FROM nodes WHERE id IS NOT NULL
+      GROUP BY id HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'node_id_not_curie', CAST(COUNT(*) AS BIGINT)
+FROM nodes WHERE id IS NOT NULL AND id <> ''
+  AND NOT regexp_matches(id, '^[A-Za-z_][A-Za-z0-9_.-]*:[^ \\t]+$')
+UNION ALL
+SELECT 'node_category_missing', CAST(COUNT(*) AS BIGINT)
+FROM nodes WHERE category IS NULL OR category = ''
+UNION ALL
+SELECT 'node_category_not_biolink', CAST(COUNT(*) AS BIGINT)
+FROM nodes WHERE category IS NOT NULL AND category <> ''
+  AND NOT starts_with(category, 'biolink:')
+UNION ALL
+SELECT 'edge_subject_dangling', CAST(COUNT(*) AS BIGINT)
+FROM edges WHERE subject NOT IN (SELECT id FROM ids)
+UNION ALL
+SELECT 'edge_object_dangling', CAST(COUNT(*) AS BIGINT)
+FROM edges WHERE object NOT IN (SELECT id FROM ids)
+UNION ALL
+SELECT 'edge_predicate_not_biolink', CAST(COUNT(*) AS BIGINT)
+FROM edges WHERE predicate IS NULL OR NOT starts_with(predicate, 'biolink:')
+UNION ALL
+SELECT 'edge_self_loop', CAST(COUNT(*) AS BIGINT)
+FROM edges WHERE subject = object
+"""
+
+
 def q_hits(spark, sf):
     """HITS hubs/authorities (operators/graph.py hits): the pagerank row's
     dangling-exercising directed graph (i -> (3i+1)%25 and (7i+2)%25,
@@ -4944,6 +5032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_count_star": q_sparql_count_star,
     "sparql_filter_cmp": q_sparql_filter_cmp,
     "bloom_probe": q_bloom_probe,
+    "kgx_validate": q_kgx_validate,
 }
 
 ORACLES: dict[str, str] = {
@@ -5083,6 +5172,7 @@ ORACLES: dict[str, str] = {
     "sparql_count_star": SQL_SPARQL_COUNT_STAR,
     "sparql_filter_cmp": SQL_SPARQL_FILTER_CMP,
     "bloom_probe": SQL_BLOOM_PROBE,
+    "kgx_validate": SQL_KGX_VALIDATE,
 }
 
 
