@@ -1001,6 +1001,43 @@ WHERE g.i < n.n_chunks
 """
 
 
+def q_pack_sequences(spark, sf):
+    """GPT-style concat-and-chunk packing (operators/pack.py
+    pack_sequences): per-source token streams (shard = source, order =
+    md5(doc_id)) cut into 512-token contexts; a doc crossing a cut emits
+    one row per chunk it spans. Integer-exact — the oracle recomputes
+    every (doc, chunk, slice) assignment."""
+    from ecokg_spark.operators.pack import pack_sequences
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens"))
+    return pack_sequences(d, n_tokens_col="n_tokens", context_len=512,
+                          shard_col="source")
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length({_NORM_SQL.format(c='text')}) = 0 THEN 0
+              ELSE len(string_split({_NORM_SQL.format(c='text')}, ' ')) END
+              AS BIGINT) AS n,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, n,
+         SUM(n) OVER (PARTITION BY source ORDER BY h, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS e
+  FROM d WHERE n > 0
+)
+SELECT source, CAST(g.i AS BIGINT) AS chunk_idx, doc_id,
+       CAST(greatest((e - n) - g.i * 512, 0) AS BIGINT) AS begin_tok,
+       CAST(least(e - g.i * 512, 512) AS BIGINT) AS end_tok
+FROM o CROSS JOIN generate_series(0, 4000) g(i)
+WHERE g.i BETWEEN (e - n) // 512 AND (e - 1) // 512
+"""
+
+
 def q_bloom_probe(spark, sf):
     """Portable Bloom filter (operators/sketch.py bloom_bits +
     bloom_might_contain, m=2^16 k=5): bit-set over the EVEN docs'
@@ -5033,6 +5070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_filter_cmp": q_sparql_filter_cmp,
     "bloom_probe": q_bloom_probe,
     "kgx_validate": q_kgx_validate,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLES: dict[str, str] = {
@@ -5173,6 +5211,7 @@ ORACLES: dict[str, str] = {
     "sparql_filter_cmp": SQL_SPARQL_FILTER_CMP,
     "bloom_probe": SQL_BLOOM_PROBE,
     "kgx_validate": SQL_KGX_VALIDATE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }
 
 
