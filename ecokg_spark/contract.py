@@ -1001,6 +1001,53 @@ WHERE g.i < n.n_chunks
 """
 
 
+def q_bpe_pairs(spark, sf):
+    """BPE merge-candidate counting (functions/text.py
+    bpe_merge_candidates): top-20 adjacent character pairs within words —
+    the distributed counting step of one tokenizer-training iteration."""
+    from ecokg_spark.functions.text import bpe_merge_candidates
+
+    d = t(spark, sf, "documents")
+    return bpe_merge_candidates(d, "text", k=20)
+
+
+SQL_BPE_PAIRS = f"""
+WITH w AS (
+  SELECT unnest(string_split(lower({_NORM_SQL.format(c='text')}), ' ')) AS w
+  FROM documents
+),
+cs AS (
+  SELECT regexp_extract_all(w, '.') AS c FROM w WHERE length(w) >= 2
+),
+p AS (
+  SELECT unnest(list_transform(range(1, len(c)),
+                               i -> c[i] || c[i + 1])) AS pair
+  FROM cs
+),
+n AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY pair)
+SELECT pair, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rank
+FROM n ORDER BY n DESC, pair ASC LIMIT 20
+"""
+
+
+def q_fixed_sample(spark, sf):
+    """Exactly-n deterministic sample (operators/sample.py
+    fixed_size_sample): the 100 docs whose md5(doc_id) sorts first —
+    exact output size, layout/engine-independent, executes as
+    TakeOrderedAndProject."""
+    from ecokg_spark.operators.sample import fixed_size_sample
+
+    d = t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return fixed_size_sample(d, 100, "doc_id")
+
+
+SQL_FIXED_SAMPLE = """
+SELECT doc_id, source, n_chars FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC LIMIT 100
+"""
+
+
 def q_pack_sequences(spark, sf):
     """GPT-style concat-and-chunk packing (operators/pack.py
     pack_sequences): per-source token streams (shard = source, order =
@@ -5071,6 +5118,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_probe": q_bloom_probe,
     "kgx_validate": q_kgx_validate,
     "pack_sequences": q_pack_sequences,
+    "bpe_pairs": q_bpe_pairs,
+    "fixed_sample": q_fixed_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -5212,6 +5261,8 @@ ORACLES: dict[str, str] = {
     "bloom_probe": SQL_BLOOM_PROBE,
     "kgx_validate": SQL_KGX_VALIDATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "bpe_pairs": SQL_BPE_PAIRS,
+    "fixed_sample": SQL_FIXED_SAMPLE,
 }
 
 

@@ -341,3 +341,31 @@ def build_vocab(df, text_col: str = "text", k: int = 1000):
     top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bpe_merge_candidates(df, text_col: str = "text", k: int = 50):
+    """The counting step of one BPE training iteration (Sennrich et al.
+    2016): frequency of every ADJACENT CHARACTER PAIR within words, top-k
+    with deterministic rank (count DESC, pair ASC). Iterating
+    count->merge->recount trains the full tokenizer; the count step is
+    the distributed-scale part (the merge table is vocabulary-sized).
+
+    Plan: words explode once, pairs derive via transform over the
+    materialized char array (no per-pair re-tokenization), then ONE
+    map-side-combinable count shuffle + TakeOrderedAndProject top-k —
+    same shape as build_vocab."""
+    from pyspark.sql import Window
+
+    words = df.select(F.explode(
+        F.split(F.lower(normalize_ws(text_col)), " ")).alias("w"))
+    words = words.where(F.length("w") >= 2)
+    chars = words.select(F.split("w", "").alias("_cs"))
+    pairs = chars.select(F.explode(F.transform(
+        F.slice("_cs", 1, F.size("_cs") - 1),
+        lambda c, i: F.concat(c, F.element_at(F.col("_cs"), i + 2)),
+    )).alias("pair"))
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -119,3 +119,21 @@ def stratified_sample(
     if expr is None:
         return df.where(F.lit(False))
     return df.where(expr)
+
+
+def fixed_size_sample(df: DataFrame, n: int, key_col: str) -> DataFrame:
+    """Exactly-n deterministic sample: the n rows whose md5(key) sorts
+    first (ties broken by key). Unlike a Bernoulli rate, the output SIZE
+    is exact — the 'give me exactly 100k eval docs' primitive — and it is
+    layout- and engine-independent.
+
+    100-TB shape: orderBy+limit executes as TakeOrderedAndProject —
+    every partition keeps its local top-n and the driver merges n-row
+    heaps; the corpus is never globally sorted."""
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    h = F.md5(F.col(key_col).cast("string"))
+    return (df.withColumn("_h", h)
+            .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+            .limit(n)
+            .drop("_h"))

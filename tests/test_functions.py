@@ -189,3 +189,14 @@ def test_build_vocab_topk_rank(spark):
     got = [(r["token"], r["n"], r["rank"])
            for r in build_vocab(df, k=3).collect()]
     assert got == [("a", 4, 1), ("b", 3, 2), ("c", 1, 3)]  # c before z: tie->codepoint
+
+
+def test_bpe_merge_candidates_counts_adjacent_pairs(spark):
+    from ecokg_spark.functions.text import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "aab aab"), (2, "ab x")], "doc_id long, text string")
+    got = [(r["pair"], r["n"], r["rank"])
+           for r in bpe_merge_candidates(df, k=3).collect()]
+    # pairs: "aab" x2 -> aa x2, ab x2; "ab" -> ab; "x" dropped (len 1)
+    assert got == [("ab", 3, 1), ("aa", 2, 2)]

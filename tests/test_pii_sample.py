@@ -132,3 +132,16 @@ def test_classifier_score_rejects_unknown_weight(spark):
 
     with _pytest.raises(ValueError, match="unknown classifier"):
         classifier_score("text", weights={"nope": 1.0})
+
+
+def test_fixed_size_sample_exact_and_stable(spark):
+    from ecokg_spark.operators.sample import fixed_size_sample
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = sorted(r["doc_id"] for r in fixed_size_sample(df, 50, "doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               fixed_size_sample(df.repartition(13), 50, "doc_id").collect())
+    assert len(a) == 50 and a == b  # exact size, layout-invariant
+    # nested property: the 20-sample is a prefix of the 50-sample
+    c = set(r["doc_id"] for r in fixed_size_sample(df, 20, "doc_id").collect())
+    assert c <= set(a)
