@@ -1001,6 +1001,108 @@ WHERE g.i < n.n_chunks
 """
 
 
+def q_curate_v3(spark, sf):
+    """Composed round-4 session chain (operators/curation.py
+    curate_corpus_v3): classifier-score floor (>= corpus mean,
+    decimal-staged) -> transitive fuzzy dedup (banded portable MinHash +
+    CC, min-id survivor) -> language-mixture stratified sample
+    (en=1.0/de=0.5/fr=0.25). Every stage is individually certified
+    (quality_logit, fuzzy_dedup, stratified_sample); this row certifies
+    the composition."""
+    from ecokg_spark.operators.curation import curate_corpus_v3
+
+    d = t(spark, sf, "documents").select("doc_id", "lang", "source", "text")
+    out = curate_corpus_v3(d, score_floor_frac=1.0, threshold=0.5,
+                           k=16, bands=4)
+    return out.select("doc_id", "lang", "source", "q_score")
+
+
+def _sql_curate_v3() -> str:
+    from ecokg_spark.operators.sample import sample_threshold_hex
+
+    return f"""
+WITH RECURSIVE feat AS (
+  SELECT doc_id, lang, source,
+         ROUND(1.0 / (1.0 + exp(-(-1.0 + 6.0*sw - 4.0*punct - 3.0*rep
+                                  + 0.35*logtok))), 6) AS q
+  FROM (
+    SELECT doc_id, lang, source,
+           CAST({_marker_sql(['the', 'and', 'of', 'to', 'is'])} AS DOUBLE)
+             / greatest({_TOKCNT_SQL}, 1) AS sw,
+           CAST(length(text) - length(regexp_replace(text, '{_PUNCT_SQL}', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct,
+           CAST(1.0 - len(list_distinct({_LOWTOK_SQL}))
+                      / len({_LOWTOK_SQL}) AS DOUBLE) AS rep,
+           ln(1.0 + {_TOKCNT_SQL}) AS logtok
+    FROM documents
+  )
+),
+m AS (
+  SELECT CAST(SUM(CAST(q AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mean
+  FROM feat
+),
+s1 AS (
+  SELECT doc_id, lang, source, q FROM feat CROSS JOIN m WHERE q >= mean
+),
+sh AS (
+  SELECT d.doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS s
+  FROM documents d JOIN s1 ON s1.doc_id = d.doc_id
+),
+hs AS (
+  SELECT doc_id, r.i AS seed,
+         md5(CAST(r.i AS VARCHAR) || ':' || s) AS h
+  FROM sh CROSS JOIN range(16) r(i)
+),
+sig AS (
+  SELECT doc_id, seed, MIN({_HEX15.format(h='h')}) AS mh
+  FROM hs GROUP BY doc_id, seed
+),
+band AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band_idx,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY doc_id, CAST(seed // 4 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT c.id_a, c.id_b FROM (
+    SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS i
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+    GROUP BY c.id_a, c.id_b
+  ) c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+    SELECT und.u, reach.r FROM und JOIN reach ON reach.u = und.v
+),
+drops AS (
+  SELECT u AS node FROM reach GROUP BY u HAVING u <> MIN(r)
+)
+SELECT doc_id, lang, source, q AS q_score FROM s1
+WHERE doc_id NOT IN (SELECT node FROM drops)
+  AND ((lang = 'en')
+    OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{sample_threshold_hex(0.5)}')
+    OR (lang = 'fr' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '{sample_threshold_hex(0.25)}'))
+"""
+
+
 def q_bpe_pairs(spark, sf):
     """BPE merge-candidate counting (functions/text.py
     bpe_merge_candidates): top-20 adjacent character pairs within words —
@@ -1349,6 +1451,8 @@ _SHINGLE_SQL = f"""(
                      list_slice(string_split(lower({_NORM_SQL.format(c='text')}), ' '), i, i + 2),
                      ' '))
   END)"""
+
+SQL_CURATE_V3 = _sql_curate_v3()
 
 
 def q_ngram_jaccard(spark, sf):
@@ -5120,6 +5224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "bpe_pairs": q_bpe_pairs,
     "fixed_sample": q_fixed_sample,
+    "curate_v3": q_curate_v3,
 }
 
 ORACLES: dict[str, str] = {
@@ -5263,6 +5368,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "bpe_pairs": SQL_BPE_PAIRS,
     "fixed_sample": SQL_FIXED_SAMPLE,
+    "curate_v3": SQL_CURATE_V3,
 }
 
 

@@ -155,3 +155,48 @@ def curate_corpus_v2(
     if sample_rate < 1.0:
         d = hash_sample(d, sample_rate, id_col)
     return d
+
+
+def curate_corpus_v3(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    score_floor_frac: float = 1.0,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Third-generation curation chain, composing the round-4 session
+    operators:
+
+      model-based quality floor: logistic classifier_score (rounded to
+        6 dp so the floor comparison is cross-engine exact), drop
+        documents below ``score_floor_frac`` x the corpus mean score
+        (decimal-staged mean — a broadcast 1-row aggregate, scale-free)
+        -> fuzzy_dedup: banded portable-MinHash near-dup clusters,
+           ONE survivor per transitive cluster (min id)
+        -> stratified_sample: per-stratum deterministic mixture rates
+
+    Returns surviving rows + q_score. Shuffle budget: the floor is a
+    narrow filter against a broadcast mean; fuzzy_dedup contributes its
+    documented band-bucket + CC shuffles (bounded by near-dup volume);
+    the mixture cut is zero-shuffle. Nothing corpus-sized reaches the
+    driver.
+    """
+    from ecokg_spark.functions.text import classifier_score
+    from ecokg_spark.operators.dedup import fuzzy_dedup
+    from ecokg_spark.operators.sample import stratified_sample
+
+    rates = rates or {"en": 1.0, "de": 0.5, "fr": 0.25}
+    d = docs.withColumn("q_score", F.round(classifier_score(text_col), 6))
+    tot = d.agg(
+        (F.sum(F.col("q_score").cast("decimal(28,12)")).cast("double")
+         / F.count(F.lit(1))).alias("_mean"))
+    d = (d.crossJoin(F.broadcast(tot))
+         .where(F.col("q_score") >= F.lit(score_floor_frac) * F.col("_mean"))
+         .drop("_mean"))
+    d = fuzzy_dedup(d, text_col, id_col, threshold=threshold, k=k,
+                    bands=bands, transitive=True)
+    return stratified_sample(d, strata_col, rates, key_col=id_col)

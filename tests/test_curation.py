@@ -111,3 +111,30 @@ def test_curate_corpus_v2_lm_floor_drops_gibberish(spark):
            curate_corpus_v2(docs, bl, min_tokens=5, lm_floor_frac=0.5,
                             sample_rate=1.0).collect()}
     assert out == {0}
+
+
+def test_curate_v3_stage_order_and_survivors(spark):
+    """Floor -> fuzzy dedup -> mixture: a below-mean doc is cut by the
+    floor, a near-dup pair collapses to the min id, and the unknown
+    stratum is dropped by the mixture spec."""
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.operators.curation import curate_corpus_v3
+
+    prose = ("the quick brown fox jumps over the lazy dog and the birds "
+             "sing while the sun is warm and the river is slow today")
+    soup = "@@@ ??? !!! ,,, ;;; ::: ((( ))) [[[ ]]]"
+    docs = spark.createDataFrame(
+        [(1, "en", "s1", prose),
+         (2, "en", "s1", prose + " extra"),   # near-dup of 1
+         (3, "en", "s1", soup),               # below the score floor
+         (4, "xx", "s1", prose + " entirely different tail with new words "
+                         "about engines and partitions and shuffles")],
+        "doc_id long, lang string, source string, text string")
+    out = curate_corpus_v3(docs, rates={"en": 1.0})
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in kept          # cluster survivor (min id)
+    assert 2 not in kept      # fuzzy-dedup drop
+    assert 3 not in kept      # score floor drop
+    assert 4 not in kept      # stratum absent from the mixture spec
+    assert all(0.0 < r["q_score"] < 1.0 for r in out.collect())
