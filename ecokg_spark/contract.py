@@ -1001,6 +1001,40 @@ WHERE g.i < n.n_chunks
 """
 
 
+def q_group_centroids(spark, sf):
+    """Per-label embedding centroids (operators/embed.py
+    group_centroids): decimal-staged per-dimension sums make the mean
+    exact on any engine and any accumulation order — the k-means-update
+    / class-mean primitive over the embeddings table."""
+    from ecokg_spark.operators.embed import group_centroids
+
+    e = t(spark, sf, "embeddings")
+    return group_centroids(e, "embedding", "label")
+
+
+SQL_GROUP_CENTROIDS = """
+WITH dims AS (
+  SELECT label, u.d AS dim,
+         CAST(CAST(u.v AS VARCHAR) AS DECIMAL(38,18)) AS v
+  FROM (
+    SELECT label,
+           unnest(list_transform(range(len(embedding)),
+                  i -> struct_pack(d := i, v := embedding[i + 1]))) AS u
+    FROM embeddings)
+),
+per_dim AS (
+  SELECT label, dim,
+         CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m,
+         COUNT(*) AS n
+  FROM dims GROUP BY label, dim
+)
+SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+       list_transform(list_sort(list(struct_pack(d := dim, m := m))),
+                      x -> x.m) AS centroid
+FROM per_dim GROUP BY label
+"""
+
+
 def q_curate_v3(spark, sf):
     """Composed round-4 session chain (operators/curation.py
     curate_corpus_v3): classifier-score floor (>= corpus mean,
@@ -5225,6 +5259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pairs": q_bpe_pairs,
     "fixed_sample": q_fixed_sample,
     "curate_v3": q_curate_v3,
+    "group_centroids": q_group_centroids,
 }
 
 ORACLES: dict[str, str] = {
@@ -5369,6 +5404,7 @@ ORACLES: dict[str, str] = {
     "bpe_pairs": SQL_BPE_PAIRS,
     "fixed_sample": SQL_FIXED_SAMPLE,
     "curate_v3": SQL_CURATE_V3,
+    "group_centroids": SQL_GROUP_CENTROIDS,
 }
 
 

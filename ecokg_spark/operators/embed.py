@@ -92,3 +92,56 @@ def hashed_bow_embed(
         .select(F.col(id_col),
                 F.coalesce("embedding", zero).alias("embedding"))
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    decimal_scale: int = 18,
+) -> DataFrame:
+    """Per-group centroid (mean vector) of an embedding column — the
+    class-mean / cluster-update primitive (k-means update step, SemDeDup
+    cluster centers, per-domain embedding profiles).
+
+    Cross-engine-exact aggregation: each float component converts to its
+    SHORTEST decimal string (both engines print the same Ryu round-trip
+    repr for the same float) and then to DECIMAL(38, `decimal_scale`),
+    so the per-dimension sum is exact integer arithmetic (no float
+    accumulation-order drift and no engine-specific float->decimal
+    rounding); the single mean division back to double is then
+    deterministic up to the decimal->double conversion's last ulp, which
+    the final ROUND(mean, 12) absorbs. Components smaller than ~1e-10
+    would need more than `decimal_scale` places and round — fine for
+    unit-scale embeddings. Shape:
+    posexplode to (group, dim, value) -> ONE map-side-combinable shuffle
+    on (group, dim) -> sort-free array rebuild via array_agg over a
+    dim-ordered window-free groupBy (collect_list after an explicit
+    sort_array on (dim, mean) structs). Returns (group_col, n_vectors,
+    centroid array<double>)."""
+    dims = df.select(
+        F.col(group_col), F.posexplode(vec_col).alias("dim", "v"))
+    per_dim = dims.groupBy(group_col, "dim").agg(
+        F.sum(F.col("v").cast("string")
+              .cast(f"decimal(38,{decimal_scale})")).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    # decimal->double must go THROUGH THE STRING FORM: the fixed-scale
+    # decimal string is engine-identical and strtod is correctly rounded
+    # everywhere, while native decimal->double conversion differs in the
+    # last ulp (and any post-hoc ROUND differs on exact ties: Spark
+    # HALF_UP vs DuckDB HALF_EVEN)
+    mean = (F.col("_s").cast("string").cast("double")
+            / F.col("_n")).alias("_m")
+    return (
+        per_dim.select(group_col, "dim", mean, "_n")
+        .groupBy(group_col)
+        .agg(
+            F.max("_n").cast("long").alias("n_vectors"),
+            F.array_sort(F.collect_list(F.struct("dim", "_m"))).alias("_p"),
+        )
+        .select(
+            group_col, "n_vectors",
+            F.transform("_p", lambda x: x["_m"]).alias("centroid"),
+        )
+    )

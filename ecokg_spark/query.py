@@ -441,12 +441,23 @@ def _parse(query: str):
             offset, body)
 
 
-def _filter_cond(col, op: str, val: str):
+def _filter_cond(col, op: str, val: str, bound: dict[str, str] | None = None):
     """FILTER comparison over string-typed RDF terms: = / != compare the
     lexical form; ordering comparisons (> < >= <=) compare NUMERICALLY
     when the literal parses as a number — a term whose lexical form is
     not numeric casts to NULL and the row is eliminated, exactly SPARQL's
-    type-error semantics (§17.2) — and by codepoint order otherwise."""
+    type-error semantics (§17.2) — and by codepoint order otherwise.
+    A `?var` right-hand side compares two bound terms directly (a quoted
+    literal that ITSELF starts with '?' is indistinguishable after quote
+    stripping and is unsupported)."""
+    if isinstance(val, str) and val.startswith("?"):
+        m = re.fullmatch(r"\?(\w+)", val)
+        if not m or bound is None or m.group(1) not in bound:
+            raise SparqlError(
+                f"FILTER references unbound or malformed variable {val!r}")
+        rhs = F.col(bound[m.group(1)])
+        return {"=": col == rhs, "!=": col != rhs, ">": col > rhs,
+                "<": col < rhs, ">=": col >= rhs, "<=": col <= rhs}[op]
     if op == "=":
         return col == val
     if op == "!=":
@@ -737,7 +748,8 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
                     f"FILTER inside OPTIONAL group {gi} references ?{v}, "
                     "which is not bound in that block (join-condition "
                     "filters on required-side variables are unsupported)")
-            grp = grp.where(_filter_cond(F.col(grp_bound[v]), op, val))
+            grp = grp.where(_filter_cond(F.col(grp_bound[v]), op, val,
+                                         grp_bound))
         for v, pat, flags in orx:
             if v not in grp_bound:
                 raise SparqlError(
@@ -808,7 +820,7 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
     # FILTER(?v = literal / != literal) — plain post-join predicates;
     # Catalyst pushes them below the joins where legal
     for v, op, val in filters:
-        out = out.where(_filter_cond(F.col(bound[v]), op, val))
+        out = out.where(_filter_cond(F.col(bound[v]), op, val, bound))
 
     # VALUES ?v { ... } on a pattern-bound variable == IN-list join
     for v, vals in values:

@@ -65,3 +65,26 @@ def test_composes_with_semantic_dedup(spark):
             semantic_dedup(emb, "embedding", "doc_id", threshold=0.99,
                            exact=True).collect()}
     assert kept == {1, 3}
+
+
+def test_group_centroids_exact_mean(spark):
+    from ecokg_spark.operators.embed import group_centroids
+
+    rows = [(1, [1.0, 2.0, 3.0], "a"), (2, [3.0, 4.0, 5.0], "a"),
+            (3, [10.0, 0.0, 0.0], "b")]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    got = {r["label"]: (r["n_vectors"], r["centroid"])
+           for r in group_centroids(df, group_col="label").collect()}
+    assert got["a"] == (2, [2.0, 3.0, 4.0])
+    assert got["b"] == (1, [10.0, 0.0, 0.0])
+
+
+def test_group_centroids_layout_invariant(spark):
+    from ecokg_spark.operators.embed import group_centroids
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 5)], i % 2)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    a = sorted(map(tuple, group_centroids(df).collect()))
+    b = sorted(map(tuple, group_centroids(df.repartition(17)).collect()))
+    assert a == b  # decimal staging kills accumulation-order drift

@@ -1117,3 +1117,32 @@ def test_filter_codepoint_comparison_for_text(spark, kg):
         'SELECT ?x WHERE { ?x biolink:category ?c . FILTER(?c >= "biolink:P") }',
         nodes, edges)
     assert sorted(r["x"] for r in out.collect()) == ["P:1"]
+
+
+def test_filter_var_var_comparison(spark):
+    """FILTER(?a != ?b) compares two bound terms (previously this shape
+    silently compared against the literal string '?b')."""
+    nodes = spark.createDataFrame([("X:1", "c")], "id string, category string")
+    edges = spark.createDataFrame(
+        [("X:1", "ex:a", "v1"), ("X:1", "ex:b", "v1"),
+         ("X:2", "ex:a", "v1"), ("X:2", "ex:b", "v2")],
+        "subject string, predicate string, object string")
+    out = sparql_select(
+        spark,
+        "SELECT ?x WHERE { ?x ex:a ?p . ?x ex:b ?q . FILTER(?p != ?q) }",
+        nodes, edges)
+    assert [r["x"] for r in out.collect()] == ["X:2"]
+    eq = sparql_select(
+        spark,
+        "SELECT ?x WHERE { ?x ex:a ?p . ?x ex:b ?q . FILTER(?p = ?q) }",
+        nodes, edges)
+    assert [r["x"] for r in eq.collect()] == ["X:1"]
+
+
+def test_filter_var_var_unbound_rejected(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="unbound or malformed"):
+        sparql_select(
+            spark,
+            "SELECT ?x WHERE { ?x biolink:category ?c . FILTER(?c = ?zz) }",
+            nodes, edges).collect()
