@@ -1001,6 +1001,53 @@ WHERE g.i < n.n_chunks
 """
 
 
+def q_fuzzy_string_join(spark, sf):
+    """Deletion-neighborhood (FastSS) edit-1 string join
+    (operators/linking.py fuzzy_string_join): supplier names vs the same
+    names with one key-dependent character deleted — every mutation must
+    re-link to its source at dist 1, plus whatever same-form collisions
+    the digit-string names produce (levenshtein-verified identically on
+    both engines)."""
+    from ecokg_spark.operators.linking import fuzzy_string_join
+
+    s = t(spark, sf, "supplier")
+    left = s.select(F.col("s_name").alias("name"))
+    right = s.select(F.concat(
+        F.expr("substr(s_name, 1, s_suppkey % length(s_name))"),
+        F.expr("substr(s_name, (s_suppkey % length(s_name)) + 2)"),
+    ).alias("name"))
+    return fuzzy_string_join(left, right, "name")
+
+
+SQL_FUZZY_STRING_JOIN = """
+WITH l AS (SELECT s_name AS name FROM supplier),
+r AS (
+  SELECT substr(s_name, 1, CAST(s_suppkey % length(s_name) AS INT))
+         || substr(s_name, CAST(s_suppkey % length(s_name) AS INT) + 2)
+         AS name
+  FROM supplier
+),
+lv AS (
+  SELECT name AS left_name, unnest(list_distinct(
+           list_append(list_transform(range(1, length(name) + 1),
+             i -> substr(name, 1, i - 1) || substr(name, i + 1)), name)))
+         AS v
+  FROM l
+),
+rv AS (
+  SELECT name AS right_name, unnest(list_distinct(
+           list_append(list_transform(range(1, length(name) + 1),
+             i -> substr(name, 1, i - 1) || substr(name, i + 1)), name)))
+         AS v
+  FROM r
+)
+SELECT left_name, right_name,
+       CAST(levenshtein(left_name, right_name) AS BIGINT) AS dist
+FROM (SELECT DISTINCT left_name, right_name FROM lv JOIN rv USING (v))
+WHERE levenshtein(left_name, right_name) <= 1
+"""
+
+
 def q_group_centroids(spark, sf):
     """Per-label embedding centroids (operators/embed.py
     group_centroids): decimal-staged per-dimension sums make the mean
@@ -5260,6 +5307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fixed_sample": q_fixed_sample,
     "curate_v3": q_curate_v3,
     "group_centroids": q_group_centroids,
+    "fuzzy_string_join": q_fuzzy_string_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -5405,6 +5453,7 @@ ORACLES: dict[str, str] = {
     "fixed_sample": SQL_FIXED_SAMPLE,
     "curate_v3": SQL_CURATE_V3,
     "group_centroids": SQL_GROUP_CENTROIDS,
+    "fuzzy_string_join": SQL_FUZZY_STRING_JOIN,
 }
 
 

@@ -247,3 +247,52 @@ def alias_identity_edges(termlist: DataFrame) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    col: str = "name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance-1 string join via deletion-neighborhood blocking
+    (the FastSS scheme, Bocek et al. 2007): two strings within one edit
+    share a member of their deletion neighborhoods Del1(x) = {x} ∪
+    {x minus one char}, so candidates come from an EQUI-join on the
+    exploded variants — never a cartesian similarity scan — and a
+    levenshtein() pass verifies exactly. The alias/name-matching
+    primitive for entity linking when exact+synonym lookup misses
+    (typos, OCR noise).
+
+    `left` must expose `col` and any id columns prefixed how you need
+    them; output is (left_<col>, right_<col>, dist) distinct pairs with
+    dist <= max_dist (only 1 supported — deeper neighborhoods grow
+    combinatorially; chain joins for d=2 if ever needed).
+
+    100-TB shape: |variants| = (len+1) per string, one shuffle on the
+    variant key; a hot variant (short common tokens) fans into one
+    bucket — pre-filter stopword-ish short strings (len < 4) upstream
+    if the name universe is token-shaped rather than entity-shaped.
+    """
+    if max_dist != 1:
+        raise ValueError("only max_dist=1 is supported (FastSS depth 1)")
+
+    def variants(side: DataFrame, out: str) -> DataFrame:
+        c = F.col(col)
+        dels = F.expr(
+            f"transform(sequence(1, length({col})), "
+            f"i -> concat(substr({col}, 1, i-1), substr({col}, i+1)))")
+        return side.select(
+            c.alias(out),
+            F.explode(F.array_union(F.array(c), dels)).alias("_v"),
+        )
+
+    lv = variants(left, "left_" + col)
+    rv = variants(right, "right_" + col)
+    cand = (lv.join(rv, "_v")
+            .select("left_" + col, "right_" + col)
+            .dropDuplicates(["left_" + col, "right_" + col]))
+    dist = F.levenshtein(F.col("left_" + col), F.col("right_" + col))
+    return (cand.select("left_" + col, "right_" + col,
+                        dist.cast("long").alias("dist"))
+            .where(F.col("dist") <= max_dist))

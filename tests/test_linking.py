@@ -130,3 +130,41 @@ def test_link_ambiguity_counts_ties(spark):
     got = {r["mention"]: (r["min_dist"], r["n_candidates"])
            for r in link_ambiguity(mentions, termlist).collect()}
     assert got == {"berrz": (1, 2), "berry": (0, 1)}
+
+
+def test_fuzzy_string_join_edit1(spark):
+    """Deletion-neighborhood join finds exactly the <=1-edit pairs:
+    substitution, deletion, insertion, and exact — but not distance 2."""
+    from ecokg_spark.operators.linking import fuzzy_string_join
+
+    left = spark.createDataFrame(
+        [("arabidopsis",), ("oryza",), ("zea",)], "name string")
+    right = spark.createDataFrame(
+        [("arabidopsis",),   # exact (dist 0)
+         ("arabidopsys",),   # substitution (dist 1)
+         ("arabidopsi",),    # deletion (dist 1)
+         ("arabidopsiss",),  # insertion (dist 1)
+         ("arabidopzys",),   # dist 2 -> excluded
+         ("oryzb",)],        # dist 1 of oryza
+        "name string")
+    got = {(r["left_name"], r["right_name"], r["dist"])
+           for r in fuzzy_string_join(left, right).collect()}
+    assert got == {
+        ("arabidopsis", "arabidopsis", 0),
+        ("arabidopsis", "arabidopsys", 1),
+        ("arabidopsis", "arabidopsi", 1),
+        ("arabidopsis", "arabidopsiss", 1),
+        ("oryza", "oryzb", 1),
+    }
+
+
+def test_fuzzy_string_join_no_cartesian(spark):
+    from ecokg_spark.operators.linking import fuzzy_string_join
+
+    l = spark.createDataFrame([("abcdef",)], "name string")
+    r = spark.createDataFrame([("uvwxyz",)], "name string")
+    out = fuzzy_string_join(l, r)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 0
