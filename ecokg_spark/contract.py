@@ -1001,6 +1001,42 @@ WHERE g.i < n.n_chunks
 """
 
 
+def q_kg_diff(spark, sf):
+    """KG snapshot diff (operators/merge.py diff_graphs): edge sets
+    synthesized from part at two 'releases' (k%3!=0 vs k%2!=0) — the
+    added/removed membership audit between graph versions."""
+    from ecokg_spark.operators.merge import diff_graphs
+
+    p = t(spark, sf, "part")
+    k = F.col("p_partkey")
+    edge = [F.concat(F.lit("P:"), k).alias("subject"),
+            F.lit("biolink:related_to").alias("predicate"),
+            F.concat(F.lit("P:"), ((k * 7 + 3) % 100)).alias("object")]
+    old = p.where(k % 3 != 0).select(*edge)
+    new = p.where(k % 2 != 0).select(*edge)
+    return diff_graphs(old, new)
+
+
+SQL_KG_DIFF = """
+WITH e AS (
+  SELECT p_partkey AS k,
+         'P:' || CAST(p_partkey AS VARCHAR) AS subject,
+         'biolink:related_to' AS predicate,
+         'P:' || CAST((p_partkey * 7 + 3) % 100 AS VARCHAR) AS object
+  FROM part
+),
+o AS (SELECT DISTINCT subject, predicate, object FROM e WHERE k % 3 <> 0),
+n AS (SELECT DISTINCT subject, predicate, object FROM e WHERE k % 2 <> 0)
+SELECT 'added' AS change, subject, predicate, object FROM n
+WHERE NOT EXISTS (SELECT 1 FROM o WHERE o.subject = n.subject
+  AND o.predicate = n.predicate AND o.object = n.object)
+UNION ALL
+SELECT 'removed', subject, predicate, object FROM o
+WHERE NOT EXISTS (SELECT 1 FROM n WHERE n.subject = o.subject
+  AND n.predicate = o.predicate AND n.object = o.object)
+"""
+
+
 def q_fuzzy_string_join(spark, sf):
     """Deletion-neighborhood (FastSS) edit-1 string join
     (operators/linking.py fuzzy_string_join): supplier names vs the same
@@ -5308,6 +5344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_v3": q_curate_v3,
     "group_centroids": q_group_centroids,
     "fuzzy_string_join": q_fuzzy_string_join,
+    "kg_diff": q_kg_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -5454,6 +5491,7 @@ ORACLES: dict[str, str] = {
     "curate_v3": SQL_CURATE_V3,
     "group_centroids": SQL_GROUP_CENTROIDS,
     "fuzzy_string_join": SQL_FUZZY_STRING_JOIN,
+    "kg_diff": SQL_KG_DIFF,
 }
 
 

@@ -80,3 +80,28 @@ def dedup_first_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFram
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def diff_graphs(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """KG snapshot diff: which (key) rows appeared and which disappeared
+    between two graph versions — the release-over-release audit every
+    periodically-rebuilt KG (and crawl-refreshed corpus) publishes.
+
+    Two LEFT ANTI joins on the key columns, unioned with a `change`
+    marker ('added' rows come from `new`, 'removed' from `old`).
+    Duplicate keys within one side collapse (set semantics — a diff is
+    about membership). At scale each anti-join is one shuffle on the key
+    columns; pre-bucketing both snapshots by the same key makes the diff
+    exchange-free (TableIO.write_bucketed)."""
+    keys = keys or ["subject", "predicate", "object"]
+    o = old.select(*keys).distinct()
+    n = new.select(*keys).distinct()
+    added = n.join(o, keys, "left_anti").select(
+        F.lit("added").alias("change"), *keys)
+    removed = o.join(n, keys, "left_anti").select(
+        F.lit("removed").alias("change"), *keys)
+    return added.unionByName(removed)

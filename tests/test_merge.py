@@ -70,3 +70,17 @@ def test_stats_yaml_shape(spark, tmp_path):
     # parseable as YAML shape (stdlib-free check: indentation pairs)
     for line in text.splitlines():
         assert line == line.rstrip()
+
+
+def test_diff_graphs_membership(spark):
+    from ecokg_spark.operators.merge import diff_graphs
+
+    old = spark.createDataFrame(
+        [("A:1", "p", "B:1"), ("A:2", "p", "B:2"), ("A:2", "p", "B:2")],
+        "subject string, predicate string, object string")
+    new = spark.createDataFrame(
+        [("A:1", "p", "B:1"), ("A:3", "p", "B:3")],
+        "subject string, predicate string, object string")
+    got = sorted(map(tuple, diff_graphs(old, new).collect()))
+    assert got == [("added", "A:3", "p", "B:3"),
+                   ("removed", "A:2", "p", "B:2")]
