@@ -5299,8 +5299,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_resize_plan": q_media_resize_plan,
     "kg_pipeline": q_kg_pipeline,
-    # round-4 additions (outside the certification window this round;
-    # rotate in next round)
+    # round-4 additions (outside the 50-row certification window this
+    # round; round 5 should rotate ALL never-certified rows — everything
+    # from here down plus the batch-3+ session rows at the tail — into
+    # positions 1-50, back-filled with the stalest r02-certified rows)
     "paragraph_dedup": q_paragraph_dedup,
     "bigram_lm": q_bigram_lm,
     "semantic_dedup": q_semantic_dedup,
