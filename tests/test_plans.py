@@ -314,3 +314,42 @@ def test_incremental_dedup_no_cartesian(spark):
     plan = physical_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_group_centroids_two_exchanges_no_udf(spark):
+    """(group, dim) aggregate + group rebuild: exactly two shuffles,
+    everything JVM-side."""
+    from ecokg_spark.operators.embed import group_centroids
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = group_centroids(e)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 2, plan
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_pack_sequences_sharded_window_no_global_sort(spark):
+    """Per-shard packing: the window partitions by the shard column (no
+    single-partition global window) and there is no global Sort+Exchange
+    beyond the window's own shard shuffle."""
+    from ecokg_spark.operators.pack import pack_sequences
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", F.lit(100).alias("n_tokens"))
+    out = pack_sequences(d, n_tokens_col="n_tokens", context_len=512,
+                         shard_col="source")
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_kg_diff_no_cartesian(spark):
+    from ecokg_spark.operators.merge import diff_graphs
+
+    e = spark.read.parquet(f"{SF}/part.parquet").select(
+        F.concat(F.lit("P:"), F.col("p_partkey")).alias("subject"),
+        F.lit("p").alias("predicate"),
+        F.concat(F.lit("P:"), (F.col("p_partkey") % 50)).alias("object"))
+    out = diff_graphs(e.limit(100), e)
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan
