@@ -1130,7 +1130,7 @@ def q_curate_v3(spark, sf):
 
     d = t(spark, sf, "documents").select("doc_id", "lang", "source", "text")
     out = curate_corpus_v3(d, score_floor_frac=1.0, threshold=0.5,
-                           k=16, bands=4)
+                           k=16, bands=4, portable=True)
     return out.select("doc_id", "lang", "source", "q_score")
 
 
@@ -1314,8 +1314,11 @@ def q_bloom_probe(spark, sf):
     from ecokg_spark.functions.text import doc_fingerprint
     from ecokg_spark.operators.sketch import bloom_bits, bloom_might_contain
 
+    # persist the fingerprint projection: projection collapse would
+    # otherwise re-inline the regex-normalize + md5 into each of the 2x5
+    # bit-position expressions (65x slower at sf0.1; verify-skill gotcha)
     d = t(spark, sf, "documents").select(
-        "doc_id", doc_fingerprint("text").alias("v"))
+        "doc_id", doc_fingerprint("text").alias("v")).persist()
     bits = bloom_bits(d.where(F.col("doc_id") % 2 == 0), "v",
                       m=1 << 16, k=5)
     out = bloom_might_contain(d, bits, "v", m=1 << 16, k=5)
@@ -2252,7 +2255,7 @@ def q_fuzzy_dedup(spark, sf):
 
     d = t(spark, sf, "documents")
     out = fuzzy_dedup(d, "text", "doc_id", threshold=0.5, k=16, bands=4,
-                      transitive=True)
+                      transitive=True, portable=True)
     return out.select("doc_id", "source", "n_chars")
 
 

@@ -167,6 +167,7 @@ def curate_corpus_v3(
     threshold: float = 0.5,
     k: int = 16,
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Third-generation curation chain, composing the round-4 session
     operators:
@@ -198,5 +199,5 @@ def curate_corpus_v3(
          .where(F.col("q_score") >= F.lit(score_floor_frac) * F.col("_mean"))
          .drop("_mean"))
     d = fuzzy_dedup(d, text_col, id_col, threshold=threshold, k=k,
-                    bands=bands, transitive=True)
+                    bands=bands, transitive=True, portable=portable)
     return stratified_sample(d, strata_col, rates, key_col=id_col)

@@ -977,6 +977,7 @@ def fuzzy_dedup(
     bands: int = 4,
     n: int = 3,
     transitive: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """End-to-end MinHash fuzzy deduplication — the full production
     funnel the corpus pipelines publish (SlimPajama, Falcon/RefinedWeb,
@@ -984,9 +985,14 @@ def fuzzy_dedup(
     verify -> connected components over the near-dup pair graph -> keep
     exactly ONE document per cluster (min id), return the kept rows.
 
-    Builds on ``minhash_banded_portable_pairs`` (portable md5 hash spec,
-    so a SQL oracle can recompute the WHOLE funnel including banding
-    losses) and the shared ``_keep_by_pairs`` retention rule.
+    Default candidates come from ``minhash_candidate_pairs`` (xxhash64
+    banding — the fast production path; ~17x faster than md5 at sf0.1);
+    ``portable=True`` switches to ``minhash_banded_portable_pairs``
+    (portable md5 spec, so a SQL oracle recomputes the WHOLE funnel
+    including banding losses — the contract row's configuration). Both
+    share the ``_keep_by_pairs`` retention rule; exact verification
+    makes the SURVIVOR SET identical whenever the two bandings yield the
+    same verified pairs (recall differences are the only divergence).
 
     100-TB shape: one uniform (band_idx, band_key) bucket-join shuffle
     for candidates (volume ~ true near-dups, never ~N²), exact verify on
@@ -996,6 +1002,14 @@ def fuzzy_dedup(
     certified by its own contract row (minhash_banded,
     connected_components); this row certifies their composition.
     """
-    pairs = minhash_banded_portable_pairs(
-        df, text_col, id_col, threshold=threshold, k=k, bands=bands, n=n)
+    if portable:
+        pairs = minhash_banded_portable_pairs(
+            df, text_col, id_col, threshold=threshold, k=k, bands=bands,
+            n=n)
+    else:
+        cand = minhash_candidate_pairs(df, text_col, id_col,
+                                       threshold=threshold, k=k,
+                                       bands=bands)
+        sets = _shingle_sets(df, text_col, id_col, n)
+        pairs = _exact_verify(cand, sets, id_col, threshold)
     return _keep_by_pairs(df, pairs, id_col, transitive)
