@@ -2166,7 +2166,8 @@ def q_incremental_dedup(spark, sf):
     d = t(spark, sf, "documents")
     corpus = d.where(F.col("doc_id") % 2 == 0)
     new = d.where(F.col("doc_id") % 2 == 1)
-    out = incremental_dedup(new, corpus, threshold=0.5, k=16, bands=4)
+    out = incremental_dedup(new, corpus, threshold=0.5, k=16, bands=4,
+                            portable=True)
     return out.select("doc_id", "source", "n_chars")
 
 

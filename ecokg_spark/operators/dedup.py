@@ -307,6 +307,21 @@ def _exact_verify_cross(cand: DataFrame, sets_a: DataFrame,
     )
 
 
+def _xxh_banded(sigs: DataFrame, id_col: str, k: int,
+                bands: int) -> DataFrame:
+    """(id, band_idx, band_key) from xxhash64 signatures — the fast
+    production banding (one 64-bit hash per band over its rows)."""
+    rows = k // bands
+    return sigs.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.xxhash64(F.lit(bd), *[F.element_at("_sig", bd * rows + r + 1)
+                                    for r in range(rows)])
+            for bd in range(bands)
+        ])).alias("band_idx", "band_key"),
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     corpus: DataFrame,
@@ -316,6 +331,7 @@ def incremental_dedup(
     k: int = 16,
     bands: int = 4,
     n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Cross-snapshot incremental deduplication: admit only the rows of a
     NEW crawl batch that are neither exact nor near duplicates of the
@@ -351,8 +367,19 @@ def incremental_dedup(
     cfp = corpus.select(doc_fingerprint(text_col).alias("_fp")).distinct()
     s2 = s1.join(cfp, "_fp", "left_anti").drop("_fp")
 
-    nsets, nband = _portable_banded(s2, text_col, id_col, k, bands, n)
-    csets, cband = _portable_banded(corpus, text_col, id_col, k, bands, n)
+    if portable:
+        # md5 spec — exactly what the SQL oracle recomputes
+        nsets, nband = _portable_banded(s2, text_col, id_col, k, bands, n)
+        csets, cband = _portable_banded(corpus, text_col, id_col, k, bands,
+                                        n)
+    else:
+        # xxhash64 production banding (same funnel; ~6x faster hashing)
+        nsets = _shingle_sets(s2, text_col, id_col, n)
+        csets = _shingle_sets(corpus, text_col, id_col, n)
+        nband = _xxh_banded(_minhash_sigs(s2, text_col, id_col, k),
+                            id_col, k, bands)
+        cband = _xxh_banded(_minhash_sigs(corpus, text_col, id_col, k),
+                            id_col, k, bands)
     cross = (
         nband.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
         .join(cband.select(F.col(id_col).alias("id_b"), "band_idx",
