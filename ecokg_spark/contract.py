@@ -1001,6 +1001,72 @@ WHERE g.i < n.n_chunks
 """
 
 
+def q_stupid_backoff(spark, sf):
+    """Stupid Backoff trigram scoring (operators/lm.py
+    stupid_backoff_score, Brants et al. 2007): self-trained on the
+    documents corpus, alpha=0.4 — pure rational arithmetic, so the
+    oracle recomputes sum/avg bit-for-bit through the dec-sum idiom."""
+    from ecokg_spark.operators.lm import stupid_backoff_score
+
+    d = t(spark, sf, "documents")
+    return stupid_backoff_score(d, "doc_id", "text")
+
+
+SQL_STUPID_BACKOFF = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS t
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, u.w1, u.w2, u.w3 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+             i -> struct_pack(w1 := t[i], w2 := t[i + 1], w3 := t[i + 2])))
+           AS u
+    FROM toks)
+),
+big AS (
+  SELECT u.w1, u.w2 FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+             i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS u
+    FROM toks)
+),
+c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+       FROM tri GROUP BY 1, 2, 3),
+ctx AS (SELECT w1, w2, SUM(c3) AS c2ctx FROM c3 GROUP BY 1, 2),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+       FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+          SELECT unnest(t) AS w FROM toks) WHERE w <> '' GROUP BY w),
+n AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n_total FROM uni),
+probe AS (
+  SELECT p.doc_id,
+         CASE WHEN c3.c3 IS NOT NULL
+                THEN CAST(c3.c3 AS DOUBLE) / CAST(ctx.c2ctx AS DOUBLE)
+              WHEN b.c2 IS NOT NULL
+                THEN 0.4 * CAST(b.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+              ELSE 0.4 * 0.4 * CAST(COALESCE(u.cu, 0) AS DOUBLE) / n.n_total
+         END AS s
+  FROM tri p
+  LEFT JOIN c3 ON c3.w1 = p.w1 AND c3.w2 = p.w2 AND c3.w3 = p.w3
+  LEFT JOIN ctx ON ctx.w1 = p.w1 AND ctx.w2 = p.w2
+  LEFT JOIN c2 b ON b.w1 = p.w2 AND b.w2 = p.w3
+  LEFT JOIN c1 ON c1.w1 = p.w2
+  LEFT JOIN uni u ON u.w = p.w3
+  CROSS JOIN n
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS sum_s
+  FROM probe GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(k.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       k.sum_s, k.sum_s / k.n_trigrams AS avg_s
+FROM documents d LEFT JOIN per_doc k ON k.doc_id = d.doc_id
+"""
+
+
 def q_kg_diff(spark, sf):
     """KG snapshot diff (operators/merge.py diff_graphs): edge sets
     synthesized from part at two 'releases' (k%3!=0 vs k%2!=0) — the
@@ -5351,6 +5417,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_centroids": q_group_centroids,
     "fuzzy_string_join": q_fuzzy_string_join,
     "kg_diff": q_kg_diff,
+    "stupid_backoff": q_stupid_backoff,
 }
 
 ORACLES: dict[str, str] = {
@@ -5498,6 +5565,7 @@ ORACLES: dict[str, str] = {
     "group_centroids": SQL_GROUP_CENTROIDS,
     "fuzzy_string_join": SQL_FUZZY_STRING_JOIN,
     "kg_diff": SQL_KG_DIFF,
+    "stupid_backoff": SQL_STUPID_BACKOFF,
 }
 
 

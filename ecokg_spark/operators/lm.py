@@ -128,3 +128,109 @@ def bigram_lm_score(
             (F.col("sum_p") / F.col("n_bigrams").cast("double")).alias("avg_p"),
         )
     )
+
+
+def _trigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2, w3) — consecutive token triples, zero-shuffle (three
+    shifted slices zipped; length clamps at 0 for short docs)."""
+    toks = F.split(normalize_ws(text_col), " ")
+    m = F.greatest(F.size(toks) - F.lit(2), F.lit(0))
+    pairs = F.zip_with(
+        F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        F.slice(toks, 3, m),
+        lambda ab, c: F.struct(ab["w1"].alias("w1"), ab["w2"].alias("w2"),
+                               c.alias("w3")),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("_t"))
+        .select("id", F.col("_t.w1").alias("w1"), F.col("_t.w2").alias("w2"),
+                F.col("_t.w3").alias("w3"))
+    )
+
+
+def stupid_backoff_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007, EMNLP — THE
+    web-scale n-gram scheme: no discounting, no normalization, just
+    relative frequencies with a fixed backoff penalty, designed exactly
+    because principled smoothing doesn't distribute):
+
+        S(w3 | w1 w2) = c3(w1w2w3) / c2ctx(w1w2)        if c3 > 0
+                      = alpha * c2(w2w3) / c1(w2)        elif c2 > 0
+                      = alpha^2 * c1(w3) / N             otherwise (0 if OOV)
+
+    Returns (id_col, n_trigrams, sum_s, avg_s) — the decimal-accumulated
+    sum and mean of S over each document's trigrams (NULL when < 3
+    tokens). Pure rational arithmetic (no log) so the DuckDB oracle
+    agrees bit-for-bit through the dec-sum idiom.
+
+    100-TB shape: count tables are three corpus shuffles (trigram,
+    bigram, unigram counts — each map-side-combinable so the Zipf head
+    collapses before the exchange; the context table re-aggregates the
+    trigram table, not the corpus); scoring is vocabulary-table probe
+    joins +
+    one broadcast 1-row N, then one groupBy(doc). Everything Catalyst.
+    """
+    src = train if train is not None else docs
+    c3 = (_trigrams(src, id_col, text_col)
+          .groupBy("w1", "w2", "w3")
+          .agg(F.count(F.lit(1)).cast("long").alias("c3")).persist())
+    c2 = (_bigrams(src, id_col, text_col)
+          .groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).cast("long").alias("c2")).persist())
+    c2ctx = (c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2ctx")))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # unigram counts incl. each doc's final token: re-aggregate bigrams
+    # on BOTH positions would double-count; derive from the token stream
+    # of the bigram table + per-doc tail is corpus work again — instead
+    # count unigrams directly (one more map-side-combinable shuffle over
+    # the corpus, still the cheapest exact form)
+    uni = (src.select(F.explode(F.split(normalize_ws(text_col), " "))
+                      .alias("w"))
+           .where(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cu")))
+    nstats = uni.agg(F.sum("cu").cast("double").alias("n_total"))
+
+    a = F.lit(alpha)
+    s = (
+        _trigrams(docs, id_col, text_col)
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2ctx, ["w1", "w2"], "left")
+        .join(c2.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                        F.col("c2")), ["w2", "w3"], "left")
+        .join(c1.select(F.col("w1").alias("w2"), "c1"), "w2", "left")
+        .join(uni.select(F.col("w").alias("w3"), "cu"), "w3", "left")
+        .crossJoin(F.broadcast(nstats))
+        .select(
+            "id",
+            F.when(F.col("c3").isNotNull(),
+                   F.col("c3").cast("double") / F.col("c2ctx").cast("double"))
+            .when(F.col("c2").isNotNull(),
+                  a * F.col("c2").cast("double") / F.col("c1").cast("double"))
+            .otherwise(a * a * F.coalesce(F.col("cu"), F.lit(0))
+                       .cast("double") / F.col("n_total"))
+            .alias("s"),
+        )
+    )
+    per_doc = s.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum(F.col("s").cast("decimal(28,12)")).cast("double").alias("sum_s"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_trigrams", F.lit(0)).cast("long")
+            .alias("n_trigrams"),
+            "sum_s",
+            (F.col("sum_s") / F.col("n_trigrams").cast("double"))
+            .alias("avg_s"),
+        )
+    )

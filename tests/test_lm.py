@@ -87,3 +87,39 @@ def test_unseen_bigram_seen_context_gets_addk_floor(spark):
         spark.createDataFrame([(9, "a b")], "doc_id int, text string"),
         train=train).first()
     assert out["avg_p"] < seen["avg_p"]
+
+
+def test_stupid_backoff_three_tiers(spark):
+    """Seen trigram scores c3/c2ctx; unseen trigram with seen bigram
+    backs off to 0.4*c2/c1; unseen bigram backs off to 0.16*c1(w3)/N;
+    OOV final word scores 0."""
+    from ecokg_spark.operators.lm import stupid_backoff_score
+
+    train = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d"), (4, "x b c")],
+        "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(10, "a b c"),    # seen trigram: c3=2, ctx(a b)=3 -> 2/3
+         (11, "x b d"),    # unseen tri, seen bigram (b d): 0.4 * 1/4
+         (12, "c a b"),    # unseen (c a); bigram (a b) c2=3, c1(a)=3 -> 0.4
+         (13, "d c x"),    # unseen tri+bigram(c x): 0.16 * cu(x)/12
+         (14, "a b zz")],  # OOV final word -> 0
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_s"] for r in stupid_backoff_score(
+        probes, train=train).collect()}
+    assert abs(got[10] - 2 / 3) < 1e-12
+    assert abs(got[11] - 0.4 * (1 / 4)) < 1e-12
+    assert abs(got[12] - 0.4 * (3 / 3)) < 1e-12
+    assert abs(got[13] - 0.16 * (1 / 12)) < 1e-12
+    assert got[14] == 0.0
+
+
+def test_stupid_backoff_short_docs_null(spark):
+    from ecokg_spark.operators.lm import stupid_backoff_score
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "a b c")],
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_trigrams"], r["avg_s"])
+           for r in stupid_backoff_score(docs).collect()}
+    assert got[1] == (0, None)
+    assert got[2][0] == 1
