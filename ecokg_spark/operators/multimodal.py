@@ -292,9 +292,10 @@ def audio_chunk_plan(
             f"{chunk_ms=}, {overlap_ms=}")
     step = chunk_ms - overlap_ms
     dur = F.col(duration_ms_col).cast("long")
-    extra = F.greatest(dur - F.lit(chunk_ms), F.lit(0))
-    n_chunks = (extra + F.lit(step - 1)) / F.lit(step)  # integer-exact ceil
-    n_chunks = n_chunks.cast("long") + 1
+    # ceil via integer `div` (a double quotient rounds past 2^53)
+    n_chunks = F.expr(
+        f"(greatest(cast({duration_ms_col} as bigint) - {chunk_ms}, 0) "
+        f"+ {step - 1}) div {step}") + 1
     idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
     out = df.select(F.col(id_col), dur.alias("_dur"), idx)
     start = F.col("chunk_idx") * F.lit(step)

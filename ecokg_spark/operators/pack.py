@@ -46,8 +46,11 @@ def pack_sequences(
          ).orderBy("_h", id_col)
     d = d.withColumn("_end", F.sum("_n").over(w))
     d = d.withColumn("_start", F.col("_end") - F.col("_n"))
-    first = (F.col("_start") / F.lit(context_len)).cast("long")
-    last = ((F.col("_end") - 1) / F.lit(context_len)).cast("long")
+    # integer `div`, not double division — per-shard stream offsets can
+    # legitimately exceed 2^53 tokens at extreme scale, where a double
+    # quotient rounds
+    first = F.expr(f"_start div {context_len}")
+    last = F.expr(f"(_end - 1) div {context_len}")
     out = d.select(
         *gcols, id_col, "_start", "_end",
         F.explode(F.sequence(first, last)).alias("chunk_idx"))

@@ -56,7 +56,11 @@ def hll_registers(
     w_bits = 60 - p
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
                16, 10).cast("long")
-    bucket = (h / F.lit(2 ** w_bits)).cast("long")
+    # top-p-bits bucket via shiftright — EXACT on the 60-bit hash; a
+    # double division (h / 2^w_bits) would round h's low bits (values
+    # exceed 2^53) and could flip a bucket at a boundary, silently
+    # diverging from the oracle's exact integer division
+    bucket = F.shiftright(h, w_bits)
     w = h % F.lit(2 ** w_bits)
     rho = (
         F.when(w == 0, F.lit(w_bits + 1))
