@@ -1001,6 +1001,58 @@ WHERE g.i < n.n_chunks
 """
 
 
+def q_hll_stream(spark, sf):
+    """Streaming HLL (streaming/merge_sink.py merge_hll_registers_batch):
+    documents stream in three files, each micro-batch max-combines its
+    registers into the running table; the drained estimate must equal
+    the BATCH hll_distinct exactly (mergeability, proven here under
+    Structured Streaming). Shares hll_distinct's oracle SQL."""
+    import os as _os
+    import tempfile
+
+    from ecokg_spark.operators.sketch import hll_estimate
+    from ecokg_spark.streaming.merge_sink import merge_hll_registers_batch
+
+    d = t(spark, sf, "documents").select("doc_id", "source",
+                                         F.col("text").alias("v"))
+    src = tempfile.mkdtemp(prefix="ecokg_hs_src_")
+    hi = d.agg(F.max("doc_id")).first()[0]
+    cuts = [None, hi // 3, 2 * hi // 3, None]
+    stamped: set[str] = set()
+    for fi, (lo, up) in enumerate(zip(cuts[:-1], cuts[1:])):
+        part = d
+        if lo is not None:
+            part = part.where(F.col("doc_id") > lo)
+        if up is not None:
+            part = part.where(F.col("doc_id") <= up)
+        part.coalesce(1).write.mode("append").parquet(src)
+        for name in _os.listdir(src):
+            pth = _os.path.join(src, name)
+            if name.endswith(".parquet") and pth not in stamped:
+                st = _os.stat(pth)
+                _os.utime(pth, (st.st_atime, 1_000_000_000 + fi * 100))
+                stamped.add(pth)
+
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = tempfile.mkdtemp(prefix="ecokg_hs_out_") + "/regs"
+    ck = tempfile.mkdtemp(prefix="ecokg_hs_ck_")
+    q = (stream.writeStream.foreachBatch(
+            lambda b, _e: merge_hll_registers_batch(
+                b, out, p=12, value_col="v", group_cols=["source"]))
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    import atexit
+    import shutil
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    atexit.register(shutil.rmtree, _os.path.dirname(out),
+                    ignore_errors=True)
+    regs = spark.read.parquet(out)
+    return hll_estimate(regs, p=12, group_cols=["source"])
+
+
 def q_stupid_backoff(spark, sf):
     """Stupid Backoff trigram scoring (operators/lm.py
     stupid_backoff_score, Brants et al. 2007): self-trained on the
@@ -5418,6 +5470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_string_join": q_fuzzy_string_join,
     "kg_diff": q_kg_diff,
     "stupid_backoff": q_stupid_backoff,
+    "hll_stream": q_hll_stream,
 }
 
 ORACLES: dict[str, str] = {
@@ -5566,6 +5619,7 @@ ORACLES: dict[str, str] = {
     "fuzzy_string_join": SQL_FUZZY_STRING_JOIN,
     "kg_diff": SQL_KG_DIFF,
     "stupid_backoff": SQL_STUPID_BACKOFF,
+    "hll_stream": SQL_HLL_DISTINCT,
 }
 
 

@@ -86,3 +86,39 @@ def incremental_edge_merge(edge_stream: DataFrame, table_path: str,
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def merge_hll_registers_batch(batch: DataFrame, table_path: str,
+                              p: int = 12,
+                              value_col: str = "v",
+                              group_cols: list[str] | None = None) -> None:
+    """foreachBatch body: fold a micro-batch into a RUNNING HLL register
+    table (max per bucket) — the streaming face of the sketch's
+    mergeability (operators/sketch.py): distinct-count state is a fixed
+    2^p-row table regardless of stream length, where exact streaming
+    COUNT(DISTINCT) state grows with the key universe.
+
+    Append-only-compatible: the new register table is the max-combine of
+    the batch's registers with the table so far, REWRITTEN atomically
+    per batch (register tables are tiny — 2^p rows — so the rewrite is
+    metadata-cheap; an Iceberg MERGE would do it in place). A replayed
+    batch max-combines values already absorbed — idempotent, max is."""
+    import os
+    import shutil
+
+    from ecokg_spark.operators.sketch import hll_registers
+
+    spark = batch.sparkSession
+    gcols = list(group_cols or [])
+    regs = hll_registers(batch, value_col, p=p, group_cols=gcols)
+    existing = _existing_keys(spark, table_path,
+                              gcols + ["bucket", "register"])
+    if existing is not None:
+        regs = (regs.unionByName(existing)
+                .groupBy(*gcols, "bucket")
+                .agg(F.max("register").alias("register")))
+    tmp = table_path + ".tmp"
+    regs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(table_path):
+        shutil.rmtree(table_path)
+    os.rename(tmp, table_path)

@@ -242,3 +242,31 @@ def test_dedup_within_watermark_suppresses_batch_dups(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["event_id"] for r in spark.read.parquet(out_dir).collect())
     assert got == list(range(30))
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    """Micro-batch max-combined registers equal the whole-corpus register
+    table — sketch mergeability under Structured Streaming."""
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.operators.sketch import hll_registers
+    from ecokg_spark.streaming.merge_sink import merge_hll_registers_batch
+
+    d = spark.createDataFrame(
+        [(i, f"val-{i % 700}") for i in range(2000)], "doc_id long, v string")
+    src = str(tmp_path / "src")
+    d.where(F.col("doc_id") < 1000).coalesce(1).write.mode("append").parquet(src)
+    d.where(F.col("doc_id") >= 1000).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "regs")
+    q = (stream.writeStream.foreachBatch(
+            lambda b, _e: merge_hll_registers_batch(b, out, p=10,
+                                                    value_col="v"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
+    whole = sorted(map(tuple, hll_registers(d, "v", p=10).collect()))
+    assert streamed == whole
