@@ -5319,6 +5319,247 @@ WHERE regexp_matches(p_brand, '(?i)^brand#1[0-9]$')
 """
 
 
+def q_sparql_neg_path(spark, sf):
+    """SPARQL 1.1 NegatedPropertySet `!(p1|p2)` (spec §9.1, forward-only
+    subset; query.py _compile_path): edges whose predicate is NOT in the
+    set — here everything but related_to, leaving the subclass tree."""
+    from ecokg_spark.query import sparql_select
+
+    n = t(spark, sf, "nation")
+    rel = n.select(
+        F.concat(F.lit("N:"), F.col("n_nationkey").cast("string"))
+        .alias("subject"),
+        F.lit("biolink:related_to").alias("predicate"),
+        F.concat(F.lit("N:"), ((F.col("n_nationkey") + 3) % 25)
+                 .cast("string")).alias("object"),
+    )
+    edges = _tree_edges_from_nation(spark, sf).unionByName(rel)
+    nodes = spark.createDataFrame([], "id string, category string")
+    return sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE "
+        "{ ?x !(biolink:related_to|biolink:nonexistent) ?y }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_NEG_PATH = """
+SELECT 'N:' || CAST(n_nationkey AS VARCHAR) AS x,
+       'N:' || CAST(n_nationkey // 2 AS VARCHAR) AS y
+FROM nation WHERE n_nationkey > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# KG schema QC + link prediction + entropy quality signal (round 4, batch 12)
+# --------------------------------------------------------------------------
+
+def _kgqc_edges(spark, sf):
+    """Distinct (subject, predicate, object) fixture with all four
+    cardinality classes, synthesized from supplier/lineitem/nation:
+      biolink:located_in   S:suppkey -> N:nationkey   (many_to_one)
+      biolink:has_member   N:nationkey -> S:suppkey   (one_to_many)
+      biolink:supplied_by  P:partkey -> S:suppkey     (many_to_many)
+      biolink:named        N:nationkey -> NM:name     (one_to_one)
+    """
+    sup = t(spark, sf, "supplier")
+    li = t(spark, sf, "lineitem")
+    na = t(spark, sf, "nation")
+    s_id = F.concat(F.lit("S:"), F.col("s_suppkey").cast("string"))
+    n_id = F.concat(F.lit("N:"), F.col("s_nationkey").cast("string"))
+    return (
+        sup.select(s_id.alias("subject"),
+                   F.lit("biolink:located_in").alias("predicate"),
+                   n_id.alias("object"))
+        .union(sup.select(n_id.alias("subject"),
+                          F.lit("biolink:has_member").alias("predicate"),
+                          s_id.alias("object")))
+        .union(li.select(
+            F.concat(F.lit("P:"), F.col("l_partkey").cast("string"))
+             .alias("subject"),
+            F.lit("biolink:supplied_by").alias("predicate"),
+            F.concat(F.lit("S:"), F.col("l_suppkey").cast("string"))
+             .alias("object")))
+        .union(na.select(
+            F.concat(F.lit("N:"), F.col("n_nationkey").cast("string"))
+             .alias("subject"),
+            F.lit("biolink:named").alias("predicate"),
+            F.concat(F.lit("NM:"), F.col("n_name")).alias("object")))
+    )
+
+
+def q_predicate_profile(spark, sf):
+    """Per-predicate cardinality profile (operators/kgqc.py): functional /
+    inverse-functional flags from exact integer counts, ratio columns via
+    bigint/bigint division (IEEE-identical across engines). The schema-QC
+    step the reference's merge phase leaves to the consumer."""
+    from ecokg_spark.operators.kgqc import predicate_profile
+
+    return predicate_profile(_kgqc_edges(spark, sf))
+
+
+SQL_PREDICATE_PROFILE = """
+WITH e AS (
+  SELECT DISTINCT 'S:' || CAST(s_suppkey AS VARCHAR) AS s,
+         'biolink:located_in' AS p,
+         'N:' || CAST(s_nationkey AS VARCHAR) AS o FROM supplier
+  UNION
+  SELECT DISTINCT 'N:' || CAST(s_nationkey AS VARCHAR),
+         'biolink:has_member', 'S:' || CAST(s_suppkey AS VARCHAR)
+  FROM supplier
+  UNION
+  SELECT DISTINCT 'P:' || CAST(l_partkey AS VARCHAR),
+         'biolink:supplied_by', 'S:' || CAST(l_suppkey AS VARCHAR)
+  FROM lineitem
+  UNION
+  SELECT DISTINCT 'N:' || CAST(n_nationkey AS VARCHAR),
+         'biolink:named', 'NM:' || n_name FROM nation),
+prof AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_triples,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subjects,
+         CAST(COUNT(DISTINCT o) AS BIGINT) AS n_objects
+  FROM e GROUP BY p)
+SELECT p AS predicate, n_triples, n_subjects, n_objects,
+       n_triples / n_subjects AS objs_per_subject,
+       n_triples / n_objects AS subjs_per_object,
+       n_triples = n_subjects AS is_functional,
+       n_triples = n_objects AS is_inverse_functional,
+       CASE WHEN n_triples = n_subjects AND n_triples = n_objects
+              THEN 'one_to_one'
+            WHEN n_triples = n_subjects THEN 'many_to_one'
+            WHEN n_triples = n_objects THEN 'one_to_many'
+            ELSE 'many_to_many' END AS cardinality
+FROM prof
+"""
+
+
+def _inverse_edges(spark, sf):
+    """Fixture with a perfect symmetric predicate and a partial inverse
+    pair: borders (N:i -- N:3i%25, both directions asserted), part_of
+    (N:i -> R:i%5, all 25 nations), contains (R -> N, EVEN nations only,
+    so conf(contains->part_of) = 1.0 but conf(part_of->contains) = 0.52).
+    """
+    na = t(spark, sf, "nation").select("n_nationkey")
+    k = F.col("n_nationkey")
+    n_i = F.concat(F.lit("N:"), k.cast("string"))
+    n_3i = F.concat(F.lit("N:"), ((k * 3) % 25).cast("string"))
+    r_i = F.concat(F.lit("R:"), (k % 5).cast("string"))
+    return (
+        na.select(n_i.alias("subject"),
+                  F.lit("biolink:borders").alias("predicate"),
+                  n_3i.alias("object"))
+        .union(na.select(n_3i.alias("subject"),
+                         F.lit("biolink:borders").alias("predicate"),
+                         n_i.alias("object")))
+        .union(na.select(n_i.alias("subject"),
+                         F.lit("biolink:part_of").alias("predicate"),
+                         r_i.alias("object")))
+        .union(na.where(k % 2 == 0)
+               .select(r_i.alias("subject"),
+                       F.lit("biolink:contains").alias("predicate"),
+                       n_i.alias("object")))
+    )
+
+
+def q_inverse_detect(spark, sf):
+    """Inverse/symmetric predicate detection (operators/kgqc.py
+    inverse_candidates): reversed self-join on the (subject, object)
+    composite, AMIE-style support/confidence, p <= q dedup."""
+    from ecokg_spark.operators.kgqc import inverse_candidates
+
+    return inverse_candidates(_inverse_edges(spark, sf), min_support=2)
+
+
+SQL_INVERSE_DETECT = """
+WITH e AS (
+  SELECT DISTINCT 'N:' || CAST(n_nationkey AS VARCHAR) AS s,
+         'biolink:borders' AS p,
+         'N:' || CAST((n_nationkey * 3) % 25 AS VARCHAR) AS o FROM nation
+  UNION
+  SELECT DISTINCT 'N:' || CAST((n_nationkey * 3) % 25 AS VARCHAR),
+         'biolink:borders', 'N:' || CAST(n_nationkey AS VARCHAR)
+  FROM nation
+  UNION
+  SELECT DISTINCT 'N:' || CAST(n_nationkey AS VARCHAR), 'biolink:part_of',
+         'R:' || CAST(n_nationkey % 5 AS VARCHAR) FROM nation
+  UNION
+  SELECT DISTINCT 'R:' || CAST(n_nationkey % 5 AS VARCHAR),
+         'biolink:contains', 'N:' || CAST(n_nationkey AS VARCHAR)
+  FROM nation WHERE n_nationkey % 2 = 0),
+rev AS (SELECT o AS s, p AS q, s AS o FROM e),
+pr AS (
+  SELECT e.p, rev.q, CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM e JOIN rev ON e.s = rev.s AND e.o = rev.o
+  WHERE e.p <= rev.q
+  GROUP BY e.p, rev.q
+  HAVING COUNT(*) >= 2),
+sz AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY p)
+SELECT pr.p, pr.q, pr.overlap, a.n AS n_p, b.n AS n_q,
+       pr.overlap / a.n AS conf_p, pr.overlap / b.n AS conf_q
+FROM pr JOIN sz a ON a.p = pr.p JOIN sz b ON b.p = pr.q
+"""
+
+
+def q_adamic_adar(spark, sf):
+    """Adamic-Adar link prediction (operators/graph.py adamic_adar) over
+    the triangle_count fixture graph: top-15 non-adjacent pairs by
+    sum(1/ln(deg(z))) over common neighbors z, rounded-then-ranked."""
+    from ecokg_spark.operators.graph import adamic_adar
+
+    n = t(spark, sf, "nation").select("n_nationkey")
+    k = F.col("n_nationkey")
+    e = (n.select(k.alias("src"), ((k * 2 + 3) % 25).alias("dst"))
+         .union(n.select(k.alias("src"), ((k * 5 + 1) % 25).alias("dst"))))
+    return adamic_adar(e, top=15)
+
+
+SQL_ADAMIC_ADAR = """
+WITH raw AS (
+  SELECT n_nationkey AS x, (2*n_nationkey+3)%25 AS y FROM nation
+  UNION ALL
+  SELECT n_nationkey, (5*n_nationkey+1)%25 FROM nation),
+e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      FROM raw WHERE x <> y),
+adj AS (SELECT a AS z, b AS x FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+c AS (
+  SELECT l.x AS node_a, r.x AS node_b,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         ROUND(SUM(1.0 / LN(d.deg)), 6) AS score
+  FROM adj l JOIN adj r ON l.z = r.z AND l.x < r.x
+  JOIN deg d ON d.z = l.z
+  GROUP BY l.x, r.x)
+SELECT node_a, node_b, common_neighbors, score
+FROM c
+WHERE NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.a = c.node_a AND e.b = c.node_b)
+ORDER BY score DESC, node_a, node_b LIMIT 15
+"""
+
+
+def q_word_entropy(spark, sf):
+    """Per-document word-unigram Shannon entropy (operators/keywords.py
+    doc_word_entropy) — the boilerplate/keyword-stuffing quality signal,
+    one-pass c*ln(c) form, rounded before comparison."""
+    from ecokg_spark.operators.keywords import doc_word_entropy
+
+    return doc_word_entropy(t(spark, sf, "documents"))
+
+
+SQL_WORD_ENTROPY = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL.format(c='text')}, ' ')) AS term
+  FROM documents),
+c AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM terms WHERE term <> '' GROUP BY doc_id, term),
+agg AS (SELECT doc_id, SUM(c) AS n, SUM(c * LN(c)) AS clc
+        FROM c GROUP BY doc_id)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       ROUND(LN(n) - clc / n, 6) AS entropy
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5471,6 +5712,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_diff": q_kg_diff,
     "stupid_backoff": q_stupid_backoff,
     "hll_stream": q_hll_stream,
+    "sparql_neg_path": q_sparql_neg_path,
+    "predicate_profile": q_predicate_profile,
+    "inverse_detect": q_inverse_detect,
+    "adamic_adar": q_adamic_adar,
+    "word_entropy": q_word_entropy,
 }
 
 ORACLES: dict[str, str] = {
@@ -5620,6 +5866,11 @@ ORACLES: dict[str, str] = {
     "kg_diff": SQL_KG_DIFF,
     "stupid_backoff": SQL_STUPID_BACKOFF,
     "hll_stream": SQL_HLL_DISTINCT,
+    "sparql_neg_path": SQL_SPARQL_NEG_PATH,
+    "predicate_profile": SQL_PREDICATE_PROFILE,
+    "inverse_detect": SQL_INVERSE_DETECT,
+    "adamic_adar": SQL_ADAMIC_ADAR,
+    "word_entropy": SQL_WORD_ENTROPY,
 }
 
 
@@ -5669,8 +5920,10 @@ assert all(n in QUERIES for n in _CERT_WINDOW), [
 # window as (a) the 12 rows added after the r4 window was frozen —
 # paragraph_dedup, bigram_lm, semantic_dedup, url_blocklist, sparql_bind,
 # sparql_group_concat, sparql_regex, kcore, ppr, containment,
-# hashed_embed, dup_span_removal — which have local-oracle green but no
-# driver record, then (b) the r03-certified rows that have now sat out a
+# hashed_embed, dup_span_removal — plus the batch-12 rows
+# (sparql_neg_path, predicate_profile, inverse_detect, adamic_adar,
+# word_entropy) —
+# which have local-oracle green but no driver record, then (b) the r03-certified rows that have now sat out a
 # round (token_count .. embedding_neardup block), then (c) canaries.
 # Every row then has a driver-green record within the last two rounds.
 

@@ -451,3 +451,61 @@ def label_propagation(
     for df in (sym, nodes):
         df.unpersist(blocking=False)
     return labels
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top: int | None = None,
+    max_center_degree: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected simple graph:
+    for each NON-adjacent pair (a, b) with at least one common neighbor,
+    score = sum over common neighbors z of 1 / ln(degree(z))
+    (Adamic & Adar 2003 — the standard KG-completion baseline).
+    Returns (node_a, node_b, common_neighbors, score) with node_a <
+    node_b, ordered by (score desc, node_a, node_b); `top` keeps the k
+    best candidates.
+
+    Scale shape: one wedge self-join keyed on the CENTER node — for each
+    z, all pairs of its neighbors — so work is sum(deg(z)^2). That square
+    is the known hot spot; `max_center_degree` drops super-hub centers
+    before the join (the standard mitigation: a z seen from millions of
+    nodes carries ~zero AA weight anyway, 1/ln(deg) -> 0). Everything
+    else is a hash aggregate on the pair key plus one anti-join against
+    the edge set. ln(deg(z)) is safe: a common neighbor has degree >= 2
+    by construction. Scores are rounded BEFORE the ranking so the
+    cross-engine order is exact (JVM StrictMath vs libm last-ulp).
+    """
+    e = (edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct().persist())
+    adj = (e.select(F.col("a").alias("z"), F.col("b").alias("x"))
+           .union(e.select(F.col("b").alias("z"), F.col("a").alias("x"))))
+    # deg is node-sized — NOT broadcastable at corpus scale; the join keys
+    # on z, the same key as the wedge self-join below, so the exchange is
+    # reused rather than added.
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    centers = adj.join(deg, "z")
+    if max_center_degree is not None:
+        centers = centers.where(F.col("deg") <= max_center_degree)
+    left = centers.select("z", F.col("x").alias("node_a"), "deg")
+    right = centers.select("z", F.col("x").alias("node_b"))
+    cand = (
+        left.join(right, "z")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+             F.round(F.sum(1.0 / F.log(F.col("deg"))),
+                     decimals).alias("score"))
+    )
+    existing = e.select(F.col("a").alias("node_a"), F.col("b").alias("node_b"))
+    out = (cand.join(existing, ["node_a", "node_b"], "left_anti")
+           .orderBy(F.desc("score"), F.asc("node_a"), F.asc("node_b")))
+    if top is not None:
+        out = out.limit(top)
+    return out

@@ -111,3 +111,42 @@ def cooccurrence_pmi(
                     decimals).alias("pmi"),
         )
     )
+
+
+def doc_word_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the word-unigram distribution —
+    a standard corpus-quality signal (low entropy flags boilerplate and
+    keyword-stuffing pages; SEO-spam detectors and C4-style filters use
+    exactly this statistic). Returns (id, n_tokens, entropy) in nats,
+    empty documents omitted.
+
+    H = ln(n) - (sum over terms c * ln(c)) / n computed from per-term
+    counts c — the algebraic form that needs only ONE pass over the
+    (id, term) aggregate, no per-term probability column. Two hash
+    aggregates, both with map-side partial combine: (id, term) counts,
+    then per-id reduce; never a corpus-wide shuffle wider than the
+    tokenized input. Rounded so cross-engine float comparison is exact
+    (double SUM order differs between engines; noise ~1e-16 vs the 5e-7
+    rounding boundary, same discipline as pagerank/tfidf).
+    """
+    counts = (
+        _terms(docs, id_col, text_col)
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    return (
+        counts.groupBy("id")
+        .agg(F.sum("c").alias("_n"),
+             F.sum(F.col("c") * F.log("c")).alias("_clc"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.round(F.log("_n") - F.col("_clc") / F.col("_n"),
+                    decimals).alias("entropy"),
+        )
+    )

@@ -1,0 +1,123 @@
+"""KG schema-quality profiling: predicate cardinality + inverse detection.
+
+The reference's merge phase (eco_kg merge_config + graph stats, see
+operators/stats.py for the parity rollup) publishes a merged KGX graph but
+leaves schema discovery to the consumer. At web scale, two QC questions
+decide whether a constructed KG is usable before anything downstream runs:
+
+  * predicate_profile — per-predicate cardinality: is `biolink:has_size`
+    functional (every subject one object)?  Functional/inverse-functional
+    flags are what entity-resolution keys and OWL axiom induction are
+    built from (public precedent: OWL2 FunctionalProperty semantics,
+    AMIE-style rule-mining support counts).
+  * inverse_candidates — predicate pairs (p, q) where (s,p,o) co-occurs
+    with (o,q,s): detects modelling redundancy (both directions asserted)
+    and symmetric predicates (p == q) so the merge can canonicalize one
+    direction. Confidence is plain rule support / head support, the
+    AMIE/rule-mining convention.
+
+Scale shape: both operators reduce the edge table to distinct (s,p,o)
+first (one shuffle, map-side combine absorbs duplicate assertions), then
+aggregate to a PREDICATE-sized result — thousands of rows from billions
+of edges, so every join after the first distinct is broadcast-sized.
+inverse_candidates' self-join keys on the reversed (subject, object)
+composite — uniform after distinct; a hot (s,o) pair cannot exist by
+construction. No UDFs; everything whole-stage codegen.
+
+Cross-engine float discipline: counts stay BIGINT; ratios are
+bigint/bigint divisions, which Spark's Divide and DuckDB's `/` both
+evaluate as IEEE-754 double division — bit-identical, no rounding needed
+(see verify-skill round-3 notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _distinct_triples(edges: DataFrame, s: str, p: str, o: str) -> DataFrame:
+    return (edges.select(F.col(s).alias("s"), F.col(p).alias("p"),
+                         F.col(o).alias("o"))
+            .where(F.col("s").isNotNull() & F.col("o").isNotNull())
+            .distinct())
+
+
+def predicate_profile(
+    edges: DataFrame,
+    s: str = "subject",
+    p: str = "predicate",
+    o: str = "object",
+) -> DataFrame:
+    """Per-predicate cardinality profile over distinct (s,p,o) triples.
+
+    Returns (predicate, n_triples, n_subjects, n_objects,
+    objs_per_subject, subjs_per_object, is_functional,
+    is_inverse_functional, cardinality) — `cardinality` is the usual
+    one_to_one / many_to_one / one_to_many / many_to_many class.
+
+    Functional-ness is decided on exact integer counts (n_triples ==
+    n_subjects), not on a float threshold, so the flag is reproducible
+    across engines and scales.
+    """
+    t = _distinct_triples(edges, s, p, o)
+    prof = t.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("s").cast("long").alias("n_subjects"),
+        F.countDistinct("o").cast("long").alias("n_objects"),
+    )
+    fn = F.col("n_triples") == F.col("n_subjects")
+    inv = F.col("n_triples") == F.col("n_objects")
+    return prof.select(
+        F.col("p").alias("predicate"),
+        "n_triples", "n_subjects", "n_objects",
+        (F.col("n_triples") / F.col("n_subjects")).alias("objs_per_subject"),
+        (F.col("n_triples") / F.col("n_objects")).alias("subjs_per_object"),
+        fn.alias("is_functional"),
+        inv.alias("is_inverse_functional"),
+        F.when(fn & inv, F.lit("one_to_one"))
+         .when(fn, F.lit("many_to_one"))
+         .when(inv, F.lit("one_to_many"))
+         .otherwise(F.lit("many_to_many")).alias("cardinality"),
+    )
+
+
+def inverse_candidates(
+    edges: DataFrame,
+    s: str = "subject",
+    p: str = "predicate",
+    o: str = "object",
+    min_support: int = 1,
+) -> DataFrame:
+    """Candidate inverse (and symmetric, when p == q) predicate pairs.
+
+    For every predicate pair (p, q): overlap = |{(s,p,o) : (o,q,s) holds}|
+    over distinct triples; conf_p = overlap / n_p and conf_q = overlap /
+    n_q (rule confidence in both directions). Rows with overlap <
+    min_support are pruned. p == q rows measure symmetry (overlap counts
+    ordered triples, so a fully symmetric predicate has conf == 1.0).
+
+    Returns (p, q, overlap, n_p, n_q, conf_p, conf_q), one row per
+    UNORDERED pair — the (q, p) mirror is suppressed by keeping p <= q.
+    """
+    t = _distinct_triples(edges, s, p, o)
+    rev = t.select(F.col("o").alias("s"), F.col("p").alias("q"),
+                   F.col("s").alias("o"))
+    pairs = (
+        t.join(rev, ["s", "o"])
+        .where(F.col("p") <= F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+        .where(F.col("overlap") >= min_support)
+    )
+    sizes = t.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    p_sizes = sizes.select(F.col("p").alias("_pp"), F.col("n").alias("n_p"))
+    q_sizes = sizes.select(F.col("p").alias("_qq"), F.col("n").alias("n_q"))
+    return (
+        pairs
+        .join(F.broadcast(p_sizes), F.col("p") == F.col("_pp"))
+        .join(F.broadcast(q_sizes), F.col("q") == F.col("_qq"))
+        .select("p", "q", "overlap", "n_p", "n_q",
+                (F.col("overlap") / F.col("n_p")).alias("conf_p"),
+                (F.col("overlap") / F.col("n_q")).alias("conf_q"))
+    )

@@ -24,8 +24,9 @@ the same queries compile straight to Catalyst plans — no endpoint:
     pattern  := term path term
     term     := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
     path     := term | step('/'step)*
-    step     := ['^'](CURIE | '('alt('|'alt)*')')['+'|'*'|'?']
-    alt      := ['^']CURIE
+    step     := ['^'](CURIE | '('alt('|'alt)*')'
+                      | '!'CURIE | '!('CURIE('|'CURIE)*')')['+'|'*'|'?']
+    alt      := ['^']CURIE   (negated sets: forward CURIEs only)
     filter   := FILTER( ?var (=|!=|>|<|>=|<=) value )
               | FILTER regex(?var, "re" [,"i"])
               value := "quoted" | token
@@ -546,6 +547,9 @@ def _compile_path(nodes: DataFrame | None, edges: DataFrame, path: str,
             step = step[1:]
         mod = step[-1] if step and step[-1] in "+*?" else ""
         pred = step[:-1] if mod else step
+        neg = pred.startswith("!")
+        if neg:
+            pred = pred[1:]
         if ("(" in pred or ")" in pred) and not (
                 pred.startswith("(") and pred.endswith(")")
                 and "(" not in pred[1:-1] and ")" not in pred[1:-1]):
@@ -556,7 +560,28 @@ def _compile_path(nodes: DataFrame | None, edges: DataFrame, path: str,
             raise SparqlError(
                 f"unsupported path step {step!r}: sequences inside "
                 "alternation groups are not supported")
-        if pred.startswith("(") and pred.endswith(")"):
+        if neg:
+            # NegatedPropertySet `!p` / `!(p1|p2|...)` (spec §9.1
+            # PathNegatedPropertySet, forward-only subset): edge pairs
+            # whose predicate is NOT in the set. Like variable-predicate
+            # patterns, the universe is the materialized EDGE predicates;
+            # the virtual biolink:category node relation is excluded
+            # (KGX keeps category on the node table). `^` inside the set
+            # (reverse-direction exclusions) is not supported — invert
+            # the whole step instead (`^!(p)`).
+            body = pred[1:-1] if pred.startswith("(") and pred.endswith(")") \
+                else pred
+            items = [a.strip() for a in body.split("|") if a.strip()]
+            if not items:
+                raise SparqlError(f"empty negated property set: !{pred!r}")
+            for it in items:
+                if any(ch in it for ch in "/+*?()^!") or it.startswith("?"):
+                    raise SparqlError(
+                        f"unsupported negated-property-set item {it!r}:"
+                        " items must be forward concrete predicates")
+            po = edges.where(~F.col("predicate").isin(items)).select(
+                F.col("subject").alias("s"), F.col("object").alias("o"))
+        elif pred.startswith("(") and pred.endswith(")"):
             # AlternativePath `(a|b|c)` (spec §9.1): bag union of the
             # branch relations — plain unionByName, no distinct, matching
             # SPARQL's multiset-union semantics (a closure modifier on the
@@ -607,7 +632,7 @@ def _compile_pattern(nodes: DataFrame, edges: DataFrame, i: int,
     """One triple pattern -> (relation with _s{i}/_p{i}/_o{i} columns,
     {var: first bound column})."""
     s, p, o = pattern
-    if not p.startswith("?") and ("/" in p or p.startswith(("^", "("))
+    if not p.startswith("?") and ("/" in p or p.startswith(("^", "(", "!"))
                                   or p[-1] in "+*?"):
         rel = _compile_path(nodes, edges, p, i)
         binds: dict[str, list] = {}

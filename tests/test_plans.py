@@ -353,3 +353,33 @@ def test_kg_diff_no_cartesian(spark):
     out = diff_graphs(e.limit(100), e)
     plan = physical_plan(out)
     assert "CartesianProduct" not in plan
+
+
+def test_adamic_adar_no_cartesian_no_node_broadcast(spark):
+    """adamic_adar: wedge join + degree join are shuffles on the center
+    key — the node-sized degree table must NOT be broadcast and nothing
+    may degenerate to a cartesian/nested-loop join."""
+    from ecokg_spark.operators.graph import adamic_adar
+
+    e = (spark.read.parquet(f"{SF}/nation.parquet")
+         .select(F.col("n_nationkey").alias("src"),
+                 ((F.col("n_nationkey") * 2 + 3) % 25).alias("dst")))
+    plan = physical_plan(adamic_adar(e))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverse_candidates_broadcasts_predicate_sizes(spark):
+    """inverse_candidates: the only broadcast side is the per-predicate
+    size table (schema-bounded); the triple-table self-join is a plain
+    shuffle on the reversed (s, o) composite."""
+    from ecokg_spark.operators.kgqc import inverse_candidates
+
+    e = (spark.read.parquet(f"{SF}/nation.parquet")
+         .select(F.concat(F.lit("N:"), F.col("n_nationkey")).alias("subject"),
+                 F.lit("p").alias("predicate"),
+                 F.concat(F.lit("R:"), F.col("n_regionkey")).alias("object")))
+    df = inverse_candidates(e)
+    plan = physical_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan

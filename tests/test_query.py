@@ -1146,3 +1146,55 @@ def test_filter_var_var_unbound_rejected(spark, kg):
             spark,
             "SELECT ?x WHERE { ?x biolink:category ?c . FILTER(?c = ?zz) }",
             nodes, edges).collect()
+
+
+# --------------------------------------------------------------------------
+# round-4 batch 12: negated property sets
+# --------------------------------------------------------------------------
+
+def test_negated_property_set_single(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE { ?x !biolink:related_to ?y }",
+        nodes, edges)
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", "b"), ("b", "c"), ("c", "d")]
+
+
+def test_negated_property_set_group_and_modifiers(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE "
+        "{ ?x !(biolink:related_to|biolink:nonexistent) ?y }",
+        nodes, edges)
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", "b"), ("b", "c"), ("c", "d")]
+    # step-level inverse + closure compose with negation: ^!(related_to)+
+    inv = sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE { ?x ^!(biolink:related_to)+ ?y }",
+        nodes, edges)
+    assert {("d", "a"), ("d", "b"), ("d", "c")} <= set(map(tuple, inv.collect()))
+
+
+def test_negated_property_set_in_sequence(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE "
+        "{ ?x biolink:subclass_of/!biolink:related_to ?y }",
+        nodes, edges)
+    assert sorted(map(tuple, out.collect())) == [("a", "c"), ("b", "d")]
+
+
+def test_negated_property_set_rejects_bad_items(spark, chain_kg):
+    nodes, edges = chain_kg
+    for q in (
+        "SELECT ?x ?y WHERE { ?x !(^biolink:related_to) ?y }",   # reverse item
+        "SELECT ?x ?y WHERE { ?x !(a/b) ?y }",                   # sequence item
+        "SELECT ?x ?y WHERE { ?x !() ?y }",                      # empty set
+    ):
+        with pytest.raises(SparqlError):
+            sparql_select(spark, q, nodes, edges)
