@@ -5560,6 +5560,93 @@ FROM agg
 """
 
 
+def q_dsir_weights(spark, sf):
+    """DSIR importance log-weights (operators/sample.py dsir_logweights,
+    Xie et al. 2023): hashed unigram+bigram bucket distributions, target =
+    the src13 slice of the corpus, 64 portable md5 buckets so the oracle
+    recomputes every weight verbatim."""
+    from ecokg_spark.operators.sample import dsir_logweights
+
+    d = t(spark, sf, "documents")
+    return dsir_logweights(d, d.where(F.col("source") == "src13"),
+                           dims=64, alpha=1.0, portable=True)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH tk AS (
+  SELECT doc_id, string_split({_NORM_SQL.format(c='text')}, ' ') AS tk
+  FROM documents),
+fr AS (
+  SELECT doc_id, t AS f FROM (
+    SELECT doc_id, unnest(tk) AS t FROM tk) WHERE t <> ''
+  UNION ALL
+  SELECT doc_id, tk[i - 1] || ' ' || tk[i] FROM (
+    SELECT doc_id, tk, unnest(range(2, len(tk) + 1)) AS i FROM tk)),
+fb AS (
+  SELECT doc_id,
+         CAST({_HEX15.format(h='md5(f)')} % 64 AS BIGINT) AS bkt
+  FROM fr),
+ftgt AS (
+  SELECT fb.doc_id, fb.bkt FROM fb
+  JOIN documents d USING (doc_id) WHERE d.source = 'src13'),
+rg AS (SELECT bkt, CAST(COUNT(*) AS DOUBLE) AS rc FROM fb GROUP BY bkt),
+tg AS (SELECT bkt, CAST(COUNT(*) AS DOUBLE) AS tc FROM ftgt GROUP BY bkt),
+tot AS (SELECT (SELECT SUM(rc) FROM rg) AS r_tot,
+               (SELECT COALESCE(SUM(tc), 0.0) FROM tg) AS t_tot),
+lr AS (
+  SELECT rg.bkt,
+         LN((COALESCE(tg.tc, 0.0) + 1.0) / (tot.t_tot + 64.0))
+         - LN((rg.rc + 1.0) / (tot.r_tot + 64.0)) AS lr
+  FROM rg LEFT JOIN tg USING (bkt) CROSS JOIN tot),
+pd AS (SELECT doc_id, bkt, CAST(COUNT(*) AS DOUBLE) AS c
+       FROM fb GROUP BY doc_id, bkt),
+w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_features,
+             ROUND(SUM(c * lr.lr), 6) AS logweight
+      FROM pd JOIN lr USING (bkt) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(w.n_features, 0) AS BIGINT) AS n_features,
+       COALESCE(w.logweight, 0.0) AS logweight
+FROM documents d LEFT JOIN w USING (doc_id)
+"""
+
+
+def q_scd2_history(spark, sf):
+    """SCD2 validity intervals (operators/temporal.py scd2_intervals):
+    per-customer order-status history from the orders log, change-
+    compressed, o_orderkey as the deterministic timestamp tiebreak."""
+    from ecokg_spark.operators.temporal import scd2_intervals
+
+    o = t(spark, sf, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+    return scd2_intervals(o, key_col="o_custkey", ts_col="o_orderdate",
+                          attr_cols=["o_orderstatus"],
+                          tiebreak_cols=["o_orderkey"])
+
+
+SQL_SCD2_HISTORY = """
+WITH m AS (
+  SELECT o_custkey, o_orderdate AS ts, o_orderkey AS sq,
+         o_orderstatus AS st,
+         LAG(o_orderstatus) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS pst,
+         LAG(o_orderdate) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS pts
+  FROM orders),
+c AS (SELECT o_custkey, ts, sq, st FROM m
+      WHERE pts IS NULL OR st IS DISTINCT FROM pst),
+f AS (
+  SELECT o_custkey, st, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY o_custkey ORDER BY ts, sq)
+           AS valid_to
+  FROM c)
+SELECT o_custkey, st AS o_orderstatus, valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM f
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5717,6 +5804,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverse_detect": q_inverse_detect,
     "adamic_adar": q_adamic_adar,
     "word_entropy": q_word_entropy,
+    "dsir_weights": q_dsir_weights,
+    "scd2_history": q_scd2_history,
 }
 
 ORACLES: dict[str, str] = {
@@ -5871,6 +5960,8 @@ ORACLES: dict[str, str] = {
     "inverse_detect": SQL_INVERSE_DETECT,
     "adamic_adar": SQL_ADAMIC_ADAR,
     "word_entropy": SQL_WORD_ENTROPY,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
+    "scd2_history": SQL_SCD2_HISTORY,
 }
 
 
@@ -5922,7 +6013,7 @@ assert all(n in QUERIES for n in _CERT_WINDOW), [
 # sparql_group_concat, sparql_regex, kcore, ppr, containment,
 # hashed_embed, dup_span_removal — plus the batch-12 rows
 # (sparql_neg_path, predicate_profile, inverse_detect, adamic_adar,
-# word_entropy) —
+# word_entropy, dsir_weights, scd2_history) —
 # which have local-oracle green but no driver record, then (b) the r03-certified rows that have now sat out a
 # round (token_count .. embedding_neardup block), then (c) canaries.
 # Every row then has a driver-green record within the last two rounds.

@@ -137,3 +137,106 @@ def fixed_size_sample(df: DataFrame, n: int, key_col: str) -> DataFrame:
             .orderBy(F.col("_h").asc(), F.col(key_col).asc())
             .limit(n)
             .drop("_h"))
+
+
+def _hashed_ngram_features(df: DataFrame, id_col: str, text_col: str,
+                           dims: int, portable: bool) -> DataFrame:
+    """(id, bkt) hashed word unigram+bigram features — the DSIR feature
+    space (Xie et al. 2023 use hashed n-grams for exactly this). Bucket
+    spec matches embed.hashed_bow_embed: portable=True is the md5
+    15-hex-char bucket a SQL oracle recomputes verbatim; portable=False
+    is the xxhash64 production path."""
+    from ecokg_spark.functions.text import normalize_ws
+
+    d = df.select(F.col(id_col).alias("id"),
+                  F.split(normalize_ws(text_col), " ").alias("_tk"))
+    uni = (d.select("id", F.explode("_tk").alias("_f"))
+           .where(F.col("_f") != ""))
+    # bigram i joins 0-based tokens (i-1, i); guarded because
+    # F.sequence(2, 1) would DESCEND, not produce an empty array
+    bigrams = F.when(
+        F.size("_tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - 1),
+            lambda i: F.concat_ws(" ", F.get("_tk", i - 1), F.get("_tk", i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = d.select("id", F.explode(bigrams).alias("_f"))
+    feats = uni.unionByName(big)
+    if portable:
+        bkt = F.pmod(
+            F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(dims),
+        )
+    else:
+        bkt = F.pmod(F.xxhash64("_f"), F.lit(dims))
+    return feats.select("id", bkt.alias("bkt"))
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 1024,
+    alpha: float = 1.0,
+    portable: bool = False,
+    decimals: int = 6,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every raw document by how target-like
+    its hashed n-gram distribution is —
+
+        logweight(d) = sum over buckets g of c_g(d) *
+                       ( ln p_hat(g | target) - ln p_hat(g | raw) )
+
+    with add-alpha smoothed bucket distributions. Downstream, sampling
+    raw docs with probability proportional to exp(logweight) yields a
+    target-distributed subset (pair with hash_sample / fixed_size_sample
+    for the deterministic draw). Returns (id_col, n_features, logweight)
+    for EVERY raw doc; featureless (blank) docs weigh 0.0.
+
+    Scale shape: feature extraction is a narrow explode; each corpus
+    reduces to a dims-row bucket histogram (map-side combine absorbs the
+    Zipf head), totals ride along as broadcast 1-row aggregates, and the
+    log-ratio table — dims rows, a PARAMETER independent of corpus size —
+    broadcasts into one (id, bkt) aggregate join. One corpus-sized
+    shuffle total (the per-doc bucket aggregate). The target corpus is
+    typically sample-sized (the quality exemplar set), but nothing here
+    requires it.
+    """
+    fr = _hashed_ngram_features(raw, id_col, text_col, dims, portable)
+    ft = _hashed_ngram_features(target, id_col, text_col, dims, portable)
+    rg = fr.groupBy("bkt").agg(F.count(F.lit(1)).cast("double").alias("rc"))
+    tg = ft.groupBy("bkt").agg(F.count(F.lit(1)).cast("double").alias("tc"))
+    rtot = rg.agg(F.sum("rc").alias("_R"))
+    ttot = tg.agg(F.coalesce(F.sum("tc"), F.lit(0.0)).alias("_T"))
+    lr = (
+        rg.join(tg, "bkt", "left")
+        .crossJoin(F.broadcast(rtot)).crossJoin(F.broadcast(ttot))
+        .select(
+            "bkt",
+            (F.log((F.coalesce(F.col("tc"), F.lit(0.0)) + alpha)
+                   / (F.col("_T") + alpha * dims))
+             - F.log((F.col("rc") + alpha)
+                     / (F.col("_R") + alpha * dims))).alias("lr"),
+        )
+    )
+    perdoc = (
+        fr.groupBy("id", "bkt")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .join(F.broadcast(lr), "bkt")
+        .groupBy("id")
+        .agg(F.sum("c").cast("long").alias("n_features"),
+             F.round(F.sum(F.col("c") * F.col("lr")),
+                     decimals).alias("logweight"))
+    )
+    ids = raw.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(perdoc, "id", "left")
+        .select(F.col("id").alias(id_col),
+                F.coalesce("n_features", F.lit(0)).cast("long")
+                .alias("n_features"),
+                F.coalesce("logweight", F.lit(0.0)).alias("logweight"))
+    )
