@@ -5560,6 +5560,119 @@ FROM agg
 """
 
 
+def q_hash_walks(spark, sf):
+    """Deterministic hash-argmin random walks (operators/graph.py
+    hash_walks): 3-step walk corpus over the pagerank fixture graph,
+    successor tables recomputed by the oracle via arg_min over the same
+    md5 choice hash."""
+    from ecokg_spark.operators.graph import hash_walks
+
+    n = t(spark, sf, "nation").select("n_nationkey")
+    k = F.col("n_nationkey")
+    e = (n.where(k % 5 != 0).select(k.alias("src"),
+                                    ((k * 3 + 1) % 25).alias("dst"))
+         .union(n.where(k % 5 != 0).select(k.alias("src"),
+                                           ((k * 7 + 2) % 25).alias("dst"))))
+    return hash_walks(e, length=3, seed=0)
+
+
+def _hash_walks_sql(length: int, seed: int) -> str:
+    parts = ["""
+WITH raw AS (
+  SELECT n_nationkey AS src, (3*n_nationkey+1)%25 AS dst
+  FROM nation WHERE n_nationkey%5<>0
+  UNION ALL
+  SELECT n_nationkey, (7*n_nationkey+2)%25
+  FROM nation WHERE n_nationkey%5<>0),
+adj AS (SELECT DISTINCT src AS c, dst AS nbr FROM raw),
+nds AS (SELECT DISTINCT c AS node FROM adj
+        UNION SELECT DISTINCT nbr FROM adj),
+w0 AS (SELECT node AS start, CAST(0 AS INT) AS step, node FROM nds)"""]
+    for t_ in range(1, length + 1):
+        parts.append(f""",
+s{t_} AS (SELECT c, arg_min(nbr,
+            md5('{seed}|{t_}|' || CAST(c AS VARCHAR)
+                || '|' || CAST(nbr AS VARCHAR))) AS nxt
+          FROM adj GROUP BY c),
+f{t_} AS (SELECT f.start, CAST({t_} AS INT) AS step, s{t_}.nxt AS node
+          FROM {'w0' if t_ == 1 else f'f{t_ - 1}'} f
+          JOIN s{t_} ON f.node = s{t_}.c)""")
+    sel = " UNION ALL ".join(
+        ["SELECT start, step, node FROM w0"]
+        + [f"SELECT start, step, node FROM f{t_}"
+           for t_ in range(1, length + 1)])
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+SQL_HASH_WALKS = _hash_walks_sql(3, 0)
+
+
+def q_rolling_zscore(spark, sf):
+    """Per-user rolling z-score anomaly flags (operators/temporal.py
+    rolling_zscore): leave-one-out 20-event baseline, variance from
+    running (sum, sum2) so both engines evaluate the same closed form,
+    rounded-z comparison for a reproducible flag."""
+    from ecokg_spark.operators.temporal import rolling_zscore
+
+    e = t(spark, sf, "events")
+    return rolling_zscore(e, key_col="user_id", ts_col="ts",
+                          value_col="value", window=20, min_points=5,
+                          threshold=3.0, tiebreak_cols=["event_id"])
+
+
+SQL_ROLLING_ZSCORE = """
+WITH w AS (
+  SELECT user_id, ts, value,
+         COUNT(value) OVER fr AS n,
+         SUM(value) OVER fr AS s,
+         SUM(value * value) OVER fr AS s2
+  FROM events
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT user_id, ts, value, CAST(n AS BIGINT) AS n_baseline,
+         CASE WHEN n >= 1 THEN ROUND(s / n, 6) END AS mean,
+         CASE WHEN n >= 5
+                   AND GREATEST((s2 - s * s / n) / (n - 1), 0.0) > 0
+              THEN ROUND((value - s / n)
+                         / SQRT(GREATEST((s2 - s * s / n) / (n - 1), 0.0)),
+                         6)
+         END AS z
+  FROM w)
+SELECT user_id, ts, value, n_baseline, mean, z,
+       COALESCE(ABS(z) > 3.0, FALSE) AS is_anomaly
+FROM z
+"""
+
+
+def q_sparql_subquery(spark, sf):
+    """SPARQL 1.1 subquery (spec §12; query.py _extract_subqueries +
+    recursive _select_impl): per-size edge counts computed in a nested
+    SELECT/GROUP BY, joined back to the outer pattern on the shared
+    ?sz variable."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT ?x ?sz ?n WHERE { ?x biolink:has_size ?sz . "
+        "{ SELECT (COUNT(?s) AS ?n) ?sz "
+        "WHERE { ?s biolink:has_size ?sz } GROUP BY ?sz } }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_SUBQUERY = """
+WITH sz AS (SELECT p_size, CAST(COUNT(*) AS BIGINT) AS n
+            FROM part GROUP BY p_size)
+SELECT 'P:' || CAST(p.p_partkey AS VARCHAR) AS x,
+       'SZ:' || CAST(p.p_size AS VARCHAR) AS sz,
+       sz.n
+FROM part p JOIN sz USING (p_size)
+"""
+
+
 def q_dsir_weights(spark, sf):
     """DSIR importance log-weights (operators/sample.py dsir_logweights,
     Xie et al. 2023): hashed unigram+bigram bucket distributions, target =
@@ -5804,6 +5917,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverse_detect": q_inverse_detect,
     "adamic_adar": q_adamic_adar,
     "word_entropy": q_word_entropy,
+    "sparql_subquery": q_sparql_subquery,
+    "rolling_zscore": q_rolling_zscore,
+    "hash_walks": q_hash_walks,
     "dsir_weights": q_dsir_weights,
     "scd2_history": q_scd2_history,
 }
@@ -5960,6 +6076,9 @@ ORACLES: dict[str, str] = {
     "inverse_detect": SQL_INVERSE_DETECT,
     "adamic_adar": SQL_ADAMIC_ADAR,
     "word_entropy": SQL_WORD_ENTROPY,
+    "sparql_subquery": SQL_SPARQL_SUBQUERY,
+    "rolling_zscore": SQL_ROLLING_ZSCORE,
+    "hash_walks": SQL_HASH_WALKS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "scd2_history": SQL_SCD2_HISTORY,
 }
@@ -6013,7 +6132,8 @@ assert all(n in QUERIES for n in _CERT_WINDOW), [
 # sparql_group_concat, sparql_regex, kcore, ppr, containment,
 # hashed_embed, dup_span_removal — plus the batch-12 rows
 # (sparql_neg_path, predicate_profile, inverse_detect, adamic_adar,
-# word_entropy, dsir_weights, scd2_history) —
+# word_entropy, dsir_weights, scd2_history, sparql_subquery,
+# rolling_zscore, hash_walks) —
 # which have local-oracle green but no driver record, then (b) the r03-certified rows that have now sat out a
 # round (token_count .. embedding_neardup block), then (c) canaries.
 # Every row then has a driver-green record within the last two rounds.

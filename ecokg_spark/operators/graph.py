@@ -509,3 +509,51 @@ def adamic_adar(
     if top is not None:
         out = out.limit(top)
     return out
+
+
+def hash_walks(
+    edges: DataFrame,
+    length: int = 3,
+    seed: int = 0,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic random-walk corpus over the directed graph — the
+    walk-sequence generator embedding trainers (DeepWalk/node2vec-style)
+    consume, derandomized: at step t from node c the walk takes the
+    out-neighbor minimizing md5(seed|t|c|neighbor). Hash-argmin is a
+    uniform-looking but REPRODUCIBLE choice — two runs (or two engines)
+    emit byte-identical walks, unlike rand()-driven samplers; vary `seed`
+    for independent walk sets per start node.
+
+    Returns (start, step, node) long-form rows: step 0 is the start node
+    (every distinct node), each walk extends until `length` or a dead end
+    (no out-edges). At most one row per (start, step).
+
+    Scale shape: the per-step successor function next_t(c) is computed
+    ONCE per node per step — a min_by aggregate over the adjacency, NOT
+    per walk — then each step is one equi-join of the frontier against
+    that successor table on the node key. length L costs L joins + L
+    aggregates, all on the same key; frontier size never exceeds the
+    node count. No rand(), no driver state.
+    """
+    adj = (edges.select(F.col(src).alias("c"), F.col(dst).alias("nbr"))
+           .where(F.col("c").isNotNull() & F.col("nbr").isNotNull())
+           .distinct())
+    nodes = (adj.select(F.col("c").alias("node"))
+             .union(adj.select(F.col("nbr").alias("node"))).distinct())
+    out = nodes.select(F.col("node").alias("start"),
+                       F.lit(0).cast("int").alias("step"),
+                       F.col("node"))
+    frontier = out.select("start", "node")
+    for t in range(1, length + 1):
+        h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.lit(str(t)),
+                              F.col("c"), F.col("nbr")))
+        step_t = adj.groupBy("c").agg(F.min_by("nbr", h).alias("_next"))
+        frontier = (frontier.join(step_t,
+                                  frontier["node"] == step_t["c"])
+                    .select("start", F.col("_next").alias("node")))
+        out = out.unionByName(
+            frontier.select("start", F.lit(t).cast("int").alias("step"),
+                            "node"))
+    return out

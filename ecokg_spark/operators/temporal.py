@@ -208,3 +208,58 @@ def scd2_intervals(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: int = 20,
+    min_points: int = 5,
+    threshold: float = 3.0,
+    tiebreak_cols: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly flags over the PRECEDING `window`
+    events — the current row is excluded from its own baseline
+    (leave-one-out), so a spike cannot mask itself. The standard
+    event-stream QC gate (ingest monitoring, sensor/metric validation).
+    Returns (key, ts, value, n_baseline, mean, z, is_anomaly); z is NULL
+    (and is_anomaly false) below `min_points` baseline rows or at zero
+    variance.
+
+    Variance comes from running (sum, sum-of-squares) over the row frame
+    rather than a built-in stddev: both engines then compute the same
+    closed form from the same sums (built-in one-pass stddev algorithms
+    differ across engines beyond the last ulp). Catastrophic cancellation
+    can push the closed form epsilon-negative — clamped at 0. mean/z are
+    rounded, and the anomaly comparison uses the ROUNDED z, so the flag
+    is reproducible cross-engine.
+
+    Scale shape: ONE shuffle on the key; every aggregate is a sliding
+    row-frame window over the same (key, ts, tiebreak) sort. Bounded
+    frame (`window` rows), so state per row is O(1) — the batch dual of
+    the streaming sessionizer's cost class.
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(-window, -1))
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    s = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    mean = s / n
+    var = F.greatest((s2 - s * s / n) / (n - 1), F.lit(0.0))
+    z = F.when((n >= min_points) & (var > 0),
+               F.round((v - mean) / F.sqrt(var), decimals))
+    return events.select(
+        key_col,
+        F.col(ts_col).alias("ts"),
+        v.alias("value"),
+        n.cast("long").alias("n_baseline"),
+        F.when(n >= 1, F.round(mean, decimals)).alias("mean"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -11,7 +11,7 @@ the same queries compile straight to Catalyst plans — no endpoint:
 
     SELECT [DISTINCT] (agg AS ?alias)* ?var*
     WHERE { pattern (('.' pattern) | filter | notexists | exists | minus
-                     | optional | union | values | bind)* }
+                     | optional | union | values | bind | subquery)* }
     [GROUP BY ?var*] [HAVING( agg cmp value )]
     [ORDER BY (?var | ASC(?var) | DESC(?var))*] [LIMIT n] [OFFSET n]
     (OFFSET requires ORDER BY — an unordered slice is nondeterministic)
@@ -37,6 +37,11 @@ the same queries compile straight to Catalyst plans — no endpoint:
     union    := { pattern+ } UNION { pattern+ } (UNION { pattern+ })*
     values   := VALUES ?var { value+ }
     bind     := BIND( expr AS ?newvar )
+    subquery := '{' SELECT ... '}'  (one nesting level; evaluated
+                bottom-up per spec §12, exposes only its projected
+                variables/aliases, joins the outer solution on shared
+                variables — cross product when none are shared, the
+                global-aggregate case)
     expr     := ?var | "literal"
               | CONCAT(expr, ...) | STRLEN(e) | UCASE(e) | LCASE(e)
               | STR(e) | STRAFTER(e, "lit") | STRBEFORE(e, "lit")
@@ -142,17 +147,17 @@ from pyspark.sql import functions as F
 
 _SELECT_RE = re.compile(
     r"(?is)^\s*SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE\s*"
-    r"\{((?:[^{}]|\{[^{}]*\})*)\}"          # WHERE body, one nesting level
+    r"\{((?:[^{}]|\{(?:[^{}]|\{[^{}]*\})*\})*)\}"  # WHERE body, two nesting levels (block / subquery-with-WHERE)
     r"\s*(?:GROUP\s+BY\s+(.*?))?"
     r"\s*(?:HAVING\s*\((.*?)\))?"
     r"\s*(?:ORDER\s+BY\s+(.*?))?"
     r"\s*(?:LIMIT\s+(\d+))?"
     r"\s*(?:OFFSET\s+(\d+))?\s*$")
 _ASK_RE = re.compile(
-    r"(?is)^\s*ASK\s*\{((?:[^{}]|\{[^{}]*\})*)\}\s*$")
+    r"(?is)^\s*ASK\s*\{((?:[^{}]|\{(?:[^{}]|\{[^{}]*\})*\})*)\}\s*$")
 _CONSTRUCT_RE = re.compile(
     r"(?is)^\s*CONSTRUCT\s*\{([^{}]*)\}\s*WHERE\s*"
-    r"\{((?:[^{}]|\{[^{}]*\})*)\}\s*$")
+    r"\{((?:[^{}]|\{(?:[^{}]|\{[^{}]*\})*\})*)\}\s*$")
 _AGG_RE = re.compile(
     r"\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)"
     r"\s+AS\s+\?(\w+)\s*\)", re.I)
@@ -303,11 +308,50 @@ def _split_patterns(raw: str) -> list[tuple[str, str, str]]:
     return patterns
 
 
+def _extract_subqueries(where_raw: str):
+    """Pull `{ SELECT ... }` groups out of a WHERE body (spec §12
+    subqueries) with a balanced-brace scan — the inner WHERE has its own
+    braces, which the flat block regexes must never see. Returns (body
+    text with subqueries blanked, [subquery text ...])."""
+    out, subs, i, n, depth = [], [], 0, len(where_raw), 0
+    while i < n:
+        ch = where_raw[i]
+        if ch == "{" and depth == 0:
+            d, j = 1, i + 1
+            while j < n and d:
+                if where_raw[j] == "{":
+                    d += 1
+                elif where_raw[j] == "}":
+                    d -= 1
+                j += 1
+            if d:
+                raise SparqlError("unbalanced braces in WHERE body")
+            inner = where_raw[i + 1:j - 1]
+            if re.match(r"(?is)\s*SELECT\b", inner):
+                subs.append(inner.strip())
+                out.append(" ")
+                i = j
+                continue
+            # not a subquery: an ordinary block (OPTIONAL/UNION branch /
+            # EXISTS body). Deeper braces are NOT scanned — a subquery
+            # inside such a block must not be hoisted to outer scope; it
+            # survives in place and the block's own (flat) parser rejects
+            # it with a diagnostic.
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth = max(0, depth - 1)
+        out.append(ch)
+        i += 1
+    return "".join(out), subs
+
+
 def _parse_body(where_raw: str):
     """The WHERE-body constructs shared by SELECT/ASK/CONSTRUCT. Block
     constructs extract first (their inner text must not leak into the
     global filter/bind scans), then global BIND/filters, then the
     required triple patterns. Returns a dict of parsed pieces."""
+    where_raw, subqueries = _extract_subqueries(where_raw)
     not_exists = [_split_patterns(block)
                   for block in _NOT_EXISTS_RE.findall(where_raw)]
     where_raw = _NOT_EXISTS_RE.sub(" ", where_raw)
@@ -382,7 +426,7 @@ def _parse_body(where_raw: str):
         "patterns": patterns, "filters": filters, "optionals": optionals,
         "unions": unions, "values": values, "not_exists": not_exists,
         "exists": exists, "minus": minus, "binds": binds,
-        "rx_filters": rx_filters,
+        "rx_filters": rx_filters, "subqueries": subqueries,
     }
 
 
@@ -707,7 +751,8 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
     minus = body["minus"]
     binds = body["binds"]
     rx_filters = body["rx_filters"]
-    if not patterns and not unions:
+    subqueries = body.get("subqueries", [])
+    if not patterns and not unions and not subqueries:
         raise SparqlError("empty WHERE clause")
 
     rels: list[DataFrame] = []
@@ -750,8 +795,20 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
         rels.append(u)
         var_cols.append({v: f"_u{gi}_{v}" for v in branch_vars})
 
-    # join required patterns (and union blocks) on shared variables,
-    # left to right
+    # subqueries (spec §12): evaluate bottom-up via recursion — the
+    # result exposes exactly its projected variables/aliases and joins
+    # the outer solution like any other relation (cross product when no
+    # variable is shared, e.g. a global-aggregate subquery; aggregate
+    # subquery results are aggregate-sized, so that product is the cheap
+    # broadcast case at scale)
+    for qi, subq in enumerate(subqueries):
+        sq = _select_impl(subq, nodes, edges)
+        rels.append(sq.select(
+            *[F.col(v).alias(f"_q{qi}_{v}") for v in sq.columns]))
+        var_cols.append({v: f"_q{qi}_{v}" for v in sq.columns})
+
+    # join required patterns (and union/subquery blocks) on shared
+    # variables, left to right
     out = rels[0]
     bound: dict[str, str] = dict(var_cols[0])
     for i in range(1, len(rels)):
@@ -900,6 +957,14 @@ def sparql_select(
     edges: DataFrame,
 ) -> DataFrame:
     """Compile + run a (restricted) SPARQL SELECT over the KG tables."""
+    return _select_impl(query, nodes, edges)
+
+
+def _select_impl(query: str, nodes: DataFrame,
+                 edges: DataFrame) -> DataFrame:
+    """SELECT compiler body — separate from sparql_select so subquery
+    compilation can recurse without a SparkSession handle (the session is
+    never consulted; plans build purely from the nodes/edges frames)."""
     (aggs, plain, group, having, distinct, order, limit, offset,
      body) = _parse(query)
     out, bound = _compile_body(nodes, edges, body)

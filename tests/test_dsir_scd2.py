@@ -117,3 +117,61 @@ def test_scd2_null_attr_transitions_null_safe(spark):
     # A -> NULL is a change; NULL -> NULL is not
     assert [(r["st"], r["valid_from"], r["valid_to"]) for r in rows] == [
         ("A", 10, 20), (None, 20, None)]
+
+
+# --------------------------------------------------------------------------
+# rolling z-score anomalies (operators/temporal.py rolling_zscore)
+# --------------------------------------------------------------------------
+
+def _ref_zscores(vals, window, min_points, threshold):
+    out = []
+    for i, v in enumerate(vals):
+        base = vals[max(0, i - window):i]
+        n = len(base)
+        mean = round(sum(base) / n, 6) if n >= 1 else None
+        z = None
+        if n >= min_points:
+            m = sum(base) / n
+            var = sum((x - m) ** 2 for x in base) / (n - 1)
+            if var > 0:
+                z = round((v - m) / math.sqrt(var), 6)
+        out.append((n, mean, z, bool(z is not None and abs(z) > threshold)))
+    return out
+
+
+def test_rolling_zscore_matches_reference(spark):
+    from ecokg_spark.operators.temporal import rolling_zscore
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 100.0, 3.0, 2.5]
+    rows = [(1, i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, ts int, sq int, value double")
+    got = sorted(
+        rolling_zscore(df, "k", "ts", "value", window=5, min_points=5,
+                       threshold=3.0, tiebreak_cols=["sq"]).collect(),
+        key=lambda r: r["ts"])
+    ref = _ref_zscores(vals, window=5, min_points=5, threshold=3.0)
+    for r, (n, mean, z, flag) in zip(got, ref):
+        assert r["n_baseline"] == n
+        assert r["mean"] == (pytest.approx(mean, abs=2e-6)
+                             if mean is not None else None)
+        if z is None:
+            assert r["z"] is None
+        else:
+            assert r["z"] == pytest.approx(z, abs=2e-6)
+        assert r["is_anomaly"] == flag
+    # the planted spike is the only anomaly
+    assert [r["ts"] for r in got if r["is_anomaly"]] == [5]
+
+
+def test_rolling_zscore_zero_variance_and_min_points(spark):
+    from ecokg_spark.operators.temporal import rolling_zscore
+
+    rows = [(1, i, i, 7.0) for i in range(6)] + [(1, 6, 6, 9.0)]
+    df = spark.createDataFrame(rows, "k int, ts int, sq int, value double")
+    got = {r["ts"]: r for r in rolling_zscore(
+        df, "k", "ts", "value", window=10, min_points=5,
+        tiebreak_cols=["sq"]).collect()}
+    assert got[2]["z"] is None          # below min_points
+    assert got[6]["z"] is None          # zero-variance baseline
+    assert not got[6]["is_anomaly"]
+    assert got[6]["mean"] == pytest.approx(7.0)

@@ -1,6 +1,7 @@
 """KG schema QC (operators/kgqc.py), Adamic-Adar (operators/graph.py),
 word entropy (operators/keywords.py): hand-computed values on tiny graphs."""
 
+import hashlib
 import math
 
 import pytest
@@ -103,3 +104,32 @@ def test_doc_word_entropy(spark):
     h = math.log(3) - (2 * math.log(2)) / 3
     assert got["d1"]["entropy"] == pytest.approx(round(h, 6))
     assert got["d1"]["n_tokens"] == 3
+
+
+# --------------------------------------------------------------------------
+# deterministic hash walks (operators/graph.py hash_walks)
+# --------------------------------------------------------------------------
+
+def _choice(seed, step, c, nbrs):
+    return min(nbrs, key=lambda n: hashlib.md5(
+        f"{seed}|{step}|{c}|{n}".encode()).hexdigest())
+
+
+def test_hash_walks_follow_md5_argmin_and_stop_at_dead_ends(spark):
+    from ecokg_spark.operators.graph import hash_walks
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "src string, dst string")
+    rows = {(r["start"], r["step"]): r["node"]
+            for r in hash_walks(e, length=3, seed=0).collect()}
+    first = _choice(0, 1, "a", ["b", "c"])
+    assert rows[("a", 0)] == "a"
+    assert rows[("a", 1)] == first
+    assert rows[("a", 2)] == "d"            # b and c both lead to d
+    assert ("a", 3) not in rows             # d is a dead end — walk stops
+    assert rows[("d", 0)] == "d" and ("d", 1) not in rows
+    # a different seed may change the choice, but stays deterministic
+    again = {(r["start"], r["step"]): r["node"]
+             for r in hash_walks(e, length=3, seed=7).collect()}
+    assert again[("a", 1)] == _choice(7, 1, "a", ["b", "c"])

@@ -1198,3 +1198,76 @@ def test_negated_property_set_rejects_bad_items(spark, chain_kg):
     ):
         with pytest.raises(SparqlError):
             sparql_select(spark, q, nodes, edges)
+
+
+# --------------------------------------------------------------------------
+# round-4 batch 14: subqueries (spec §12)
+# --------------------------------------------------------------------------
+
+def test_subquery_aggregate_joins_on_shared_var(spark, chain_kg):
+    nodes, edges = chain_kg
+    # per-object in-degree over ALL edges, joined back to subclass pairs
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?y ?n WHERE { ?x biolink:subclass_of ?y . "
+        "{ SELECT (COUNT(?s) AS ?n) ?y WHERE { ?s ?p ?y } GROUP BY ?y } }",
+        nodes, edges)
+    got = sorted(map(tuple, out.collect()))
+    # in-degrees: b<-a (1), c<-b (1), d<-c,d<-a (2)
+    assert got == [("a", "b", 1), ("b", "c", 1), ("c", "d", 2)]
+
+
+def test_subquery_global_aggregate_cross_product(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?total WHERE { ?x biolink:subclass_of ?y . "
+        "{ SELECT (COUNT(?s) AS ?total) WHERE { ?s ?p ?o } } }",
+        nodes, edges)
+    got = sorted(map(tuple, out.collect()))
+    assert got == [("a", 4), ("b", 4), ("c", 4)]
+
+
+def test_subquery_filter_on_projected_aggregate(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark,
+        "SELECT ?y ?n WHERE { "
+        "{ SELECT (COUNT(?s) AS ?n) ?y WHERE { ?s ?p ?y } GROUP BY ?y } "
+        "FILTER(?n > 1) }",
+        nodes, edges)
+    assert [tuple(r) for r in out.collect()] == [("d", 2)]
+
+
+def test_subquery_projection_scopes_variables(spark, chain_kg):
+    nodes, edges = chain_kg
+    # ?s is NOT projected by the subquery, so the outer query cannot see it
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(
+            spark,
+            "SELECT ?s WHERE { "
+            "{ SELECT ?y WHERE { ?s biolink:subclass_of ?y } } }",
+            nodes, edges).collect()
+
+
+def test_subquery_plain_select_semijoins(spark, chain_kg):
+    nodes, edges = chain_kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?y WHERE { ?x biolink:subclass_of ?y . "
+        "{ SELECT ?x WHERE { ?x biolink:related_to ?d } } }",
+        nodes, edges)
+    # subquery binds ?x = a (the only related_to subject)
+    assert [tuple(r) for r in out.collect()] == [("a", "b")]
+
+
+def test_subquery_inside_optional_rejected(spark, chain_kg):
+    nodes, edges = chain_kg
+    # a subquery nested in OPTIONAL must not be hoisted to outer scope —
+    # the depth guard leaves it in place and the block parser diagnoses it
+    with pytest.raises(SparqlError):
+        sparql_select(
+            spark,
+            "SELECT ?x WHERE { ?x biolink:subclass_of ?y . "
+            "OPTIONAL { { SELECT ?x WHERE { ?x biolink:related_to ?d } } } }",
+            nodes, edges)
