@@ -5760,6 +5760,94 @@ FROM f
 """
 
 
+def q_host_graph(spark, sf):
+    """Host-level hyperlink graph (operators/web.py host_link_graph):
+    pages synthesized from documents with one absolute link, one
+    page-relative link, and one mailto (dropped); the oracle recomputes
+    the expected host-pair aggregate straight from the generator
+    columns — what the href extraction MUST recover."""
+    from ecokg_spark.operators.web import host_link_graph
+
+    d = t(spark, sf, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/d/"), F.col("doc_id"))
+    html = F.concat(
+        F.lit('<html><body><p>'), F.col("text"),
+        F.lit('</p><a href="https://site'), F.col("doc_id") % 7,
+        F.lit('.example.com/x">abs</a><a href="/local/'), F.col("doc_id"),
+        F.lit('">rel</a><a href="mailto:a@b.c">m</a></body></html>'),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return host_link_graph(pages, url_col="url", html_col="html")
+
+
+SQL_HOST_GRAPH = """
+WITH l AS (
+  SELECT doc_id, source || '.example.org' AS src_host,
+         'site' || (doc_id % 7) || '.example.com' AS dst_host
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source || '.example.org', source || '.example.org'
+  FROM documents)
+SELECT src_host, dst_host,
+       COUNT(*) AS n_links,
+       COUNT(DISTINCT doc_id) AS n_pages
+FROM l GROUP BY src_host, dst_host
+"""
+
+
+def q_degree_histogram(spark, sf):
+    """Log2-bucketed degree distribution (operators/kgqc.py
+    degree_histogram): per-part lineitem fanout as the degree census;
+    bucket = LENGTH(BIN(degree)), integer-exact in both engines."""
+    from ecokg_spark.operators.kgqc import degree_histogram
+
+    li = t(spark, sf, "lineitem")
+    return degree_histogram(li, node_col="l_partkey")
+
+
+SQL_DEGREE_HISTOGRAM = """
+WITH d AS (
+  SELECT l_partkey AS node, COUNT(*) AS deg
+  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey)
+SELECT CAST(LENGTH(BIN(deg)) AS INT) AS bucket,
+       COUNT(*) AS n_nodes,
+       CAST(MIN(deg) AS BIGINT) AS min_degree,
+       CAST(MAX(deg) AS BIGINT) AS max_degree
+FROM d GROUP BY 1
+"""
+
+
+def q_temperature_mix(spark, sf):
+    """Temperature-scaled source mixture weights (operators/sample.py
+    temperature_mixture, T=2 -> SQRT weights, IEEE-exact cross-engine;
+    decimal-staged normalizer per the group_centroids discipline)."""
+    from ecokg_spark.operators.sample import temperature_mixture
+
+    d = t(spark, sf, "documents")
+    return temperature_mixture(d, group_col="source", temperature=2.0,
+                               budget=100_000)
+
+
+SQL_TEMPERATURE_MIX = """
+WITH c AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+         CAST(CAST(SQRT(n_docs) AS VARCHAR) AS DECIMAL(38,18)) AS wd
+  FROM c),
+s AS (
+  SELECT source, n_docs,
+         ROUND(CAST(CAST(wd AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(wd) OVER () AS VARCHAR) AS DOUBLE),
+               6) AS share
+  FROM w)
+SELECT source, n_docs, share,
+       CAST(FLOOR(share * 100000) AS BIGINT) AS expected_docs
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5920,6 +6008,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_subquery": q_sparql_subquery,
     "rolling_zscore": q_rolling_zscore,
     "hash_walks": q_hash_walks,
+    "host_graph": q_host_graph,
+    "degree_histogram": q_degree_histogram,
+    "temperature_mix": q_temperature_mix,
     "dsir_weights": q_dsir_weights,
     "scd2_history": q_scd2_history,
 }
@@ -6079,6 +6170,9 @@ ORACLES: dict[str, str] = {
     "sparql_subquery": SQL_SPARQL_SUBQUERY,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "hash_walks": SQL_HASH_WALKS,
+    "host_graph": SQL_HOST_GRAPH,
+    "degree_histogram": SQL_DEGREE_HISTOGRAM,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "scd2_history": SQL_SCD2_HISTORY,
 }

@@ -240,3 +240,63 @@ def dsir_logweights(
                 .alias("n_features"),
                 F.coalesce("logweight", F.lit(0.0)).alias("logweight"))
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    temperature: float = 2.0,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture weights over corpus sources — the
+    mT5/Pile sampling rule: source i gets probability
+    n_i^(1/T) / sum_j n_j^(1/T). T=1 is proportional sampling, T->inf
+    uniform; published pipelines run T in [2, 5] to up-weight small
+    high-quality sources without drowning the big ones.
+
+    Cross-engine determinism: for the default T=2 the weight is
+    SQRT(n) — IEEE 754 requires a correctly-rounded sqrt, so Spark (JVM)
+    and DuckDB (libm) produce bit-identical doubles (general pow() does
+    NOT carry that guarantee — contract rows should stick to T=2).
+    Weights are then staged through their shortest string repr into
+    DECIMAL(38,18) so the normalizing sum is exact integer arithmetic
+    (no accumulation-order drift), and both the weight and the sum come
+    back to double THROUGH the fixed-scale decimal string (engine decimal
+    ->double conversions differ in the last ulp; strtod is correctly
+    rounded everywhere) — the group_centroids staging discipline.
+
+    `share` is ROUND(w/total, 6); expected_docs (when `budget` is given)
+    is FLOOR(share * budget) on the ROUNDED share, so both engines floor
+    the same double product.
+
+    Scale shape: one map-side-combinable count shuffle on the source key,
+    then a single-partition window over the source-level table (sources
+    number in the hundreds, not the billions — the window input is
+    aggregate-sized by construction).
+
+    Returns (group_col, n_docs, share[, expected_docs]).
+    """
+    if temperature == 2.0:
+        w = F.sqrt(F.col("n_docs"))
+    else:
+        w = F.pow(F.col("n_docs"), F.lit(1.0 / temperature))
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    staged = counts.select(
+        group_col, "n_docs",
+        w.cast("string").cast("decimal(38,18)").alias("_w"),
+    )
+    total = F.sum("_w").over(Window.partitionBy())
+    share = F.round(
+        F.col("_w").cast("string").cast("double")
+        / total.cast("string").cast("double"),
+        6,
+    ).alias("share")
+    out = staged.select(group_col, "n_docs", share)
+    if budget is not None:
+        out = out.withColumn(
+            "expected_docs",
+            F.floor(F.col("share") * F.lit(int(budget))).cast("long"),
+        )
+    return out

@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ecokg_spark.functions.url import url_canonicalize, url_registered_domain
+from ecokg_spark.functions.url import (
+    url_canonicalize,
+    url_host,
+    url_registered_domain,
+)
 
 
 def url_dedup(
@@ -103,3 +107,65 @@ def url_blocklist_filter(
             url_path(url_col).rlike(path_pattern), F.lit("path")
         )
     return joined.withColumn("block_reason", reason).drop("_bl_domain")
+
+
+def host_link_graph(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Host-level hyperlink graph — the CommonCrawl-webgraph artifact a
+    web-scale KG build starts from (host ranking, seed selection, spam
+    neighborhoods). Extracts double-quoted ``href="..."`` targets from
+    the raw HTML, resolves each to a destination HOST, and aggregates to
+    one edge per (src_host, dst_host).
+
+    Resolution (RFC 3986, host granularity only):
+    absolute http(s) links use their own host; protocol-relative
+    ``//host/path`` links use the embedded host; any other non-empty
+    link that is not a fragment / mailto: / javascript: / data: target
+    is page-relative and resolves to the page's own host. Links are
+    NOT deduplicated within a page — n_links is total anchor count,
+    n_pages the distinct linking pages.
+
+    Everything is pure Catalyst (regexp_extract_all + explode + one
+    aggregate), so at corpus scale the anchor fanout pipelines with the
+    scan and the only shuffle is the (src_host, dst_host) aggregate —
+    map-side partials absorb the Zipf head (a hot host pair is still one
+    reducer key, but its input is pre-combined per task). n_pages is a
+    distinct-count; Spark's two-phase partial aggregation keeps the
+    per-page distinct on the map side.
+
+    Returns (src_host, dst_host, n_links, n_pages).
+    """
+    h = F.col(html_col).cast("string")
+    links = F.regexp_extract_all(h, F.lit('href="([^"]*)"'), 1)
+    exploded = pages.select(
+        url_host(url_col).alias("src_host"),
+        F.col(url_col).alias("_page"),
+        F.explode(links).alias("_link"),
+    )
+    link = F.col("_link")
+    dst = (
+        F.when(
+            link.rlike("^https?://"), url_host(link)
+        )
+        .when(
+            link.startswith("//"),
+            F.lower(F.regexp_extract(link, "^//(?:[^/?#@]*@)?([^/?#:]+)", 1)),
+        )
+        .when(
+            (link == "")
+            | link.startswith("#")
+            | link.rlike("^(mailto|javascript|data):"),
+            F.lit(""),
+        )
+        .otherwise(F.col("src_host"))
+    )
+    resolved = exploded.select(
+        "src_host", "_page", dst.alias("dst_host")
+    ).where((F.col("dst_host") != "") & (F.col("src_host") != ""))
+    return resolved.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("_page").cast("long").alias("n_pages"),
+    )

@@ -133,3 +133,26 @@ def test_hash_walks_follow_md5_argmin_and_stop_at_dead_ends(spark):
     again = {(r["start"], r["step"]): r["node"]
              for r in hash_walks(e, length=3, seed=7).collect()}
     assert again[("a", 1)] == _choice(7, 1, "a", ["b", "c"])
+
+
+# --------------------------------------------------------------------------
+# degree histogram (operators/kgqc.py degree_histogram)
+# --------------------------------------------------------------------------
+
+def test_degree_histogram_log2_buckets(spark):
+    from ecokg_spark.operators.kgqc import degree_histogram
+
+    # node degrees: a=1, b=2, c=3, d=8  -> buckets 1, 2, 2, 4
+    edges = spark.createDataFrame(
+        [("a",)] + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 8
+        + [(None,)],                      # nulls are dropped
+        "s string")
+    got = {r["bucket"]: r for r in
+           degree_histogram(edges, node_col="s").collect()}
+    assert set(got) == {1, 2, 4}
+    assert (got[1]["n_nodes"], got[1]["min_degree"], got[1]["max_degree"]) \
+        == (1, 1, 1)
+    assert (got[2]["n_nodes"], got[2]["min_degree"], got[2]["max_degree"]) \
+        == (2, 2, 3)
+    assert (got[4]["n_nodes"], got[4]["min_degree"], got[4]["max_degree"]) \
+        == (1, 8, 8)

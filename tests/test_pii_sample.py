@@ -145,3 +145,41 @@ def test_fixed_size_sample_exact_and_stable(spark):
     # nested property: the 20-sample is a prefix of the 50-sample
     c = set(r["doc_id"] for r in fixed_size_sample(df, 20, "doc_id").collect())
     assert c <= set(a)
+
+
+def test_temperature_mixture_t2_shares_and_budget(spark):
+    import math
+
+    import pytest
+
+    from ecokg_spark.operators.sample import temperature_mixture
+
+    rows = [("big",)] * 900 + [("mid",)] * 90 + [("small",)] * 10
+    df = spark.createDataFrame(rows, "source string")
+    got = {r["source"]: r for r in
+           temperature_mixture(df, "source", temperature=2.0,
+                               budget=1000).collect()}
+    tot = math.sqrt(900) + math.sqrt(90) + math.sqrt(10)
+    for name, n in [("big", 900), ("mid", 90), ("small", 10)]:
+        assert got[name]["n_docs"] == n
+        assert got[name]["share"] == pytest.approx(
+            round(math.sqrt(n) / tot, 6), abs=2e-6)
+        assert got[name]["expected_docs"] == math.floor(
+            got[name]["share"] * 1000)
+    # T=2 up-weights the small source vs proportional sampling
+    assert got["small"]["share"] > 10 / 1000
+    # and the big source loses mass
+    assert got["big"]["share"] < 900 / 1000
+
+
+def test_temperature_mixture_t1_is_proportional(spark):
+    import pytest
+
+    from ecokg_spark.operators.sample import temperature_mixture
+
+    rows = [("a",)] * 75 + [("b",)] * 25
+    df = spark.createDataFrame(rows, "source string")
+    got = {r["source"]: r["share"] for r in
+           temperature_mixture(df, "source", temperature=1.0).collect()}
+    assert got["a"] == pytest.approx(0.75, abs=1e-6)
+    assert got["b"] == pytest.approx(0.25, abs=1e-6)

@@ -132,3 +132,44 @@ def test_url_blocklist_is_broadcast(spark):
     bl = spark.createDataFrame([("b.com", "c")], "domain string, category string")
     plan = url_blocklist_filter(df, bl)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+# --------------------------------------------------------------------------
+# host-level link graph (operators/web.py host_link_graph)
+# --------------------------------------------------------------------------
+
+def test_host_link_graph_resolution_and_counts(spark):
+    from ecokg_spark.operators.web import host_link_graph
+
+    pages = spark.createDataFrame([
+        ("https://a.org/p1",
+         '<a href="https://b.net/x">1</a><a href="/rel">2</a>'
+         '<a href="https://b.net/y">3</a>'),
+        ("https://a.org/p2",
+         '<a href="//c.io/z">4</a><a href="#frag">5</a>'
+         '<a href="mailto:x@y.z">6</a><a href="">7</a>'),
+        ("https://b.net/q",
+         '<a href="sub/page.html">8</a>'),
+    ], "url string, html string")
+    got = {(r["src_host"], r["dst_host"]): (r["n_links"], r["n_pages"])
+           for r in host_link_graph(pages).collect()}
+    assert got[("a.org", "b.net")] == (2, 1)     # two anchors, one page
+    assert got[("a.org", "a.org")] == (1, 1)     # relative -> own host
+    assert got[("a.org", "c.io")] == (1, 1)      # protocol-relative
+    assert got[("b.net", "b.net")] == (1, 1)     # relative w/o slash
+    # fragment / mailto / empty dropped
+    assert sum(v[0] for v in got.values()) == 5
+
+
+def test_host_link_graph_binary_html_and_port_strip(spark):
+    from ecokg_spark.operators.web import host_link_graph
+
+    pages = spark.createDataFrame(
+        [("https://www.x.com:8080/a",
+          b'<a href="https://USER@Y.com:443/p?q=1#f">l</a>')],
+        "url string, html binary")
+    rows = host_link_graph(pages).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # host extraction lowercases, strips port/userinfo on both sides
+    assert (r["src_host"], r["dst_host"]) == ("www.x.com", "y.com")
