@@ -5760,6 +5760,56 @@ FROM f
 """
 
 
+def q_sparql_values_multi(spark, sf):
+    """Multi-variable VALUES inline solution table (query.py
+    _VALUES_MULTI_RE): joined on both listed variables as a disjunction
+    of per-row conjunctions."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT ?x ?cat ?m WHERE { ?x biolink:category ?cat . "
+        "?x biolink:has_size ?m . "
+        "VALUES ( ?cat ?m ) { (Brand#1 SZ:2) (Brand#10 SZ:3) "
+        "(Brand#34 SZ:999) } }",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_VALUES_MULTI = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x, p_brand AS cat,
+       'SZ:' || CAST(p_size AS VARCHAR) AS m
+FROM part
+WHERE (p_brand = 'Brand#1' AND p_size = 2)
+   OR (p_brand = 'Brand#10' AND p_size = 3)
+   OR (p_brand = 'Brand#34' AND p_size = 999)
+"""
+
+
+def q_sparql_sample(spark, sf):
+    """SPARQL SAMPLE aggregate (spec §11.4.9, implementation-defined
+    value made deterministic as MIN) alongside COUNT in one GROUP BY."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT ?cat (SAMPLE(?m) AS ?sz) (COUNT(?x) AS ?n) WHERE { "
+        "?x biolink:category ?cat . ?x biolink:has_size ?m } "
+        "GROUP BY ?cat",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_SAMPLE = """
+SELECT p_brand AS cat,
+       MIN('SZ:' || CAST(p_size AS VARCHAR)) AS sz,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM part GROUP BY p_brand
+"""
+
+
 def q_host_graph(spark, sf):
     """Host-level hyperlink graph (operators/web.py host_link_graph):
     pages synthesized from documents with one absolute link, one
@@ -6008,6 +6058,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_subquery": q_sparql_subquery,
     "rolling_zscore": q_rolling_zscore,
     "hash_walks": q_hash_walks,
+    "sparql_values_multi": q_sparql_values_multi,
+    "sparql_sample": q_sparql_sample,
     "host_graph": q_host_graph,
     "degree_histogram": q_degree_histogram,
     "temperature_mix": q_temperature_mix,
@@ -6170,6 +6222,8 @@ ORACLES: dict[str, str] = {
     "sparql_subquery": SQL_SPARQL_SUBQUERY,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "hash_walks": SQL_HASH_WALKS,
+    "sparql_values_multi": SQL_SPARQL_VALUES_MULTI,
+    "sparql_sample": SQL_SPARQL_SAMPLE,
     "host_graph": SQL_HOST_GRAPH,
     "degree_histogram": SQL_DEGREE_HISTOGRAM,
     "temperature_mix": SQL_TEMPERATURE_MIX,

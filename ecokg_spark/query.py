@@ -20,7 +20,8 @@ the same queries compile straight to Catalyst plans — no endpoint:
     CONSTRUCT { pattern+ } WHERE { <body> }         -- sparql_construct()
 
     agg      := COUNT([DISTINCT] ?x) | COUNT(*) | MIN(?x) | MAX(?x)
-              | SUM(?x) | AVG(?x) | GROUP_CONCAT(?x [; SEPARATOR="s"])
+              | SUM(?x) | AVG(?x) | SAMPLE(?x)  (deterministic: MIN)
+              | GROUP_CONCAT(?x [; SEPARATOR="s"])
     pattern  := term path term
     term     := ?var | CURIE | literal  (e.g. biolink:category, TO:0000433)
     path     := term | step('/'step)*
@@ -36,6 +37,8 @@ the same queries compile straight to Catalyst plans — no endpoint:
     optional := OPTIONAL { pattern (. pattern)* filter* }
     union    := { pattern+ } UNION { pattern+ } (UNION { pattern+ })*
     values   := VALUES ?var { value+ }
+              | VALUES ( ?var+ ) { ( value+ )+ }  (no UNDEF; inline
+                solution table, joined on every listed variable)
     bind     := BIND( expr AS ?newvar )
     subquery := '{' SELECT ... '}'  (one nesting level; evaluated
                 bottom-up per spec §12, exposes only its projected
@@ -159,7 +162,7 @@ _CONSTRUCT_RE = re.compile(
     r"(?is)^\s*CONSTRUCT\s*\{([^{}]*)\}\s*WHERE\s*"
     r"\{((?:[^{}]|\{(?:[^{}]|\{[^{}]*\})*\})*)\}\s*$")
 _AGG_RE = re.compile(
-    r"\(\s*(COUNT|MIN|MAX|SUM|AVG)\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)"
+    r"\(\s*(COUNT|MIN|MAX|SUM|AVG|SAMPLE)\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)"
     r"\s+AS\s+\?(\w+)\s*\)", re.I)
 _COUNT_STAR_RE = re.compile(
     r"\(\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+\?(\w+)\s*\)", re.I)
@@ -184,6 +187,8 @@ _FILTER_RE = re.compile(
     r'(?i)FILTER\s*\(\s*\?(\w+)\s*(>=|<=|!=|=|>|<)\s*("[^"]*"|[^\s)]+)\s*\)')
 _OPTIONAL_RE = re.compile(r"(?is)OPTIONAL\s*\{([^{}]*)\}")
 _VALUES_RE = re.compile(r"(?is)VALUES\s+\?(\w+)\s*\{([^{}]*)\}")
+_VALUES_MULTI_RE = re.compile(
+    r"(?is)VALUES\s*\(\s*((?:\?\w+\s*)+)\)\s*\{\s*((?:\([^()]*\)\s*)+)\}")
 _UNION_CHAIN_RE = re.compile(r"(?is)\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+")
 _BRACE_RE = re.compile(r"\{([^{}]*)\}")
 _ORDER_RE = re.compile(r"(?i)(?:(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+))")
@@ -388,6 +393,34 @@ def _parse_body(where_raw: str):
                 "equality/inequality and regex() filters are compiled)")
         optionals.append((_split_patterns(block), ofl, orx))
     where_raw = _OPTIONAL_RE.sub(" ", where_raw)
+    # multi-variable VALUES ( ?a ?b ) { ("x" "y") ... } extracts BEFORE
+    # the single-var form (whose regex requires '?' right after VALUES,
+    # so it can never half-match this shape) — an inline solution table
+    # joined on every listed variable
+    values_multi: list[tuple[list[str], list[tuple[str, ...]]]] = []
+    for vars_raw, rows_raw in _VALUES_MULTI_RE.findall(where_raw):
+        mvars = _VAR_RE.findall(vars_raw)
+        rows: list[tuple[str, ...]] = []
+        for row_raw in re.findall(r"\(([^()]*)\)", rows_raw):
+            toks = row_raw.split()
+            if any(t.upper() == "UNDEF" for t in toks):
+                raise SparqlError(
+                    "UNDEF in VALUES rows is unsupported (partial-binding "
+                    "join semantics); split the VALUES block instead")
+            if len(toks) != len(mvars):
+                raise SparqlError(
+                    f"VALUES row ({row_raw.strip()}) has {len(toks)} "
+                    f"entries for {len(mvars)} variables")
+            rows.append(tuple(t[1:-1] if t.startswith('"') else t
+                              for t in toks))
+        if not rows:
+            raise SparqlError("empty VALUES block")
+        if len(rows) != len(set(rows)):
+            raise SparqlError(
+                "duplicate rows in VALUES are unsupported (the SPARQL "
+                "bag-join multiplicity differs from a filter)")
+        values_multi.append((mvars, rows))
+    where_raw = _VALUES_MULTI_RE.sub(" ", where_raw)
     values: list[tuple[str, list[str]]] = []
     for var, block in _VALUES_RE.findall(where_raw):
         vals = [v[1:-1] if v.startswith('"') else v for v in block.split()]
@@ -424,7 +457,8 @@ def _parse_body(where_raw: str):
     patterns = _split_patterns(where_raw)
     return {
         "patterns": patterns, "filters": filters, "optionals": optionals,
-        "unions": unions, "values": values, "not_exists": not_exists,
+        "unions": unions, "values": values, "values_multi": values_multi,
+        "not_exists": not_exists,
         "exists": exists, "minus": minus, "binds": binds,
         "rx_filters": rx_filters, "subqueries": subqueries,
     }
@@ -439,7 +473,7 @@ def _parse(query: str):
     aggs = [(func.upper(), bool(dist), v, alias)
             for func, dist, v, alias in _AGG_RE.findall(select_raw)]
     for func, dist, _v, _a in aggs:
-        if dist and func in ("MIN", "MAX"):
+        if dist and func in ("MIN", "MAX", "SAMPLE"):
             raise SparqlError(
                 f"DISTINCT inside {func}() is a no-op in SPARQL; write "
                 f"{func}(?var)")
@@ -751,6 +785,7 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
     minus = body["minus"]
     binds = body["binds"]
     rx_filters = body["rx_filters"]
+    values_multi = body.get("values_multi", [])
     subqueries = body.get("subqueries", [])
     if not patterns and not unions and not subqueries:
         raise SparqlError("empty WHERE clause")
@@ -895,6 +930,7 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
     # may name an aggregate alias, which is never pattern-bound)
     missing = [v for v in [v for v, _, _ in filters]
                + [v for v, _ in values] + [v for v, _, _ in rx_filters]
+               + [v for mvars, _ in values_multi for v in mvars]
                if v not in bound]
     if missing:
         raise SparqlError(f"unbound variables: {missing}")
@@ -907,6 +943,23 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
     # VALUES ?v { ... } on a pattern-bound variable == IN-list join
     for v, vals in values:
         out = out.where(F.col(bound[v]).isin(vals))
+
+    # VALUES ( ?a ?b ) { ("x" "y") ... } — an inline solution table on
+    # pattern-bound variables compiles to a disjunction of per-row
+    # conjunctions (the table is query-text-sized, so the OR chain stays
+    # a pushable Catalyst predicate rather than a join against a
+    # driver-created DataFrame)
+    for mvars, rows in values_multi:
+        row_conds = []
+        for row in rows:
+            c = F.lit(True)
+            for v, val in zip(mvars, row):
+                c = c & (F.col(bound[v]) == F.lit(val))
+            row_conds.append(c)
+        cond = row_conds[0]
+        for rc in row_conds[1:]:
+            cond = cond | rc
+        out = out.where(cond)
 
     # FILTER regex(?v, "re"[, "i"]) — RE2-safe rlike, post-join (Catalyst
     # pushes it down where legal)
@@ -935,6 +988,11 @@ def _agg_col(func: str, dist, c: str | None, alias: str):
         # from strict SPARQL type errors)
         e = F.col(c).try_cast("double")
         return (F.sum(e) if func == "SUM" else F.avg(e)).alias(alias)
+    if func == "SAMPLE":
+        # SAMPLE is implementation-defined (spec §11.4.9 — "an arbitrary
+        # value from the group"); this implementation picks MIN so the
+        # result is deterministic and oracle-recomputable
+        return F.min(c).alias(alias)
     return (F.min(c) if func == "MIN" else F.max(c)).alias(alias)
 
 

@@ -1271,3 +1271,70 @@ def test_subquery_inside_optional_rejected(spark, chain_kg):
             "SELECT ?x WHERE { ?x biolink:subclass_of ?y . "
             "OPTIONAL { { SELECT ?x WHERE { ?x biolink:related_to ?d } } } }",
             nodes, edges)
+
+
+# --------------------------------------------------------------------------
+# multi-variable VALUES (inline solution table)
+# --------------------------------------------------------------------------
+
+def test_values_multi_joins_on_both_vars(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?x ?cat WHERE { ?x biolink:category ?cat . "
+        "VALUES ( ?x ?cat ) { (G:1 biolink:GenomicEntity) "
+        '(T:1 "biolink:OrganismTaxon") (G:2 biolink:OrganismTaxon) } }',
+        nodes, edges)
+    # (G:2, OrganismTaxon) matches no data row; quoted + bare literals mix
+    assert sorted((r["x"], r["cat"]) for r in out.collect()) == [
+        ("G:1", "biolink:GenomicEntity"), ("T:1", "biolink:OrganismTaxon")]
+
+
+def test_values_multi_errors(spark, kg):
+    nodes, edges = kg
+    with pytest.raises(SparqlError, match="UNDEF"):
+        sparql_select(
+            spark,
+            "SELECT ?x WHERE { ?x biolink:category ?cat . "
+            "VALUES ( ?x ?cat ) { (G:1 UNDEF) } }",
+            nodes, edges)
+    with pytest.raises(SparqlError, match="entries for"):
+        sparql_select(
+            spark,
+            "SELECT ?x WHERE { ?x biolink:category ?cat . "
+            "VALUES ( ?x ?cat ) { (G:1) } }",
+            nodes, edges)
+    with pytest.raises(SparqlError, match="duplicate"):
+        sparql_select(
+            spark,
+            "SELECT ?x WHERE { ?x biolink:category ?cat . "
+            "VALUES ( ?x ?cat ) { (G:1 a) (G:1 a) } }",
+            nodes, edges)
+    with pytest.raises(SparqlError, match="unbound"):
+        sparql_select(
+            spark,
+            "SELECT ?x WHERE { ?x biolink:category ?cat . "
+            "VALUES ( ?x ?nope ) { (G:1 a) } }",
+            nodes, edges)
+
+
+# --------------------------------------------------------------------------
+# SAMPLE aggregate
+# --------------------------------------------------------------------------
+
+def test_sample_aggregate_is_deterministic_min(spark, kg):
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?t (SAMPLE(?g) AS ?one) (COUNT(?g) AS ?n) WHERE { "
+        "?g biolink:in_taxon ?t } GROUP BY ?t",
+        nodes, edges)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0]["t"], rows[0]["one"], rows[0]["n"]) == ("T:1", "G:1", 2)
+    with pytest.raises(SparqlError, match="no-op"):
+        sparql_select(
+            spark,
+            "SELECT (SAMPLE(DISTINCT ?g) AS ?one) WHERE { "
+            "?g biolink:in_taxon ?t }",
+            nodes, edges)
