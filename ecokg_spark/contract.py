@@ -5898,6 +5898,87 @@ FROM s
 """
 
 
+def q_anchor_topk(spark, sf):
+    """Anchor-text alias mining (operators/web.py anchor_texts): pages
+    synthesized from documents with one absolute link (text varies on
+    doc_id % 3), one page-relative link with collapsible whitespace, and
+    one mailto (dropped); the oracle recomputes the per-destination-host
+    top-2 anchors straight from the generator columns."""
+    from ecokg_spark.operators.web import anchor_texts
+
+    d = t(spark, sf, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/d/"), F.col("doc_id"))
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'), F.col("doc_id") % 5,
+        F.lit('.example.com/x">Site  '), F.col("doc_id") % 3,
+        F.lit('</a><a href="/local/'), F.col("doc_id"),
+        F.lit('" class="nav">Local Page</a>'
+              '<a href="mailto:a@b.c">mail</a></body></html>'),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return anchor_texts(pages, url_col="url", html_col="html", k=2)
+
+
+SQL_ANCHOR_TOPK = """
+WITH a AS (
+  SELECT 'site' || (doc_id % 5) || '.example.com' AS dst_host,
+         'Site ' || (doc_id % 3) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT source || '.example.org', 'Local Page' FROM documents),
+c AS (SELECT dst_host, anchor, COUNT(*) AS n FROM a GROUP BY 1, 2),
+r AS (SELECT dst_host, anchor, n,
+             ROW_NUMBER() OVER (PARTITION BY dst_host
+                                ORDER BY n DESC, anchor ASC) AS rank
+      FROM c)
+SELECT dst_host, anchor, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 2
+"""
+
+
+def q_interval_merge(spark, sf):
+    """Gaps-and-islands interval coalescing (operators/temporal.py
+    coalesce_intervals): per-user synthetic intervals derived from
+    event_id by integer arithmetic (heavy overlap by construction), the
+    oracle recomputes the running-max island numbering as window SQL."""
+    from ecokg_spark.operators.temporal import coalesce_intervals
+
+    e = t(spark, sf, "events")
+    iv = e.select(
+        F.col("user_id").alias("k"),
+        ((F.col("event_id") * 37) % 3000).alias("s"),
+        ((F.col("event_id") * 37) % 3000 + 1
+         + F.col("event_id") % 40).alias("e"),
+    )
+    return coalesce_intervals(iv, "k", "s", "e").withColumnRenamed(
+        "k", "user_id")
+
+
+SQL_INTERVAL_MERGE = """
+WITH iv AS (
+  SELECT user_id AS k, (event_id * 37) % 3000 AS s,
+         (event_id * 37) % 3000 + 1 + event_id % 40 AS e
+  FROM events),
+m AS (
+  SELECT k, s, e,
+         MAX(e) OVER (PARTITION BY k ORDER BY s ASC, e ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv),
+isl AS (
+  SELECT k, s, e,
+         SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY k ORDER BY s ASC, e ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM m)
+SELECT k AS user_id, MIN(s) AS start, MAX(e) AS "end",
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM isl GROUP BY k, island
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6065,6 +6146,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "dsir_weights": q_dsir_weights,
     "scd2_history": q_scd2_history,
+    "anchor_topk": q_anchor_topk,
+    "interval_merge": q_interval_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -6229,6 +6312,8 @@ ORACLES: dict[str, str] = {
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "scd2_history": SQL_SCD2_HISTORY,
+    "anchor_topk": SQL_ANCHOR_TOPK,
+    "interval_merge": SQL_INTERVAL_MERGE,
 }
 
 

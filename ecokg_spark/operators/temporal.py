@@ -210,6 +210,60 @@ def scd2_intervals(
     )
 
 
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    gap: int = 0,
+) -> DataFrame:
+    """Merge overlapping (and, with ``gap`` > 0, near-adjacent) numeric
+    intervals per key — the gaps-and-islands operator. Used for crawl
+    coverage windows (which time ranges of a site do we actually hold),
+    validity-interval compaction after SCD2 merges, and dup-span overlap
+    collapse. Returns (key, start, end, n_intervals) with one row per
+    maximal merged island.
+
+    Two intervals on the same key merge when the later one starts at or
+    before (running max end + gap): sort by (start, end), take the
+    running max of end over all PRECEDING rows, open a new island when
+    the current start exceeds it, and number islands with a running sum
+    of the island-open flag. Standard SQL gaps-and-islands — exactly
+    recomputable by any window-capable engine.
+
+    Scale shape: both windows and the final aggregate share ONE shuffle
+    on the key with the same (start, end) sort — Catalyst plans a single
+    exchange + sort, then the island aggregate is map-side combinable.
+    Per-row window state is O(1) (running max / running sum). A key with
+    a billion intervals is a single sort partition — pre-split such keys
+    upstream (e.g. by coarse time bucket) if one key dominates the
+    corpus; island ids are local to the key so bucket-splitting only
+    risks missing merges ACROSS bucket boundaries, which a second
+    coalesce pass over the per-bucket output repairs.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc())
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = F.when(
+        prev_max_end.isNull()
+        | (F.col(start_col) > prev_max_end + F.lit(gap)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    island = F.sum(opens).over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("_island", island)
+        .groupBy(key_col, "_island")
+        .agg(
+            F.min(start_col).alias("start"),
+            F.max(end_col).alias("end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .drop("_island")
+    )
+
+
 def rolling_zscore(
     events: DataFrame,
     key_col: str,

@@ -11,7 +11,7 @@ here is algebraic (count/sum/avg) — no collect_list, no driver state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ecokg_spark.functions.url import (
@@ -109,6 +109,30 @@ def url_blocklist_filter(
     return joined.withColumn("block_reason", reason).drop("_bl_domain")
 
 
+def _resolve_dst_host(link, src_host):
+    """Destination HOST for one extracted link (RFC 3986, host granularity
+    only): absolute http(s) links use their own host; protocol-relative
+    ``//host/path`` links the embedded host; empty / fragment / mailto: /
+    javascript: / data: targets resolve to '' (dropped by callers); any
+    other link is page-relative and resolves to the page's own host.
+    Shared by host_link_graph and anchor_texts so both agree on the graph.
+    """
+    return (
+        F.when(link.rlike("^https?://"), url_host(link))
+        .when(
+            link.startswith("//"),
+            F.lower(F.regexp_extract(link, "^//(?:[^/?#@]*@)?([^/?#:]+)", 1)),
+        )
+        .when(
+            (link == "")
+            | link.startswith("#")
+            | link.rlike("^(mailto|javascript|data):"),
+            F.lit(""),
+        )
+        .otherwise(src_host)
+    )
+
+
 def host_link_graph(
     pages: DataFrame,
     url_col: str = "url",
@@ -145,27 +169,65 @@ def host_link_graph(
         F.col(url_col).alias("_page"),
         F.explode(links).alias("_link"),
     )
-    link = F.col("_link")
-    dst = (
-        F.when(
-            link.rlike("^https?://"), url_host(link)
-        )
-        .when(
-            link.startswith("//"),
-            F.lower(F.regexp_extract(link, "^//(?:[^/?#@]*@)?([^/?#:]+)", 1)),
-        )
-        .when(
-            (link == "")
-            | link.startswith("#")
-            | link.rlike("^(mailto|javascript|data):"),
-            F.lit(""),
-        )
-        .otherwise(F.col("src_host"))
-    )
+    dst = _resolve_dst_host(F.col("_link"), F.col("src_host"))
     resolved = exploded.select(
         "src_host", "_page", dst.alias("dst_host")
     ).where((F.col("dst_host") != "") & (F.col("src_host") != ""))
     return resolved.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).cast("long").alias("n_links"),
         F.countDistinct("_page").cast("long").alias("n_pages"),
+    )
+
+
+def anchor_texts(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k anchor strings per destination HOST — the classic web-KG
+    alias-mining pass: the texts other pages use when linking to a site
+    are high-precision surface forms for the entity behind it (the same
+    signal search engines and entity linkers mine from anchor logs; the
+    output feeds build_termlist as an extra alias source).
+
+    Extraction is pure Catalyst: regexp_extract_all pulls whole
+    ``<a href="...">text</a>`` elements (double-quoted href, no nested
+    markup inside the anchor — the host_link_graph extraction contract),
+    then per-element regexp_extract splits href and text, whitespace is
+    collapsed, and the destination host resolves via the shared
+    _resolve_dst_host rule. Empty anchors and dropped schemes vanish
+    before the aggregate.
+
+    Scale shape: anchor fanout pipelines with the scan (no shuffle until
+    the aggregate); one (dst_host, anchor) count aggregate with map-side
+    partials, then a per-host row_number over (n DESC, anchor ASC) whose
+    rank<=k filter hits Spark's WindowGroupLimit partial top-k — no
+    full-host sort materializes. Hot hosts (everyone links to the same
+    homepage with "home") are single reducer keys, but their inputs are
+    pre-combined per task by the count partial.
+
+    Returns (dst_host, anchor, n, rank), rank 1..k per host.
+    """
+    h = F.col(html_col).cast("string")
+    anchors = F.regexp_extract_all(
+        h, F.lit('(<a href="[^"]*"[^>]*>[^<]*</a>)'), 1)
+    exploded = pages.select(
+        url_host(url_col).alias("src_host"),
+        F.explode(anchors).alias("_a"),
+    )
+    link = F.regexp_extract(F.col("_a"), 'href="([^"]*)"', 1)
+    text = F.trim(F.regexp_replace(
+        F.regexp_extract(F.col("_a"), '>([^<]*)</a>', 1), r"\s+", " "))
+    resolved = exploded.select(
+        _resolve_dst_host(link, F.col("src_host")).alias("dst_host"),
+        text.alias("anchor"),
+    ).where((F.col("dst_host") != "") & (F.col("anchor") != ""))
+    counts = resolved.groupBy("dst_host", "anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("anchor").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

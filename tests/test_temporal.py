@@ -137,3 +137,35 @@ def test_range_join_plan_no_cartesian(spark, trades_quotes):
                          right_cols=["bid"]))
     assert "CartesianProduct" not in p and "NestedLoop" not in p
     assert ("SortMergeJoin" in p) or ("HashJoin" in p)
+
+
+def test_coalesce_intervals(spark):
+    from ecokg_spark.operators.temporal import coalesce_intervals
+
+    rows = [
+        # key a: [1,5] [3,7] overlap -> [1,7]; [10,12] separate
+        ("a", 1, 5), ("a", 3, 7), ("a", 10, 12),
+        # key b: touching endpoints merge ([1,2] + [2,3])
+        ("b", 1, 2), ("b", 2, 3), ("b", 5, 6),
+        # key c: contained interval collapses
+        ("c", 0, 10), ("c", 2, 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = coalesce_intervals(df, "k", "s", "e")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        ("a", 1, 7, 2), ("a", 10, 12, 1),
+        ("b", 1, 3, 2), ("b", 5, 6, 1),
+        ("c", 0, 10, 2),
+    ]
+
+
+def test_coalesce_intervals_gap(spark):
+    from ecokg_spark.operators.temporal import coalesce_intervals
+
+    df = spark.createDataFrame(
+        [("a", 1, 2), ("a", 4, 5), ("a", 9, 10)], "k string, s long, e long")
+    # gap=2 bridges 2 -> 4 but not 5 -> 9
+    out = coalesce_intervals(df, "k", "s", "e", gap=2)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("a", 1, 5, 2), ("a", 9, 10, 1)]

@@ -173,3 +173,50 @@ def test_host_link_graph_binary_html_and_port_strip(spark):
     r = rows[0]
     # host extraction lowercases, strips port/userinfo on both sides
     assert (r["src_host"], r["dst_host"]) == ("www.x.com", "y.com")
+
+
+def test_anchor_texts(spark):
+    from ecokg_spark.operators.web import anchor_texts
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/1",
+             '<a href="https://wiki.org/Ada">Ada  Lovelace</a>'
+             '<a href="https://wiki.org/Ada">Ada Lovelace</a>'
+             '<a href="/about" class="nav">About</a>'
+             '<a href="mailto:x@y.z">mail me</a>'),
+            ("https://b.com/2",
+             '<a href="https://wiki.org/Ada">countess</a>'
+             '<a href="//wiki.org/Babbage">Charles</a>'
+             '<a href="#top">top</a>'
+             '<a href="https://wiki.org/Ada"></a>'),
+        ],
+        "url string, html string",
+    )
+    pages = pages.withColumn("html", F.encode("html", "UTF-8"))
+    out = anchor_texts(pages, k=2).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["dst_host"], []).append(
+            (r["rank"], r["anchor"], r["n"]))
+    # whitespace collapses, so both Ada anchors from page 1 merge
+    assert sorted(by_host["wiki.org"]) == [
+        (1, "Ada Lovelace", 2), (2, "Charles", 1)]
+    # page-relative /about resolves to the page's own host
+    assert by_host["a.com"] == [(1, "About", 1)]
+    # mailto / fragment / empty anchors never surface
+    all_anchors = {r["anchor"] for r in out}
+    assert "mail me" not in all_anchors and "top" not in all_anchors
+
+
+def test_anchor_texts_topk_ties(spark):
+    from ecokg_spark.operators.web import anchor_texts
+
+    html = ''.join(f'<a href="https://t.org/x">w{i}</a>' for i in range(5))
+    pages = spark.createDataFrame(
+        [("https://s.com/p", html)], "url string, html string"
+    ).withColumn("html", F.encode("html", "UTF-8"))
+    out = anchor_texts(pages, k=3).where(F.col("dst_host") == "t.org")
+    got = [(r["rank"], r["anchor"]) for r in out.collect()]
+    # deterministic alphabetical tie-break at equal counts, exactly k rows
+    assert got == [(1, "w0"), (2, "w1"), (3, "w2")]
