@@ -5979,6 +5979,146 @@ FROM isl GROUP BY k, island
 """
 
 
+def q_tc_reachability(spark, sf):
+    """Transitive closure by iterative squaring (operators/reasoning.py
+    transitive_closure): chain edges event_id -> event_id-1 inside
+    20-wide id blocks (depth 19 => the doubling loop must run ~5 rounds);
+    because event ids are contiguous the oracle recomputes the closure
+    in closed form as a same-block descending-pair join."""
+    from ecokg_spark.operators.reasoning import transitive_closure
+
+    e = t(spark, sf, "events")
+    edges = e.where(F.col("event_id") % 20 != 0).select(
+        F.col("event_id").alias("src"),
+        (F.col("event_id") - 1).alias("dst"),
+    )
+    return transitive_closure(edges, "src", "dst")
+
+
+SQL_TC_REACHABILITY = """
+SELECT a.event_id AS src, b.event_id AS dst
+FROM events a JOIN events b
+  ON a.event_id // 20 = b.event_id // 20 AND b.event_id < a.event_id
+"""
+
+
+def q_rdfs_closure(spark, sf):
+    """RDFS (rho-df) materialization (operators/reasoning.py
+    rdfs_materialize): class hierarchy B:<brand> < M:<mfgr> < Product <
+    Entity built from part, instance types + a sized triple per part,
+    and a subPropertyOf/domain/range schema — every rule (rdfs2/3/7/9 +
+    both closures) fires; the oracle unrolls the fixture's known-depth
+    closure explicitly."""
+    from ecokg_spark.operators.reasoning import rdfs_materialize
+
+    p = t(spark, sf, "part")
+    tp = lambda s_, p_, o_: [s_.alias("subject"), p_.alias("predicate"),
+                             o_.alias("object")]
+    brand = F.concat(F.lit("B:"), F.col("p_brand"))
+    mfgr = F.concat(F.lit("T:"), F.col("p_type"))
+    pid = F.concat(F.lit("P:"), F.col("p_partkey"))
+    size = F.concat(F.lit("SZ:"), F.col("p_size"))
+    triples = (
+        p.select(*tp(brand, F.lit("rdfs:subClassOf"), mfgr)).distinct()
+        .unionByName(
+            p.select(*tp(mfgr, F.lit("rdfs:subClassOf"),
+                         F.lit("eco:Product"))).distinct())
+        .unionByName(spark.createDataFrame(
+            [("eco:Product", "rdfs:subClassOf", "eco:Entity"),
+             ("eco:sized", "rdfs:subPropertyOf", "eco:dimension"),
+             ("eco:dimension", "rdfs:domain", "eco:Measured"),
+             ("eco:dimension", "rdfs:range", "eco:Size")],
+            "subject string, predicate string, object string"))
+        .unionByName(p.select(*tp(pid, F.lit("rdf:type"), brand)))
+        .unionByName(p.select(*tp(pid, F.lit("eco:sized"), size)))
+    )
+    return rdfs_materialize(triples)
+
+
+SQL_RDFS_CLOSURE = """
+WITH pp AS (
+  SELECT 'B:' || p_brand AS b, 'T:' || p_type AS m,
+         'P:' || p_partkey AS pid, 'SZ:' || p_size AS sz
+  FROM part),
+static AS (
+  SELECT * FROM (VALUES
+    ('eco:Product', 'rdfs:subClassOf', 'eco:Entity'),
+    ('eco:sized', 'rdfs:subPropertyOf', 'eco:dimension'),
+    ('eco:dimension', 'rdfs:domain', 'eco:Measured'),
+    ('eco:dimension', 'rdfs:range', 'eco:Size')) v(s, p, o)),
+all_t AS (
+  -- asserted
+  SELECT DISTINCT b AS s, 'rdfs:subClassOf' AS p, m AS o FROM pp
+  UNION ALL SELECT DISTINCT m, 'rdfs:subClassOf', 'eco:Product' FROM pp
+  UNION ALL SELECT s, p, o FROM static
+  UNION ALL SELECT pid, 'rdf:type', b FROM pp
+  UNION ALL SELECT pid, 'eco:sized', sz FROM pp
+  -- rdfs7: subproperty expansion
+  UNION ALL SELECT pid, 'eco:dimension', sz FROM pp
+  -- rdfs2/3 on the expanded triple
+  UNION ALL SELECT pid, 'rdf:type', 'eco:Measured' FROM pp
+  UNION ALL SELECT sz, 'rdf:type', 'eco:Size' FROM pp
+  -- rdfs9 through the 3-level class closure; brand -> type is a DAG
+  -- (multi-parent), so each part inherits EVERY type of its brand
+  UNION ALL SELECT pp.pid, 'rdf:type', bt.m
+            FROM pp JOIN (SELECT DISTINCT b, m FROM pp) bt ON pp.b = bt.b
+  UNION ALL SELECT pid, 'rdf:type', 'eco:Product' FROM pp
+  UNION ALL SELECT pid, 'rdf:type', 'eco:Entity' FROM pp
+  -- subClassOf closure rows are entailed triples too? NO — the operator
+  -- derives only type/property triples; closure tables stay internal.
+)
+SELECT DISTINCT s AS subject, p AS predicate, o AS object FROM all_t
+"""
+
+
+def q_redirect_resolve(spark, sf):
+    """Redirect-chain resolution by pointer doubling (operators/web.py
+    resolve_redirects): hop edges u<id> -> u<id-1> within 20-wide blocks
+    (chains up to 19 hops, block heads terminal) plus a planted 2-cycle
+    per 500 ids; the oracle walks chains with a set-semantics recursive
+    CTE, so cycle members come back unresolved in both engines."""
+    from ecokg_spark.operators.web import resolve_redirects
+
+    e = t(spark, sf, "events")
+    chain = e.where(F.col("event_id") % 20 != 0).select(
+        F.concat(F.lit("u"), F.col("event_id")).alias("src"),
+        F.concat(F.lit("u"), F.col("event_id") - 1).alias("dst"),
+    )
+    cyc_ids = e.where(F.col("event_id") % 500 == 0).select("event_id")
+    cycles = cyc_ids.select(
+        F.concat(F.lit("c"), F.col("event_id")).alias("src"),
+        F.concat(F.lit("d"), F.col("event_id")).alias("dst"),
+    ).unionByName(cyc_ids.select(
+        F.concat(F.lit("d"), F.col("event_id")).alias("src"),
+        F.concat(F.lit("c"), F.col("event_id")).alias("dst"),
+    ))
+    return resolve_redirects(chain.unionByName(cycles))
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH RECURSIVE m AS (
+  SELECT src, MIN(dst) AS dst FROM (
+    SELECT 'u' || event_id AS src, 'u' || (event_id - 1) AS dst
+    FROM events WHERE event_id % 20 <> 0
+    UNION ALL
+    SELECT 'c' || event_id, 'd' || event_id FROM events
+    WHERE event_id % 500 = 0
+    UNION ALL
+    SELECT 'd' || event_id, 'c' || event_id FROM events
+    WHERE event_id % 500 = 0)
+  WHERE src <> dst GROUP BY src),
+walk(x, cur) AS (
+  SELECT src, dst FROM m
+  UNION
+  SELECT w.x, m.dst FROM walk w JOIN m ON w.cur = m.src),
+term AS (
+  SELECT DISTINCT w.x, w.cur FROM walk w
+  LEFT JOIN m ON w.cur = m.src WHERE m.src IS NULL)
+SELECT m.src, t.cur AS final_url, t.cur IS NOT NULL AS resolved
+FROM m LEFT JOIN term t ON m.src = t.x
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6148,6 +6288,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": q_scd2_history,
     "anchor_topk": q_anchor_topk,
     "interval_merge": q_interval_merge,
+    "tc_reachability": q_tc_reachability,
+    "rdfs_closure": q_rdfs_closure,
+    "redirect_resolve": q_redirect_resolve,
 }
 
 ORACLES: dict[str, str] = {
@@ -6314,6 +6457,9 @@ ORACLES: dict[str, str] = {
     "scd2_history": SQL_SCD2_HISTORY,
     "anchor_topk": SQL_ANCHOR_TOPK,
     "interval_merge": SQL_INTERVAL_MERGE,
+    "tc_reachability": SQL_TC_REACHABILITY,
+    "rdfs_closure": SQL_RDFS_CLOSURE,
+    "redirect_resolve": SQL_REDIRECT_RESOLVE,
 }
 
 

@@ -231,3 +231,63 @@ def anchor_texts(
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Resolve URL redirect chains to their final target — the crawl-
+    frontier normalization pass (a CommonCrawl-scale corpus carries
+    millions of 301/302 hops; dedup and link-graph construction must key
+    on the FINAL landing URL, not the hop). Returns one row per distinct
+    redirect source: (src_col, final_url, resolved). Chains ending at a
+    non-redirecting URL resolve to it; sources whose chain enters a cycle
+    get final_url NULL and resolved false (there IS no landing page).
+
+    Conflicting multi-target sources collapse deterministically to the
+    MIN destination before resolution; exact self-redirects are dropped
+    (a URL that 301s to itself is a terminal, not a hop).
+
+    Scale shape: POINTER DOUBLING — each round left-joins the compressed
+    map with itself, so round r jumps 2^r hops and ``max_rounds`` = 16
+    covers 65k-hop chains (real redirect chains are < 10; browsers cap at
+    ~20). Each round is ONE self-equi-join shuffle, localCheckpoint'ed to
+    keep the plan a leaf; the loop exits as soon as no row still points
+    at a redirecting URL, so acyclic inputs stop after ~log2(max chain)
+    rounds. Rows stuck in cycles keep the loop alive to the cap — the
+    cap is the cycle detector, not a correctness bound.
+    """
+    m = (
+        redirects.select(F.col(src_col).alias("x"), F.col(dst_col).alias("cur"))
+        .where(F.col("x") != F.col("cur"))
+        .groupBy("x")
+        .agg(F.min("cur").alias("cur"))
+        .localCheckpoint()
+    )
+    p = m
+    for _ in range(max_rounds):
+        hop = p.select(F.col("x").alias("_k"), F.col("cur").alias("_v"))
+        stepped = (
+            p.join(hop, p["cur"] == hop["_k"], "left")
+            .select(
+                "x",
+                F.coalesce("_v", "cur").alias("cur"),
+                F.col("_v").isNotNull().alias("_active"),
+            )
+        )
+        active = stepped.where("_active").count()
+        p = stepped.drop("_active").localCheckpoint()
+        if active == 0:
+            break
+    keys = m.select(F.col("x").alias("_k"))
+    return (
+        p.join(keys, p["cur"] == keys["_k"], "left")
+        .select(
+            F.col("x").alias(src_col),
+            F.when(F.col("_k").isNull(), F.col("cur")).alias("final_url"),
+            F.col("_k").isNull().alias("resolved"),
+        )
+    )
