@@ -6119,6 +6119,69 @@ FROM m LEFT JOIN term t ON m.src = t.x
 """
 
 
+def q_hyperball(spark, sf):
+    """HyperBall neighborhood function (operators/graph.py hyperball,
+    radius=2, p=8): functional graph on 997 nodes derived from event ids;
+    the oracle unrolls ball membership explicitly (radius 2 => two join
+    steps) and recomputes the portable-HLL registers and estimates per
+    (node, r) — the register union along edges must equal the sketch of
+    the exact ball."""
+    from ecokg_spark.operators.graph import hyperball
+
+    e = t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("g"), F.col("event_id") % 997).alias("src"),
+        F.concat(F.lit("g"), (F.col("event_id") * 31 + 7) % 997).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return hyperball(edges, radius=2, p=8)
+
+
+def _sql_hyperball(p: int = 8) -> str:
+    from ecokg_spark.operators.sketch import _alpha
+
+    m = 2 ** p
+    w = 2 ** (60 - p)
+    s50 = 2 ** 50
+    num = repr(_alpha(m) * m * m * float(s50))
+    return f"""
+WITH e AS (
+  SELECT DISTINCT 'g' || (event_id % 997) AS s,
+                  'g' || ((event_id * 31 + 7) % 997) AS d
+  FROM events
+  WHERE 'g' || (event_id % 997) <> 'g' || ((event_id * 31 + 7) % 997)),
+nodes AS (SELECT s AS id FROM e UNION SELECT d FROM e),
+b0 AS (SELECT id AS v, id AS u FROM nodes),
+b1 AS (SELECT v, u FROM b0 UNION SELECT s, d FROM e),
+b2 AS (SELECT v, u FROM b1
+       UNION SELECT b1.v, e.d FROM b1 JOIN e ON b1.u = e.s),
+mem AS (
+  SELECT 0 AS r, v, u FROM b0
+  UNION ALL SELECT 1, v, u FROM b1
+  UNION ALL SELECT 2, v, u FROM b2),
+x AS (SELECT r, v, {_HEX15.format(h='md5(u)')} AS h FROM mem),
+reg AS (
+  SELECT r, v, h // {w} AS bucket,
+         MAX(CASE WHEN h % {w} = 0 THEN {60 - p + 1}
+                  ELSE {60 - p + 1} - length(bin(h % {w})) END) AS register
+  FROM x GROUP BY 1, 2, 3),
+agg AS (SELECT r, v, CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+               SUM(CAST(pow(2.0, 50 - register) AS BIGINT)) AS s_used
+        FROM reg GROUP BY r, v),
+est AS (SELECT r, v, n_buckets_used, ({m} - n_buckets_used) AS zeros,
+               {num} / CAST(s_used + ({m} - n_buckets_used)
+                            * CAST({s50} AS BIGINT) AS DOUBLE) AS raw
+        FROM agg)
+SELECT v AS id, CAST(r AS INT) AS r, n_buckets_used,
+       ROUND(CASE WHEN raw <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)} * ln({float(m)} / zeros)
+                  ELSE raw END, 4) AS estimate
+FROM est
+"""
+
+
+SQL_HYPERBALL = _sql_hyperball()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6291,6 +6354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tc_reachability": q_tc_reachability,
     "rdfs_closure": q_rdfs_closure,
     "redirect_resolve": q_redirect_resolve,
+    "hyperball": q_hyperball,
 }
 
 ORACLES: dict[str, str] = {
@@ -6460,6 +6524,7 @@ ORACLES: dict[str, str] = {
     "tc_reachability": SQL_TC_REACHABILITY,
     "rdfs_closure": SQL_RDFS_CLOSURE,
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
+    "hyperball": SQL_HYPERBALL,
 }
 
 

@@ -557,3 +557,75 @@ def hash_walks(
             frontier.select("start", F.lit(t).cast("int").alias("step"),
                             "node"))
     return out
+
+
+def hyperball(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    radius: int = 3,
+    p: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function — for
+    every node v and every r in [0, radius], an HLL estimate of
+    |ball(v, r)| = |{u : dist(v, u) <= r}| following OUT-edges. The
+    standard way to get effective-diameter / centrality statistics of a
+    web-scale graph WITHOUT all-pairs BFS: per-node ball sizes at
+    radius 2-3 separate hub hosts from peripheral ones, and the
+    aggregate curve gives the distance distribution.
+
+    Exactly the ball recurrence run on sketches instead of sets:
+    ball_{r+1}(v) = ball_r(v) UNION ball_r(w) for each v->w, and since
+    HLL registers union by per-bucket MAX, each round is ONE equi-join of
+    the register table with the edge list plus one (id, bucket) max
+    aggregate — both map-side combinable, localCheckpoint'ed per round
+    (the pagerank plan-truncation discipline). State is bounded by
+    |V| * 2^p register rows regardless of ball sizes — the whole point:
+    exact ball sets would be |V| * |ball| and explode at radius 3 on a
+    web graph. Registers use the portable md5/60-bit HLL spec
+    (operators/sketch.py module docstring), so any engine recomputes the
+    estimates bit-for-bit.
+
+    Returns (id, r, n_buckets_used, estimate) — radius+1 rows per node.
+    """
+    from ecokg_spark.operators.sketch import hll_estimate, hll_registers
+
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col("_s") != F.col("_d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .distinct()
+    )
+    state = hll_registers(
+        nodes.withColumn("_member", F.col("id")), "_member",
+        p=p, group_cols=["id"],
+    ).localCheckpoint()
+    frames = [
+        hll_estimate(state, p=p, group_cols=["id"], round_to=round_to)
+        .withColumn("r", F.lit(0).cast("int"))
+    ]
+    for r in range(1, radius + 1):
+        from_nb = (
+            e.join(state, state["id"] == e["_d"])
+            .select(F.col("_s").alias("id"), "bucket", "register")
+        )
+        state = (
+            state.unionByName(from_nb)
+            .groupBy("id", "bucket")
+            .agg(F.max("register").alias("register"))
+            .localCheckpoint()
+        )
+        frames.append(
+            hll_estimate(state, p=p, group_cols=["id"], round_to=round_to)
+            .withColumn("r", F.lit(r).cast("int"))
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.select("id", "r", "n_buckets_used", "estimate")

@@ -241,3 +241,82 @@ def test_label_propagation_ignores_self_loops(spark):
     got = {r["id"]: r["label"] for r in label_propagation(e, iterations=2).collect()}
     # path a-b: round 1 swaps labels, round 2 swaps back
     assert got == {"a": "a", "b": "b"}
+
+
+def test_hyperball_small_exact(spark):
+    """At tiny ball sizes the LinearCounting branch is near-exact: compare
+    the estimate against true ball sizes on a 6-node path + branch."""
+    from ecokg_spark.operators.graph import hyperball
+
+    #  a -> b -> c -> d ;  b -> e ;  f isolated-ish (f -> a)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e"), ("f", "a")],
+        "src string, dst string")
+    out = hyperball(e, radius=3, p=8)
+    got = {(r["id"], r["r"]): r["estimate"] for r in out.collect()}
+    true = {
+        ("a", 0): 1, ("a", 1): 2, ("a", 2): 4, ("a", 3): 5,
+        ("b", 0): 1, ("b", 1): 3, ("b", 2): 4, ("b", 3): 4,
+        ("d", 0): 1, ("d", 1): 1, ("d", 2): 1, ("d", 3): 1,
+        ("f", 0): 1, ("f", 1): 2, ("f", 2): 3, ("f", 3): 5,
+    }
+    for k, exact in true.items():
+        assert abs(got[k] - exact) / exact < 0.05, (k, got[k], exact)
+    # neighborhood function is monotone in r for every node
+    for node in ("a", "b", "c", "d", "e", "f"):
+        vals = [got[(node, r)] for r in range(4)]
+        assert vals == sorted(vals)
+
+
+def test_hyperball_matches_exact_ball_on_random_graph(spark):
+    """The HyperBall recurrence (register union along edges) must yield
+    EXACTLY the HLL sketch of the true BFS ball at every (node, radius):
+    recompute registers from exact ball sets in Python with the same
+    md5/60-bit spec and compare estimates to 4 dp (deterministic — real
+    bucket collisions like n16/n8 at p=12 affect both sides equally)."""
+    import hashlib
+    import math
+
+    from ecokg_spark.operators.graph import hyperball
+    from ecokg_spark.operators.sketch import _alpha
+
+    p = 12
+    edges = [(i, (i * 7 + 3) % 60) for i in range(60)] + [
+        (i, (i * 13 + 1) % 60) for i in range(60)]
+    e = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges if a != b],
+        "src string, dst string")
+    out = hyperball(e, radius=2, p=p)
+    got = {(r["id"], r["r"]): (r["n_buckets_used"], r["estimate"])
+           for r in out.collect()}
+
+    def expected(members):
+        m, wb = 2 ** p, 60 - p
+        regs = {}
+        for v in members:
+            h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+            b, w = h >> wb, h % (2 ** wb)
+            rho = wb + 1 if w == 0 else wb - w.bit_length() + 1
+            regs[b] = max(regs.get(b, 0), rho)
+        used = len(regs)
+        s = sum(2 ** (50 - r) for r in regs.values()) + (m - used) * 2 ** 50
+        raw = _alpha(m) * m * m * float(2 ** 50) / float(s)
+        zeros = m - used
+        if raw <= 2.5 * m and zeros > 0:
+            return used, round(float(m) * math.log(float(m) / zeros), 4)
+        return used, round(raw, 4)
+
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(f"n{a}", set()).add(f"n{b}")
+    for node in {f"n{i}" for i in range(60)}:
+        ball = {node}
+        for r in range(3):
+            if r > 0:
+                ball = ball | {w for u in list(ball)
+                               for w in adj.get(u, ())}
+            exp_used, exp_est = expected(ball)
+            used, est = got[(node, r)]
+            assert used == exp_used and abs(est - exp_est) < 1e-3, (
+                node, r, (used, est), (exp_used, exp_est))
