@@ -6182,6 +6182,93 @@ FROM est
 SQL_HYPERBALL = _sql_hyperball()
 
 
+def q_flesch_score(spark, sf):
+    """Flesch reading ease (functions/text.py flesch_reading_ease):
+    vowel-group syllable proxy, [.!?]+ sentence runs clamped to >= 1;
+    both divisions are long/long -> double (IEEE-identical cross-engine),
+    rounded to 4 dp."""
+    from ecokg_spark.functions.text import flesch_reading_ease
+
+    d = t(spark, sf, "documents")
+    return d.select(
+        "doc_id", flesch_reading_ease("text").alias("flesch"))
+
+
+_W_SQL = ("CASE WHEN length({n}) = 0 THEN 0 "
+          "ELSE len(string_split({n}, ' ')) END")
+
+SQL_FLESCH_SCORE = f"""
+WITH x AS (
+  SELECT doc_id,
+         CAST({_W_SQL.format(n=_NORM_SQL.format(c='text'))} AS BIGINT) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS y
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN w > 0
+            THEN ROUND(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4)
+       END AS flesch
+FROM x
+"""
+
+
+def q_chunk_sliding(spark, sf):
+    """Sliding-window chunking (operators/pack.py chunk_sliding, size=16
+    stride=12): overlapping retrieval windows per document; chunk count
+    via integer div, token slices identical to DuckDB 1-based inclusive
+    list slicing."""
+    from ecokg_spark.operators.pack import chunk_sliding
+
+    d = t(spark, sf, "documents")
+    return chunk_sliding(d, size=16, stride=12)
+
+
+SQL_CHUNK_SLIDING = f"""
+WITH d AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS nt FROM documents),
+tk AS (SELECT doc_id, string_split(nt, ' ') AS t,
+              len(string_split(nt, ' ')) AS n
+       FROM d WHERE length(nt) > 0),
+c AS (SELECT doc_id, t, 1 + (greatest(n - 16, 0) + 11) // 12 AS nc FROM tk),
+x AS (SELECT doc_id, unnest(range(0, nc)) AS ci, t FROM c)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       CAST(len(t[ci*12+1 : ci*12+16]) AS BIGINT) AS n_tokens,
+       array_to_string(t[ci*12+1 : ci*12+16], ' ') AS chunk_text
+FROM x
+"""
+
+
+def q_hierarchy_cycles(spark, sf):
+    """Cycle QC over a hierarchy relation (operators/reasoning.py
+    hierarchy_cycles): functional graph n -> 3n+1 mod 211 (every
+    functional graph carries cycles); the oracle closes reachability
+    with a set-semantics recursive CTE and intersects it with its own
+    reverse."""
+    from ecokg_spark.operators.reasoning import hierarchy_cycles
+
+    e = t(spark, sf, "events")
+    edges = e.select(
+        (F.col("event_id") % 211).alias("src"),
+        ((F.col("event_id") * 3 + 1) % 211).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    return hierarchy_cycles(edges)
+
+
+SQL_HIERARCHY_CYCLES = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT event_id % 211 AS s, (event_id * 3 + 1) % 211 AS o
+  FROM events WHERE event_id % 211 <> (event_id * 3 + 1) % 211),
+tc(s, o) AS (
+  SELECT s, o FROM e
+  UNION
+  SELECT tc.s, e.o FROM tc JOIN e ON tc.o = e.s WHERE tc.s <> e.o)
+SELECT DISTINCT a.s AS node_a, a.o AS node_b
+FROM tc a JOIN tc b ON a.s = b.o AND a.o = b.s
+WHERE a.s < a.o
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6355,6 +6442,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rdfs_closure": q_rdfs_closure,
     "redirect_resolve": q_redirect_resolve,
     "hyperball": q_hyperball,
+    "flesch_score": q_flesch_score,
+    "chunk_sliding": q_chunk_sliding,
+    "hierarchy_cycles": q_hierarchy_cycles,
 }
 
 ORACLES: dict[str, str] = {
@@ -6525,6 +6615,9 @@ ORACLES: dict[str, str] = {
     "rdfs_closure": SQL_RDFS_CLOSURE,
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
     "hyperball": SQL_HYPERBALL,
+    "flesch_score": SQL_FLESCH_SCORE,
+    "chunk_sliding": SQL_CHUNK_SLIDING,
+    "hierarchy_cycles": SQL_HIERARCHY_CYCLES,
 }
 
 

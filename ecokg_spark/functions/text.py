@@ -369,3 +369,26 @@ def bpe_merge_candidates(df, text_col: str = "text", k: int = 50):
     top = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def flesch_reading_ease(col: Column | str) -> Column:
+    """Flesch reading ease (Flesch 1948): 206.835 - 1.015*(words/sentences)
+    - 84.6*(syllables/words) — the classic document-difficulty prior used
+    as a curation feature next to the Gopher/C4 gates. Syllables are
+    approximated as VOWEL GROUPS ([aeiouy]+ runs, lowercased), the
+    standard dictionary-free proxy; sentences as [.!?]+ runs, clamped to
+    >= 1 so headline-only docs don't divide by zero. NULL for empty/blank
+    text. Pure Catalyst; both divisions are long/long -> double, which is
+    IEEE-identical cross-engine, and the result is rounded to 4 dp before
+    any comparison."""
+    c = _c(col)
+    words = token_count(c)
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit("[.!?]+"), 0)), F.lit(1)
+    ).cast("long")
+    syll = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    score = (F.lit(206.835) - F.lit(1.015) * (words / sents)
+             - F.lit(84.6) * (syll / words))
+    return F.when(words > 0, F.round(score, 4))

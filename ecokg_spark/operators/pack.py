@@ -63,3 +63,58 @@ def pack_sequences(
         id_col,
         begin.cast("long").alias("begin_tok"),
         end.cast("long").alias("end_tok"))
+
+
+def chunk_sliding(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+):
+    """Sliding-window token chunking with overlap — the retrieval/context-
+    window prep pass (RAG indexing, long-doc embedding): each document
+    yields ceil-spaced windows of `size` whitespace tokens every `stride`
+    tokens, so consecutive chunks overlap by size - stride and the final
+    window always reaches the last token. Complements pack_sequences
+    (which concatenates ACROSS documents with no overlap; this slides
+    WITHIN a document).
+
+    Returns (id_col, chunk_idx, n_tokens, chunk_text); empty/blank
+    documents yield no rows. chunk_idx counts from 0; n_tokens < size
+    only on the final window of a short tail.
+
+    Scale shape: pure Catalyst — tokenize once, compute the chunk count
+    with integer `div` (a double quotient would round past 2^53), explode
+    a 0..n_chunks-1 sequence, and slice the token array per index. The
+    fanout pipelines with the scan (no shuffle at all); output order is
+    deterministic per (id, chunk_idx). Expected blowup is size/stride
+    (~1.33x at 64/48), the same class as the shingle explode.
+    """
+    if not 0 < stride <= size:
+        raise ValueError(f"need 0 < stride <= size, got {stride}/{size}")
+    from ecokg_spark.functions.text import normalize_ws
+
+    norm = normalize_ws(F.col(text_col))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.expr(f"(greatest(_n - {size}, 0) + {stride - 1}) div {stride}") + 1
+    )
+    base = (
+        df.select(F.col(id_col), toks.alias("_t"), n.alias("_n"))
+        .where((F.col("_n") > 0) & (F.length(F.element_at("_t", 1)) > 0))
+        .withColumn("_nc", n_chunks)
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx")
+    chunk = F.slice(
+        F.col("_t"), F.col("chunk_idx") * stride + 1, size)
+    return (
+        base.select(id_col, idx, "_t")
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -168,3 +168,28 @@ def rdfs_materialize(
         .select(F.col("s").alias(s), F.col("p").alias(p),
                 F.col("o").alias(o))
     )
+
+
+def hierarchy_cycles(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Ontology QC: mutually-reachable pairs in a hierarchy relation —
+    subClassOf cycles are always authoring errors (a class both above and
+    below another collapses the order) and break closure-dependent
+    consumers silently. Computes the strict transitive closure once, then
+    self-joins it against its own reverse; each unordered cycle pair is
+    reported once as (node_a, node_b) with node_a < node_b.
+
+    Cost is the closure itself (log-depth squaring rounds) plus one
+    equi-join of the closure with itself — on an ontology-sized
+    hierarchy this is interactive; an acyclic input returns 0 rows.
+    """
+    c = transitive_closure(edges, src, dst)
+    fwd = c.select(F.col(src).alias("node_a"), F.col(dst).alias("node_b"))
+    rev = c.select(F.col(dst).alias("node_a"), F.col(src).alias("node_b"))
+    return (
+        fwd.join(rev, ["node_a", "node_b"], "left_semi")
+        .where(F.col("node_a") < F.col("node_b"))
+    )

@@ -200,3 +200,25 @@ def test_bpe_merge_candidates_counts_adjacent_pairs(spark):
            for r in bpe_merge_candidates(df, k=3).collect()]
     # pairs: "aab" x2 -> aa x2, ab x2; "ab" -> ab; "x" dropped (len 1)
     assert got == [("ab", 3, 1), ("aa", 2, 2)]
+
+
+def test_flesch_reading_ease(spark):
+    from ecokg_spark.functions.text import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran."),
+            (2, "no terminal punctuation here"),
+            (3, ""),
+        ],
+        "id long, text string")
+    got = {r["id"]: r["f"] for r in df.select(
+        "id", flesch_reading_ease("text").alias("f")).collect()}
+    # doc 1: 6 words, 2 sentences, 6 vowel groups:
+    # 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert abs(got[1] - 119.19) < 1e-6
+    # doc 2: 4 words, sentences clamped to 1, syllables = 9 vowel groups
+    # ("o", "o", "e", "i", "a", "u", "ua", "io", "e"):
+    # 206.835 - 1.015*4 - 84.6*(9/4)
+    assert abs(got[2] - (206.835 - 1.015 * 4 - 84.6 * 2.25)) < 1e-6
+    assert got[3] is None

@@ -116,3 +116,27 @@ def test_resolve_redirects_long_chain(spark):
     out = resolve_redirects(r, max_rounds=8).collect()
     assert all(row["resolved"] and row["final_url"] == "u30" for row in out)
     assert len(out) == 30
+
+
+def test_hierarchy_cycles(spark):
+    from ecokg_spark.operators.reasoning import hierarchy_cycles
+
+    e = spark.createDataFrame(
+        [
+            # clean chain
+            ("a", "b"), ("b", "c"),
+            # 3-cycle x -> y -> z -> x
+            ("x", "y"), ("y", "z"), ("z", "x"),
+        ],
+        "src string, dst string")
+    got = sorted(tuple(r) for r in hierarchy_cycles(e).collect())
+    # every unordered pair of mutually reachable nodes, reported once
+    assert got == [("x", "y"), ("x", "z"), ("y", "z")]
+
+
+def test_hierarchy_cycles_acyclic_empty(spark):
+    from ecokg_spark.operators.reasoning import hierarchy_cycles
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string")
+    assert hierarchy_cycles(e).count() == 0
