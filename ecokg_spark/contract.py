@@ -6269,6 +6269,101 @@ WHERE a.s < a.o
 """
 
 
+def q_canonical_meta(spark, sf):
+    """Canonical-URL + robots-directive extraction (operators/web.py
+    canonical_meta): every third document declares a canonical target,
+    every fifth a noindex robots meta; the oracle recomputes the
+    verdict columns straight from the generator arithmetic."""
+    from ecokg_spark.operators.web import canonical_meta
+
+    d = t(spark, sf, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/d/"), F.col("doc_id"))
+    canon_tag = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit('<link rel="canonical" href="https://'),
+                 F.col("source"), F.lit(".example.org/c/"),
+                 F.col("doc_id") % 100, F.lit('"/>')),
+    ).otherwise(F.lit(""))
+    robots_tag = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(F.col("doc_id") % 2 == 0,
+              F.lit('<meta name="robots" content="index, nofollow">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<head>"), canon_tag, robots_tag,
+                    F.lit("</head><body>"), F.col("text"),
+                    F.lit("</body>"))
+    pages = d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return canonical_meta(pages).select(
+        "url", "canonical_url", "canonical_final", "noindex", "nofollow")
+
+
+SQL_CANONICAL_META = """
+WITH d AS (
+  SELECT 'https://' || source || '.example.org/d/' || doc_id AS url,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'https://' || source || '.example.org/c/' || (doc_id % 100)
+              ELSE '' END AS canonical_url,
+         doc_id FROM documents)
+SELECT url, canonical_url,
+       CASE WHEN canonical_url <> '' THEN canonical_url ELSE url END
+         AS canonical_final,
+       doc_id % 5 = 0 AS noindex,
+       doc_id % 5 <> 0 AND doc_id % 2 = 0 AS nofollow
+FROM d
+"""
+
+
+def q_kg_negatives(spark, sf):
+    """Filtered negative sampling for KG-embedding training
+    (operators/kgtrain.py kg_negative_samples, k=3, B=16): located_in
+    triples from supplier, object corrupted via the salted hash-argmin
+    choice table; the oracle recomputes buckets, argmin picks, and the
+    positive filter under the portable md5/60-bit spec."""
+    from ecokg_spark.operators.kgtrain import kg_negative_samples
+
+    s = t(spark, sf, "supplier")
+    triples = s.select(
+        F.concat(F.lit("S:"), F.col("s_suppkey")).alias("subject"),
+        F.lit("eco:located_in").alias("predicate"),
+        F.concat(F.lit("N:"), F.col("s_nationkey")).alias("object"),
+    ).distinct()
+    return kg_negative_samples(triples, k=3, buckets=16)
+
+
+_H60T = _HEX15.format(
+    h="md5(s || '|' || p || '|' || o || '|' || CAST(neg_idx AS VARCHAR))")
+_H60E = _HEX15.format(h="md5(CAST(neg_idx AS VARCHAR) || '#' || ent)")
+
+SQL_KG_NEGATIVES = f"""
+WITH t AS (
+  SELECT DISTINCT 'S:' || s_suppkey AS s, 'eco:located_in' AS p,
+                  'N:' || s_nationkey AS o
+  FROM supplier),
+e AS (SELECT DISTINCT o AS ent FROM t),
+salts AS (SELECT unnest(range(0, 3)) AS neg_idx),
+eh AS (SELECT neg_idx, ent, {_H60E} AS h FROM e CROSS JOIN salts),
+picks AS (
+  SELECT neg_idx, h % 16 AS bucket,
+         MIN(lpad(CAST(h AS VARCHAR), 19, '0') || '|' || ent) AS pk
+  FROM eh GROUP BY 1, 2),
+p2 AS (SELECT neg_idx, bucket, split_part(pk, '|', 2) AS pick FROM picks),
+cand AS (
+  SELECT t.s, t.p, p2.pick, st.neg_idx
+  FROM t CROSS JOIN salts st
+  JOIN p2 ON p2.neg_idx = st.neg_idx
+         AND p2.bucket = ({_H60T.replace('neg_idx', 'st.neg_idx')}) % 16
+  WHERE p2.pick <> t.o)
+SELECT c.s AS subject, c.p AS predicate, c.pick AS neg_object,
+       CAST(c.neg_idx AS INT) AS neg_idx
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM t WHERE t.s = c.s AND t.p = c.p AND t.o = c.pick)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6445,6 +6540,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flesch_score": q_flesch_score,
     "chunk_sliding": q_chunk_sliding,
     "hierarchy_cycles": q_hierarchy_cycles,
+    "canonical_meta": q_canonical_meta,
+    "kg_negatives": q_kg_negatives,
 }
 
 ORACLES: dict[str, str] = {
@@ -6618,6 +6715,8 @@ ORACLES: dict[str, str] = {
     "flesch_score": SQL_FLESCH_SCORE,
     "chunk_sliding": SQL_CHUNK_SLIDING,
     "hierarchy_cycles": SQL_HIERARCHY_CYCLES,
+    "canonical_meta": SQL_CANONICAL_META,
+    "kg_negatives": SQL_KG_NEGATIVES,
 }
 
 

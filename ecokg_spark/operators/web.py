@@ -291,3 +291,41 @@ def resolve_redirects(
             F.col("_k").isNull().alias("resolved"),
         )
     )
+
+
+def canonical_meta(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Per-page canonical-URL and robots-directive extraction — the
+    dedup-before-dedup pass of a crawl pipeline: pages that declare a
+    canonical URL collapse onto it BEFORE any content hashing (the CMS
+    told us they are duplicates), and noindex pages are excluded from
+    derived corpora the way a polite crawler excludes them from an index.
+
+    Extraction contract (same as host_link_graph): double-quoted
+    attributes in source order ``rel="canonical" ... href="..."`` and
+    ``name="robots" ... content="..."``; first match wins. Pure Catalyst
+    regexp_extract — no shuffle at all, the verdict columns ride along
+    with the scan.
+
+    Returns df plus (canonical_url, canonical_final, noindex, nofollow):
+    canonical_url is the raw declared target ('' when absent),
+    canonical_final coalesces to the page's own URL — the column to
+    group dedup on; noindex/nofollow are booleans from the robots meta
+    content list.
+    """
+    h = F.col(html_col).cast("string")
+    canon = F.regexp_extract(
+        h, '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+    robots = F.lower(F.regexp_extract(
+        h, '<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1))
+    return pages.select(
+        "*",
+        canon.alias("canonical_url"),
+        F.when(canon != "", canon).otherwise(F.col(url_col))
+         .alias("canonical_final"),
+        robots.rlike("(^|[ ,])noindex([ ,]|$)").alias("noindex"),
+        robots.rlike("(^|[ ,])nofollow([ ,]|$)").alias("nofollow"),
+    )

@@ -220,3 +220,33 @@ def test_anchor_texts_topk_ties(spark):
     got = [(r["rank"], r["anchor"]) for r in out.collect()]
     # deterministic alphabetical tie-break at equal counts, exactly k rows
     assert got == [(1, "w0"), (2, "w1"), (3, "w2")]
+
+
+def test_canonical_meta(spark):
+    from ecokg_spark.operators.web import canonical_meta
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/page?x=1",
+             '<head><link rel="canonical" href="https://a.com/page"/>'
+             '<meta name="robots" content="noindex, nofollow"></head>'),
+            ("https://b.com/p",
+             '<head><meta name="robots" content="index, follow"></head>'),
+            ("https://c.com/q", "<html><body>nothing</body></html>"),
+            ("https://d.com/r",
+             '<head><meta name="robots" content="NOINDEX"></head>'),
+        ],
+        "url string, html string",
+    ).withColumn("html", F.encode("html", "UTF-8"))
+    got = {r["url"]: r for r in canonical_meta(pages).collect()}
+    a = got["https://a.com/page?x=1"]
+    assert a["canonical_url"] == "https://a.com/page"
+    assert a["canonical_final"] == "https://a.com/page"
+    assert a["noindex"] and a["nofollow"]
+    b = got["https://b.com/p"]
+    assert b["canonical_url"] == "" and b["canonical_final"] == "https://b.com/p"
+    assert not b["noindex"] and not b["nofollow"]
+    c = got["https://c.com/q"]
+    assert c["canonical_final"] == "https://c.com/q" and not c["noindex"]
+    # directives are case-insensitive
+    assert got["https://d.com/r"]["noindex"]
