@@ -6364,6 +6364,83 @@ WHERE NOT EXISTS (
 """
 
 
+def q_kmeans(spark, sf):
+    """Deterministic Lloyd k-means (operators/embed.py kmeans_lloyd,
+    k=4, 2 rounds): md5-order seeds, strict-left-fold distances rounded
+    to 9 dp before the argmin, decimal-staged exact centroid means; the
+    oracle unrolls both rounds (seeds -> assign -> exact mean -> assign)
+    with list_reduce as the same left fold."""
+    from ecokg_spark.operators.embed import kmeans_lloyd
+
+    e = t(spark, sf, "embeddings")
+    return kmeans_lloyd(e, k=4, iterations=2).select(
+        "vec_id", "cluster", "dist")
+
+
+def _sql_kmeans_assign(cent_rel: str, out: str) -> str:
+    d = ("list_reduce(list_transform(range(len(e.embedding)), "
+         "i -> (CAST(e.embedding[i+1] AS DOUBLE) - c.cent[i+1]) "
+         "* (CAST(e.embedding[i+1] AS DOUBLE) - c.cent[i+1])), "
+         "(acc, x) -> acc + x)")
+    return f"""
+{out} AS (
+  SELECT vec_id, embedding, cluster, dist FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cluster,
+           ROUND({d}, 9) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND({d}, 9), c.cid) AS rn
+    FROM embeddings e CROSS JOIN {cent_rel} c)
+  WHERE rn = 1)"""
+
+
+def _sql_kmeans_update(assign_rel: str, out: str,
+                       fallback_rel: str = "seeds") -> str:
+    # dead clusters fall back to the PREVIOUS round's centroid, exactly
+    # as kmeans_lloyd's `new.get(i, centroids[i])`
+    return f"""
+{out}_d AS (
+  SELECT cluster, u.d AS dim,
+         CAST(CAST(u.v AS VARCHAR) AS DECIMAL(38,18)) AS v
+  FROM (
+    SELECT cluster,
+           unnest(list_transform(range(len(embedding)),
+                  i -> struct_pack(d := i, v := embedding[i + 1]))) AS u
+    FROM {assign_rel})),
+{out}_m AS (
+  SELECT cluster, dim,
+         CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+  FROM {out}_d GROUP BY 1, 2),
+{out}_agg AS (
+  SELECT cluster AS cid,
+         list_transform(list_sort(list(struct_pack(d := dim, m := m))),
+                        x -> x.m) AS cent
+  FROM {out}_m GROUP BY cluster),
+{out} AS (
+  SELECT cid, cent FROM {out}_agg
+  UNION ALL
+  SELECT s.cid, s.cent FROM {fallback_rel} s
+  WHERE s.cid NOT IN (SELECT cid FROM {out}_agg))"""
+
+
+SQL_KMEANS = f"""
+WITH seeds AS (
+  SELECT rn - 1 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+  FROM (
+    SELECT embedding,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS rn
+    FROM embeddings)
+  WHERE rn <= 4),
+{_sql_kmeans_assign('seeds', 'a1')[1:]},
+{_sql_kmeans_update('a1', 'c1', 'seeds')[1:]},
+{_sql_kmeans_assign('c1', 'a2')[1:]},
+{_sql_kmeans_update('a2', 'c2', 'c1')[1:]},
+{_sql_kmeans_assign('c2', 'a3')[1:]}
+SELECT vec_id, CAST(cluster AS INT) AS cluster, dist FROM a3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6542,6 +6619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hierarchy_cycles": q_hierarchy_cycles,
     "canonical_meta": q_canonical_meta,
     "kg_negatives": q_kg_negatives,
+    "kmeans": q_kmeans,
 }
 
 ORACLES: dict[str, str] = {
@@ -6717,6 +6795,7 @@ ORACLES: dict[str, str] = {
     "hierarchy_cycles": SQL_HIERARCHY_CYCLES,
     "canonical_meta": SQL_CANONICAL_META,
     "kg_negatives": SQL_KG_NEGATIVES,
+    "kmeans": SQL_KMEANS,
 }
 
 

@@ -145,3 +145,76 @@ def group_centroids(
             F.transform("_p", lambda x: x["_m"]).alias("centroid"),
         )
     )
+
+
+def _assign_clusters(df, vec_col, id_col, centroids, round_to):
+    """Map-side nearest-centroid assignment against a literal centroid
+    list: per row, an array of (dist, cid) structs whose array_min is the
+    lexicographic argmin — distance first, cid as the tie-break. Squared
+    distance is a strict LEFT fold (F.aggregate) over the zipped
+    difference squares, so any engine replaying the same op order gets
+    bit-identical doubles; the ROUND to `round_to` dp then guards the
+    comparison (the float-before-ranking discipline)."""
+    v = F.col(vec_col).cast("array<double>")
+    entries = []
+    for cid, cent in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in cent])
+        d = F.round(
+            F.aggregate(
+                F.zip_with(v, lit_c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x),
+            round_to)
+        entries.append(F.struct(d.alias("d"), F.lit(cid).alias("c")))
+    best = F.array_min(F.array(*entries))
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        best["c"].cast("int").alias("cluster"),
+        best["d"].alias("dist"),
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iterations: int = 2,
+    round_to: int = 9,
+) -> DataFrame:
+    """Deterministic distributed Lloyd k-means over an embedding column —
+    the clustering primitive behind IVF index training, SemDeDup cluster
+    partitioning, and topic-balanced corpus mixing. Returns the final
+    assignment (id_col, vec_col, cluster, dist) after a FIXED number of
+    update rounds (fixed rounds = the deterministic termination choice,
+    as in label_propagation).
+
+    Determinism, with no RNG anywhere: seeds are the k vectors whose ids
+    hash smallest (md5 order, id tie-break — a global top-k, which Spark
+    plans as TakeOrderedAndProject, never a full sort); assignment
+    argmin orders by (rounded dist, cid); the update step is
+    group_centroids' exact decimal-staged mean, so centroid drift cannot
+    accumulate float nondeterminism across rounds. A cluster that loses
+    all members keeps its previous centroid (the restart-free convention).
+
+    Scale shape: per round, assignment is MAP-SIDE ONLY (centroids ride
+    the plan as literals — k * dims doubles), and the update is
+    group_centroids' single (cluster, dim) map-side-combinable shuffle.
+    Driver state is bounded at k rows per round (seed take(k) + centroid
+    collect — the IVF bounded-training-sample precedent, see SCALE.md).
+    """
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"kmeans_lloyd: need >= {k} rows, got {len(seeds)}")
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    for _ in range(iterations):
+        assigned = _assign_clusters(df, vec_col, id_col, centroids, round_to)
+        rows = group_centroids(
+            assigned, vec_col=vec_col, group_col="cluster").collect()
+        new = {r["cluster"]: [float(x) for x in r["centroid"]] for r in rows}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return _assign_clusters(df, vec_col, id_col, centroids, round_to)

@@ -88,3 +88,44 @@ def test_group_centroids_layout_invariant(spark):
     a = sorted(map(tuple, group_centroids(df).collect()))
     b = sorted(map(tuple, group_centroids(df.repartition(17)).collect()))
     assert a == b  # decimal staging kills accumulation-order drift
+
+
+def test_kmeans_lloyd_separated_blobs(spark):
+    """Three well-separated 4-d blobs: with one seed per blob (ids are
+    arranged so the 3 smallest-md5 ids — 6, 19, 23 — fall in different
+    blobs), 2 Lloyd rounds produce pure clusters. Lloyd's cannot recover
+    from all-seeds-in-one-blob, so the fixture pins the seed spread
+    deterministically rather than hoping."""
+    from ecokg_spark.operators.embed import kmeans_lloyd
+
+    centers = [(0.0, 0.0), (10.0, 10.0), (-10.0, 5.0)]
+    blob_of = {i: i % 3 for i in range(24)}   # 6 -> 0, 19 -> 1, 23 -> 2
+    rows = []
+    for i in range(24):
+        cx, cy = centers[blob_of[i]]
+        dx, dy = ((i % 5) - 2) * 0.1, ((i % 7) - 3) * 0.1
+        rows.append((i, [cx + dx, cy + dy, float(blob_of[i]), 0.5]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(df, k=3, iterations=2).collect()
+    assert len(out) == 24
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(blob_of[r["vec_id"]], set()).add(r["cluster"])
+    # each blob lands in exactly one cluster; clusters distinct
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3
+    # dists are small within tight blobs
+    assert all(r["dist"] < 1.0 for r in out)
+
+
+def test_kmeans_lloyd_deterministic(spark):
+    from ecokg_spark.operators.embed import kmeans_lloyd
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 11)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, kmeans_lloyd(df, k=4, iterations=2)
+                   .select("vec_id", "cluster", "dist").collect()))
+    b = sorted(map(tuple, kmeans_lloyd(df, k=4, iterations=2)
+                   .select("vec_id", "cluster", "dist").collect()))
+    assert a == b
