@@ -6848,7 +6848,12 @@ assert all(n in QUERIES for n in _CERT_WINDOW), [
 # hashed_embed, dup_span_removal — plus the batch-12 rows
 # (sparql_neg_path, predicate_profile, inverse_detect, adamic_adar,
 # word_entropy, dsir_weights, scd2_history, sparql_subquery,
-# rolling_zscore, hash_walks) —
+# rolling_zscore, hash_walks), the batch 15-16 rows (host_graph,
+# degree_histogram, temperature_mix, sparql_values_multi, sparql_sample)
+# and the 12 rows added in the continuation session (anchor_topk,
+# interval_merge, tc_reachability, rdfs_closure, redirect_resolve,
+# hyperball, flesch_score, chunk_sliding, hierarchy_cycles,
+# canonical_meta, kg_negatives, kmeans) —
 # which have local-oracle green but no driver record, then (b) the r03-certified rows that have now sat out a
 # round (token_count .. embedding_neardup block), then (c) canaries.
 # Every row then has a driver-green record within the last two rounds.
