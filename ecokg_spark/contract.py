@@ -6377,7 +6377,8 @@ def q_kmeans(spark, sf):
         "vec_id", "cluster", "dist")
 
 
-def _sql_kmeans_assign(cent_rel: str, out: str) -> str:
+def _sql_kmeans_assign(cent_rel: str, out: str,
+                       src_rel: str = 'embeddings') -> str:
     d = ("list_reduce(list_transform(range(len(e.embedding)), "
          "i -> (CAST(e.embedding[i+1] AS DOUBLE) - c.cent[i+1]) "
          "* (CAST(e.embedding[i+1] AS DOUBLE) - c.cent[i+1])), "
@@ -6389,7 +6390,7 @@ def _sql_kmeans_assign(cent_rel: str, out: str) -> str:
            ROUND({d}, 9) AS dist,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY ROUND({d}, 9), c.cid) AS rn
-    FROM embeddings e CROSS JOIN {cent_rel} c)
+    FROM {src_rel} e CROSS JOIN {cent_rel} c)
   WHERE rn = 1)"""
 
 
@@ -6438,6 +6439,60 @@ WITH seeds AS (
 {_sql_kmeans_update('a2', 'c2', 'c1')[1:]},
 {_sql_kmeans_assign('c2', 'a3')[1:]}
 SELECT vec_id, CAST(cluster AS INT) AS cluster, dist FROM a3
+"""
+
+
+def q_semdedup_kmeans(spark, sf):
+    """The published SemDeDup composition (operators/dedup.py
+    semdedup_clustered): k-means partition (1 Lloyd round) then
+    within-cluster dominance dedup, over the planted-duplicate fixture
+    (20 near-copies with larger ids). The oracle replays the kmeans CTE
+    chain over the planted union, then the NOT EXISTS dominance rule
+    restricted to same-cluster pairs."""
+    from ecokg_spark.operators.dedup import semdedup_clustered
+
+    e = t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    planted = e.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    both = e.select("vec_id", "embedding").unionByName(planted)
+    kept = semdedup_clustered(both, "embedding", "vec_id",
+                              k=4, iterations=1, threshold=0.995)
+    return kept.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+SQL_SEMDEDUP_KMEANS = f"""
+WITH u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_prepend(CAST(embedding[1] AS DOUBLE) + 0.05,
+                      CAST(embedding[2:] AS DOUBLE[]))
+  FROM embeddings WHERE vec_id < 20),
+seeds AS (
+  SELECT rn - 1 AS cid, embedding AS cent
+  FROM (
+    SELECT embedding,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS rn
+    FROM u)
+  WHERE rn <= 4),
+{_sql_kmeans_assign('seeds', 'a1', 'u')[1:]},
+{_sql_kmeans_update('a1', 'c1', 'seeds')[1:]},
+{_sql_kmeans_assign('c1', 'a2', 'u')[1:]}
+SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster FROM a2 a
+WHERE NOT EXISTS (
+  SELECT 1 FROM a2 b
+  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+    AND list_dot_product(a.embedding, b.embedding)
+        / (sqrt(list_dot_product(a.embedding, a.embedding))
+           * sqrt(list_dot_product(b.embedding, b.embedding)))
+        >= 0.995)
 """
 
 
@@ -6620,6 +6675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_meta": q_canonical_meta,
     "kg_negatives": q_kg_negatives,
     "kmeans": q_kmeans,
+    "semdedup_kmeans": q_semdedup_kmeans,
 }
 
 ORACLES: dict[str, str] = {
@@ -6796,6 +6852,7 @@ ORACLES: dict[str, str] = {
     "canonical_meta": SQL_CANONICAL_META,
     "kg_negatives": SQL_KG_NEGATIVES,
     "kmeans": SQL_KMEANS,
+    "semdedup_kmeans": SQL_SEMDEDUP_KMEANS,
 }
 
 

@@ -1040,3 +1040,37 @@ def fuzzy_dedup(
         sets = _shingle_sets(df, text_col, id_col, n)
         pairs = _exact_verify(cand, sets, id_col, threshold)
     return _keep_by_pairs(df, pairs, id_col, transitive)
+
+
+def semdedup_clustered(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.95,
+    transitive: bool = False,
+) -> DataFrame:
+    """The PUBLISHED SemDeDup pipeline shape (Abbas et al. 2023 §3):
+    k-means partition the embedding space, then compare pairs only
+    WITHIN each cluster. `semantic_dedup` alone blocks by label or
+    RP-LSH; this composition replaces the blocking key with learned
+    cluster structure — the exact trade the paper makes: within-cluster
+    pairs are O(sum n_c^2) instead of O(N^2), at the cost of missing
+    near-dups that straddle a cluster boundary (both engines agree on
+    the miss, since the assignment is deterministic).
+
+    Scale shape: kmeans_lloyd's per-round map-side assignment + one
+    (cluster, dim) shuffle, then the within-cluster equi-join of
+    embedding_neardup_pairs — cluster sizes bound the join fanout, so
+    pick k so N/k keeps n_c^2 tractable (the paper uses k ~ sqrt(N)).
+    Returns the kept rows (id, vec, cluster).
+    """
+    from ecokg_spark.operators.embed import kmeans_lloyd
+
+    assigned = kmeans_lloyd(
+        df, vec_col=vec_col, id_col=id_col, k=k, iterations=iterations
+    ).drop("dist")
+    return semantic_dedup(
+        assigned, vec_col, id_col, block_col="cluster",
+        threshold=threshold, transitive=transitive)

@@ -685,3 +685,28 @@ def test_bloom_no_false_negatives_and_merge(spark):
     merged = b1.unionByName(b2).distinct()
     assert merged.subtract(bits).count() == 0
     assert bits.subtract(merged).count() == 0
+
+
+def test_semdedup_clustered_drops_planted(spark):
+    """kmeans-partitioned SemDeDup: planted near-copies in the same
+    cluster are dropped, originals and distinct vectors survive."""
+    from ecokg_spark.operators.dedup import semdedup_clustered
+
+    def vec(i):
+        b = i % 3
+        return [10.0 * (b == 0), 10.0 * (b == 1), 10.0 * (b == 2),
+                float((i * 3) % 7), float((i * 5) % 11), float(i % 4),
+                float((i * 2) % 5), 1.0]
+
+    # 24 originals in 3 separated blobs (max pairwise cosine ~0.984,
+    # verified offline), plus 4 planted near-copies with larger ids
+    rows = [(i, vec(i)) for i in range(24)]
+    for i in range(4):
+        base = vec(i)
+        base[0] += 0.001
+        rows.append((1000 + i, base))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semdedup_clustered(df, k=3, iterations=1, threshold=0.999)
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert set(range(24)) <= ids          # all originals kept (min ids)
+    assert not any(i >= 1000 for i in ids)  # planted copies dropped
