@@ -6496,6 +6496,55 @@ WHERE NOT EXISTS (
 """
 
 
+def q_sparql_strfuncs(spark, sf):
+    """SPARQL §17.4.3 string-test FILTERs (query.py): STRSTARTS on the
+    category variable + STRENDS on the subject, compiled to pushable
+    startswith/endswith predicates."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        'SELECT ?x ?c WHERE { ?x biolink:category ?c . '
+        'FILTER( STRSTARTS(?c, "Brand#1") ) . '
+        'FILTER( STRENDS(?x, "3") ) }',
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_STRFUNCS = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x, p_brand AS c
+FROM part
+WHERE p_brand LIKE 'Brand#1%'
+  AND ('P:' || CAST(p_partkey AS VARCHAR)) LIKE '%3'
+"""
+
+
+def q_sparql_in(spark, sf):
+    """SPARQL §17.4.1.9/.10 IN / NOT IN FILTERs (query.py) over a
+    conjunctive join: size whitelist + brand blacklist in one body."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        'SELECT ?x ?c ?m WHERE { ?x biolink:category ?c . '
+        '?x biolink:has_size ?m . '
+        'FILTER( ?m IN ("SZ:1", "SZ:5", "SZ:9") ) . '
+        'FILTER( ?c NOT IN ("Brand#11", "Brand#23") ) }',
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_IN = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x, p_brand AS c,
+       'SZ:' || CAST(p_size AS VARCHAR) AS m
+FROM part
+WHERE 'SZ:' || CAST(p_size AS VARCHAR) IN ('SZ:1', 'SZ:5', 'SZ:9')
+  AND p_brand NOT IN ('Brand#11', 'Brand#23')
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6676,6 +6725,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_negatives": q_kg_negatives,
     "kmeans": q_kmeans,
     "semdedup_kmeans": q_semdedup_kmeans,
+    "sparql_strfuncs": q_sparql_strfuncs,
+    "sparql_in": q_sparql_in,
 }
 
 ORACLES: dict[str, str] = {
@@ -6853,6 +6904,8 @@ ORACLES: dict[str, str] = {
     "kg_negatives": SQL_KG_NEGATIVES,
     "kmeans": SQL_KMEANS,
     "semdedup_kmeans": SQL_SEMDEDUP_KMEANS,
+    "sparql_strfuncs": SQL_SPARQL_STRFUNCS,
+    "sparql_in": SQL_SPARQL_IN,
 }
 
 

@@ -30,6 +30,8 @@ the same queries compile straight to Catalyst plans — no endpoint:
     alt      := ['^']CURIE   (negated sets: forward CURIEs only)
     filter   := FILTER( ?var (=|!=|>|<|>=|<=) value )
               | FILTER regex(?var, "re" [,"i"])
+              | FILTER( (STRSTARTS|STRENDS|CONTAINS)(?var, "lit") )
+              | FILTER( ?var [NOT] IN (value (, value)*) )
               value := "quoted" | token
     notexists:= FILTER NOT EXISTS { pattern (. pattern)* }
     exists   := FILTER EXISTS { pattern (. pattern)* }
@@ -185,6 +187,11 @@ _MINUS_RE = re.compile(r"(?is)MINUS\s*\{([^{}]*)\}")
 _VAR_RE = re.compile(r"\?(\w+)")
 _FILTER_RE = re.compile(
     r'(?i)FILTER\s*\(\s*\?(\w+)\s*(>=|<=|!=|=|>|<)\s*("[^"]*"|[^\s)]+)\s*\)')
+_STRFUNC_FILTER_RE = re.compile(
+    r'(?i)FILTER\s*\(\s*(STRSTARTS|STRENDS|CONTAINS)\s*'
+    r'\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)\s*\)')
+_IN_FILTER_RE = re.compile(
+    r'(?i)FILTER\s*\(\s*\?(\w+)\s+(NOT\s+)?IN\s*\(([^()]*)\)\s*\)')
 _OPTIONAL_RE = re.compile(r"(?is)OPTIONAL\s*\{([^{}]*)\}")
 _VALUES_RE = re.compile(r"(?is)VALUES\s+\?(\w+)\s*\{([^{}]*)\}")
 _VALUES_MULTI_RE = re.compile(
@@ -451,6 +458,22 @@ def _parse_body(where_raw: str):
         if flags not in ("", "i"):
             raise SparqlError(f"unsupported regex flags: {flags!r}")
     where_raw = _REGEX_FILTER_RE.sub(" ", where_raw)
+    # FILTER(STRSTARTS/STRENDS/CONTAINS(?v, "lit")) — SPARQL §17.4.3
+    # string tests; consumed before the comparison form (no overlap, but
+    # the explicit order keeps the grammar reading top-down)
+    str_filters = [(fn.upper(), v, lit) for fn, v, lit
+                   in _STRFUNC_FILTER_RE.findall(where_raw)]
+    where_raw = _STRFUNC_FILTER_RE.sub(" ", where_raw)
+    # FILTER(?v [NOT] IN ("a", "b", ...)) — §17.4.1.9/.10; members are
+    # quoted literals or bare tokens, comma-separated
+    in_filters = []
+    for v, neg, body_ in _IN_FILTER_RE.findall(where_raw):
+        vals = [x.strip()[1:-1] if x.strip().startswith('"') else x.strip()
+                for x in body_.split(",") if x.strip()]
+        if not vals:
+            raise SparqlError(f"empty IN list for ?{v}")
+        in_filters.append((v, bool(neg), vals))
+    where_raw = _IN_FILTER_RE.sub(" ", where_raw)
     filters = [(v, op, val[1:-1] if val.startswith('"') else val)
                for v, op, val in _FILTER_RE.findall(where_raw)]
     where_raw = _FILTER_RE.sub(" ", where_raw)
@@ -461,6 +484,7 @@ def _parse_body(where_raw: str):
         "not_exists": not_exists,
         "exists": exists, "minus": minus, "binds": binds,
         "rx_filters": rx_filters, "subqueries": subqueries,
+        "str_filters": str_filters, "in_filters": in_filters,
     }
 
 
@@ -787,6 +811,8 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
     rx_filters = body["rx_filters"]
     values_multi = body.get("values_multi", [])
     subqueries = body.get("subqueries", [])
+    str_filters = body.get("str_filters", [])
+    in_filters = body.get("in_filters", [])
     if not patterns and not unions and not subqueries:
         raise SparqlError("empty WHERE clause")
 
@@ -930,6 +956,8 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
     # may name an aggregate alias, which is never pattern-bound)
     missing = [v for v in [v for v, _, _ in filters]
                + [v for v, _ in values] + [v for v, _, _ in rx_filters]
+               + [v for _, v, _ in str_filters]
+               + [v for v, _, _ in in_filters]
                + [v for mvars, _ in values_multi for v in mvars]
                if v not in bound]
     if missing:
@@ -966,6 +994,20 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
     for v, pat, flags in rx_filters:
         out = out.where(F.col(bound[v]).rlike(f"(?{flags}){pat}" if flags
                                               else pat))
+
+    # FILTER(STRSTARTS/STRENDS/CONTAINS(?v, "lit")) — plain pushable
+    # string predicates (§17.4.3); literal-argument form only
+    for fn, v, lit in str_filters:
+        c = F.col(bound[v])
+        cond = {"STRSTARTS": c.startswith(lit), "STRENDS": c.endswith(lit),
+                "CONTAINS": c.contains(lit)}[fn]
+        out = out.where(cond)
+
+    # FILTER(?v [NOT] IN (...)) — §17.4.1.9/.10; pattern-bound variables
+    # are never NULL here, so NOT IN is plain negation
+    for v, neg, vals in in_filters:
+        cond = F.col(bound[v]).isin(vals)
+        out = out.where(~cond if neg else cond)
     return out, bound
 
 

@@ -1338,3 +1338,62 @@ def test_sample_aggregate_is_deterministic_min(spark, kg):
             "SELECT (SAMPLE(DISTINCT ?g) AS ?one) WHERE { "
             "?g biolink:in_taxon ?t }",
             nodes, edges)
+
+
+def test_filter_strfuncs(spark, kg):
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        'SELECT ?x ?c WHERE { ?x biolink:category ?c . '
+        'FILTER( STRSTARTS(?c, "biolink:Gen") ) }',
+        nodes, edges)
+    rows = out.collect()
+    assert rows and all(r["c"].startswith("biolink:Gen") for r in rows)
+
+    out2 = sparql_select(
+        spark,
+        'SELECT ?x ?c WHERE { ?x biolink:category ?c . '
+        'FILTER( CONTAINS(?c, "Taxon") ) . FILTER( STRENDS(?x, "1") ) }',
+        nodes, edges)
+    rows2 = out2.collect()
+    assert rows2
+    for r in rows2:
+        assert "Taxon" in r["c"] and r["x"].endswith("1")
+
+
+def test_filter_in_notin(spark, kg):
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        'SELECT ?x ?c WHERE { ?x biolink:category ?c . '
+        'FILTER( ?c IN ("biolink:GenomicEntity", "biolink:OrganismTaxon") ) }',
+        nodes, edges)
+    cats = {r["c"] for r in out.collect()}
+    assert cats == {"biolink:GenomicEntity", "biolink:OrganismTaxon"}
+
+    out2 = sparql_select(
+        spark,
+        'SELECT ?x ?c WHERE { ?x biolink:category ?c . '
+        'FILTER( ?c NOT IN ("biolink:GenomicEntity") ) }',
+        nodes, edges)
+    rows3 = out2.collect()
+    assert rows3
+    assert all(r["c"] != "biolink:GenomicEntity" for r in rows3)
+
+
+def test_filter_in_empty_list_rejected(spark, kg):
+    import pytest as _pytest
+
+    from ecokg_spark.query import SparqlError, sparql_select
+
+    nodes, edges = kg
+    with _pytest.raises(SparqlError):
+        sparql_select(
+            spark,
+            'SELECT ?x WHERE { ?x biolink:category ?c . '
+            'FILTER( ?c IN () ) }',
+            nodes, edges)
