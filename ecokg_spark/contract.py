@@ -6545,6 +6545,77 @@ WHERE 'SZ:' || CAST(p_size AS VARCHAR) IN ('SZ:1', 'SZ:5', 'SZ:9')
 """
 
 
+def q_distance_distribution(spark, sf):
+    """Graph distance distribution (operators/graph.py
+    distance_distribution): per-radius neighborhood-function totals over
+    the hyperball fixture graph; the oracle reuses the hyperball CTE
+    chain and aggregates the identical rounded estimates."""
+    from ecokg_spark.operators.graph import distance_distribution
+
+    e = t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("g"), F.col("event_id") % 997).alias("src"),
+        F.concat(F.lit("g"), (F.col("event_id") * 31 + 7) % 997).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return distance_distribution(edges, radius=2, p=8)
+
+
+SQL_DISTANCE_DISTRIBUTION = f"""
+WITH hb AS ({SQL_HYPERBALL}),
+per_r AS (
+  SELECT r, ROUND(SUM(estimate), 4) AS reachable_pairs FROM hb GROUP BY r),
+tot AS (SELECT reachable_pairs AS t FROM per_r WHERE r = 2)
+SELECT r, reachable_pairs,
+       ROUND(reachable_pairs / t, 4) AS fraction
+FROM per_r CROSS JOIN tot
+"""
+
+
+def q_join_stream(spark, sf):
+    """Stream-stream windowed inner join (streaming/joins.py
+    windowed_stream_join): click x purchase attribution within 30
+    minutes per user, both sides file-source streams drained with
+    availableNow into an append memory sink; inner-join watermark
+    independence makes the batch join the exact oracle."""
+    import tempfile
+
+    from ecokg_spark.streaming.joins import windowed_stream_join
+
+    e = t(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"))
+    buys = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("bts"),
+        F.col("event_id").alias("buy_id"))
+    csrc = tempfile.mkdtemp(prefix="ecokg_ssj_c_")
+    bsrc = tempfile.mkdtemp(prefix="ecokg_ssj_b_")
+    clicks.write.mode("overwrite").parquet(csrc)
+    buys.write.mode("overwrite").parquet(bsrc)
+    cs = spark.readStream.schema(clicks.schema).parquet(csrc)
+    bs = spark.readStream.schema(buys.schema).parquet(bsrc)
+    joined = windowed_stream_join(
+        cs, bs, "user_id", "cts", "bts", window_s=1800
+    ).select("user_id", "click_id", "buy_id")
+    _STREAM_SEQ[0] += 1
+    name = f"ssj_stream_{_STREAM_SEQ[0]}"
+    ck = tempfile.mkdtemp(prefix="ecokg_ssj_ck_")
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SQL_JOIN_STREAM = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id
+FROM events c JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1800 SECONDS
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6727,6 +6798,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_kmeans": q_semdedup_kmeans,
     "sparql_strfuncs": q_sparql_strfuncs,
     "sparql_in": q_sparql_in,
+    "distance_distribution": q_distance_distribution,
+    "join_stream": q_join_stream,
 }
 
 ORACLES: dict[str, str] = {
@@ -6906,6 +6979,8 @@ ORACLES: dict[str, str] = {
     "semdedup_kmeans": SQL_SEMDEDUP_KMEANS,
     "sparql_strfuncs": SQL_SPARQL_STRFUNCS,
     "sparql_in": SQL_SPARQL_IN,
+    "distance_distribution": SQL_DISTANCE_DISTRIBUTION,
+    "join_stream": SQL_JOIN_STREAM,
 }
 
 

@@ -392,3 +392,4 @@ def flesch_reading_ease(col: Column | str) -> Column:
     score = (F.lit(206.835) - F.lit(1.015) * (words / sents)
              - F.lit(84.6) * (syll / words))
     return F.when(words > 0, F.round(score, 4))
+

@@ -629,3 +629,40 @@ def hyperball(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.select("id", "r", "n_buckets_used", "estimate")
+
+
+def distance_distribution(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    radius: int = 3,
+    p: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Graph distance distribution from HyperBall: for each radius r, the
+    estimated number of reachable pairs within distance r (the
+    neighborhood function N(r) = sum over nodes of |ball(v, r)|) and its
+    fraction of N(radius) — the curve effective-diameter statements are
+    read off of (Boldi & Vigna 2013 §2: the smallest r with
+    N(r)/N(max) >= 0.9 is the 90% effective diameter, computed here by
+    the caller from the returned fractions so the cut stays explicit).
+
+    One hyperball run + one k-row aggregate per radius; the per-node
+    estimates are summed exactly as emitted (already rounded), so the
+    oracle recomputes the identical sum. Returns
+    (r, reachable_pairs, fraction) with fraction rounded to `round_to`.
+    """
+    nf = hyperball(edges, src=src, dst=dst, radius=radius, p=p,
+                   round_to=round_to)
+    per_r = nf.groupBy("r").agg(
+        F.round(F.sum("estimate"), round_to).alias("reachable_pairs"))
+    total = per_r.where(F.col("r") == radius).select(
+        F.col("reachable_pairs").alias("_t"))
+    return (
+        per_r.crossJoin(F.broadcast(total))
+        .select(
+            "r", "reachable_pairs",
+            F.round(F.col("reachable_pairs") / F.col("_t"), round_to)
+            .alias("fraction"),
+        )
+    )

@@ -320,3 +320,18 @@ def test_hyperball_matches_exact_ball_on_random_graph(spark):
             used, est = got[(node, r)]
             assert used == exp_used and abs(est - exp_est) < 1e-3, (
                 node, r, (used, est), (exp_used, exp_est))
+
+
+def test_distance_distribution_monotone(spark):
+    from ecokg_spark.operators.graph import distance_distribution
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("b", "e"), ("f", "a")],
+        "src string, dst string")
+    out = {r["r"]: (r["reachable_pairs"], r["fraction"])
+           for r in distance_distribution(e, radius=3, p=8).collect()}
+    pairs = [out[r][0] for r in range(4)]
+    assert pairs == sorted(pairs)          # N(r) is monotone
+    assert abs(out[3][1] - 1.0) < 1e-9     # fraction of max radius is 1
+    # r=0: every node reaches itself only -> ~|V| = 6
+    assert abs(out[0][0] - 6) / 6 < 0.05

@@ -270,3 +270,41 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
     streamed = sorted(map(tuple, spark.read.parquet(out).collect()))
     whole = sorted(map(tuple, hll_registers(d, "v", p=10).collect()))
     assert streamed == whole
+
+
+def test_windowed_stream_join_batch_parity(spark, tmp_path):
+    """Stream-stream inner join drained with availableNow equals the
+    identical batch join (inner-join watermark independence)."""
+    import datetime as dt
+
+    from ecokg_spark.streaming.joins import windowed_stream_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    clicks = [(u, t0 + dt.timedelta(seconds=s), f"c{u}_{s}")
+              for u in (1, 2) for s in (0, 100, 5000)]
+    buys = [(1, t0 + dt.timedelta(seconds=50), "b1"),
+            (1, t0 + dt.timedelta(seconds=1900), "b2"),   # outside 1800s of s=0, inside of s=100
+            (2, t0 + dt.timedelta(seconds=5100), "b3"),
+            (3, t0 + dt.timedelta(seconds=10), "b4")]     # no matching user
+    cdf = spark.createDataFrame(clicks, "user_id long, cts timestamp, click_id string")
+    bdf = spark.createDataFrame(buys, "user_id long, bts timestamp, buy_id string")
+
+    batch = windowed_stream_join(cdf, bdf, "user_id", "cts", "bts",
+                                 window_s=1800).select("click_id", "buy_id")
+    expected = sorted(map(tuple, batch.collect()))
+    assert expected  # non-trivial fixture
+
+    csrc, bsrc = str(tmp_path / "c"), str(tmp_path / "b")
+    cdf.write.parquet(csrc)
+    bdf.write.parquet(bsrc)
+    cs = spark.readStream.schema(cdf.schema).parquet(csrc)
+    bs = spark.readStream.schema(bdf.schema).parquet(bsrc)
+    joined = windowed_stream_join(cs, bs, "user_id", "cts", "bts",
+                                  window_s=1800).select("click_id", "buy_id")
+    q = (joined.writeStream.format("memory").queryName("ssj_parity")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("ssj_parity").collect()))
+    assert got == expected
