@@ -6616,6 +6616,92 @@ FROM events c JOIN events p
 """
 
 
+def _synth_robots(spark, sf):
+    """Per-nation robots.txt corpus: a '*' group (disallow + longer
+    allow), a blank line, and an ecobot group whose Disallow is EMPTY for
+    even keys (no-restriction rule, must vanish) and a real path for odd
+    keys. Shared by robots_rules / robots_check."""
+    n = t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    txt = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\nDisallow: /n"), k,
+        F.lit("\nAllow: /n"), k, F.lit("/ok\n\nUser-agent: ecobot\n"),
+        F.when(k % 2 == 1, F.concat(F.lit("Disallow: /eco"), k))
+         .otherwise(F.lit("Disallow:")),
+    )
+    return n.select(
+        F.concat(F.lit("h"), k, F.lit(".example.org")).alias("host"),
+        txt.alias("robots_txt"))
+
+
+def q_robots_rules(spark, sf):
+    """robots.txt parsing (operators/web.py parse_robots): group
+    formation, comment stripping, empty-Disallow drop; the oracle
+    recomputes the expected rule table straight from the generator
+    arithmetic."""
+    from ecokg_spark.operators.web import parse_robots
+
+    return parse_robots(_synth_robots(spark, sf))
+
+
+SQL_ROBOTS_RULES = """
+SELECT 'h' || n_nationkey || '.example.org' AS host, '*' AS agent,
+       'disallow' AS rule, '/n' || n_nationkey AS path FROM nation
+UNION ALL
+SELECT 'h' || n_nationkey || '.example.org', '*', 'allow',
+       '/n' || n_nationkey || '/ok' FROM nation
+UNION ALL
+SELECT 'h' || n_nationkey || '.example.org', 'ecobot', 'disallow',
+       '/eco' || n_nationkey
+FROM nation WHERE n_nationkey % 2 = 1
+"""
+
+
+def q_robots_check(spark, sf):
+    """robots permission evaluation (operators/web.py robots_allowed,
+    agent without an exact group -> '*' rules): four URL shapes per host
+    exercise block, longer-allow override, no-match default, and the
+    prefix (no-boundary) matching rule."""
+    from ecokg_spark.operators.web import parse_robots, robots_allowed
+
+    rules = parse_robots(_synth_robots(spark, sf))
+    d = t(spark, sf, "documents")
+    k = F.col("doc_id") % 25
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/n"), k))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("/n"), k, F.lit("/ok/page")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("/other"))
+        .otherwise(F.concat(F.lit("/n"), k, F.lit("x")))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), k, F.lit(".example.org"), path)
+         .alias("url"))
+    out = robots_allowed(urls, rules, agent="randombot")
+    return out.select("doc_id", "url", "allowed", "matched_rule",
+                      "matched_path")
+
+
+SQL_ROBOTS_CHECK = """
+WITH u AS (
+  SELECT doc_id, doc_id % 25 AS k, doc_id % 4 AS m FROM documents)
+SELECT doc_id,
+       'https://h' || k || '.example.org' ||
+         CASE m WHEN 0 THEN '/n' || k
+                WHEN 1 THEN '/n' || k || '/ok/page'
+                WHEN 2 THEN '/other'
+                ELSE '/n' || k || 'x' END AS url,
+       CASE m WHEN 0 THEN FALSE WHEN 1 THEN TRUE WHEN 2 THEN TRUE
+              ELSE FALSE END AS allowed,
+       CASE m WHEN 0 THEN 'disallow' WHEN 1 THEN 'allow'
+              WHEN 3 THEN 'disallow' END AS matched_rule,
+       CASE m WHEN 0 THEN '/n' || k WHEN 1 THEN '/n' || k || '/ok'
+              WHEN 3 THEN '/n' || k END AS matched_path
+FROM u
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6800,6 +6886,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_in": q_sparql_in,
     "distance_distribution": q_distance_distribution,
     "join_stream": q_join_stream,
+    "robots_rules": q_robots_rules,
+    "robots_check": q_robots_check,
 }
 
 ORACLES: dict[str, str] = {
@@ -6981,6 +7069,8 @@ ORACLES: dict[str, str] = {
     "sparql_in": SQL_SPARQL_IN,
     "distance_distribution": SQL_DISTANCE_DISTRIBUTION,
     "join_stream": SQL_JOIN_STREAM,
+    "robots_rules": SQL_ROBOTS_RULES,
+    "robots_check": SQL_ROBOTS_CHECK,
 }
 
 

@@ -306,3 +306,51 @@ def audio_chunk_plan(
         start.cast("long").alias("start_ms"),
         end.cast("long").alias("end_ms"),
     )
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    duration_ms_col: str = "duration_ms",
+    fps_col: str | None = None,
+    fps: int = 30,
+    every_n: int = 30,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Frame-sampling plan for video (the CLIP-embed / caption-training
+    prep stage): one row per sampled frame with its frame index and
+    timestamp, taking every `every_n`-th frame of an `fps` stream,
+    optionally capped at `max_frames` per item (uniform head sample —
+    the common budget rule for very long videos). `fps_col` overrides
+    the constant rate per item when the corpus is mixed-rate.
+
+    All integer arithmetic (total frames = duration_ms * fps div 1000;
+    ceil via (a + b - 1) div b; timestamps = frame_idx * 1000 div fps),
+    so the plan is exactly recomputable anywhere; planning is sequence +
+    explode, zero UDF, fanout = duration * fps / every_n rows per item,
+    known in advance. The decode stage this feeds is
+    extract_media_features' mapInPandas shape. Returns
+    (id, frame_idx, ts_ms, n_sampled).
+    """
+    if every_n <= 0 or fps <= 0:
+        raise ValueError(f"need fps > 0 and every_n > 0; got {fps=}, "
+                         f"{every_n=}")
+    rate_sql = f"cast({fps_col} as bigint)" if fps_col else str(fps)
+    total_sql = f"(cast({duration_ms_col} as bigint) * {rate_sql} div 1000)"
+    n_sampled = F.expr(f"({total_sql} + {every_n - 1}) div {every_n}")
+    if max_frames is not None:
+        n_sampled = F.least(n_sampled, F.lit(max_frames).cast("long"))
+    base = df.select(
+        F.col(id_col),
+        (F.col(fps_col).cast("long") if fps_col
+         else F.lit(fps).cast("long")).alias("_fps"),
+        n_sampled.alias("_n"),
+    ).where(F.col("_n") > 0)
+    idx = F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i")
+    return base.select(F.col(id_col), idx, "_fps", "_n").select(
+        F.col(id_col),
+        (F.col("_i") * every_n).cast("long").alias("frame_idx"),
+        F.expr(f"_i * {every_n} * 1000 div _fps").cast("long")
+        .alias("ts_ms"),
+        F.col("_n").cast("long").alias("n_sampled"),
+    )

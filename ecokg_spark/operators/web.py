@@ -329,3 +329,100 @@ def canonical_meta(
         robots.rlike("(^|[ ,])noindex([ ,]|$)").alias("noindex"),
         robots.rlike("(^|[ ,])nofollow([ ,]|$)").alias("nofollow"),
     )
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse a robots.txt corpus into per-(host, agent) path rules — the
+    politeness layer of a crawl pipeline (RFC 9309). Handles the core
+    grammar: comment stripping (#...), case-insensitive directive keys,
+    User-agent group formation (a contiguous RUN of User-agent lines
+    opens a group; following Allow/Disallow rules attach to every agent
+    in the run), empty Disallow values dropped (an empty pattern imposes
+    no restriction). Wildcard patterns (*, $) are NOT expanded — rules
+    are path PREFIXES, the original-REP subset; robots_allowed matches
+    accordingly.
+
+    Scale shape: one posexplode per file (files are KB-sized), then the
+    group-island numbering is a lag + running-sum window over ONE shuffle
+    on the host, and the agent x rule attach is an equi-join on
+    (host, group). Returns (host, agent, rule, path) with rule in
+    {'allow', 'disallow'}.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_raw"),
+    )
+    line = F.trim(F.regexp_replace(F.col("_raw"), "#.*$", ""))
+    key = F.lower(F.regexp_extract(line, r"^([A-Za-z-]+)\s*:", 1))
+    val = F.trim(F.regexp_extract(line, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    parsed = (
+        lines.select("host", "_ln", key.alias("_key"), val.alias("_val"))
+        .where(F.col("_key").isin("user-agent", "allow", "disallow"))
+    )
+    w = Window.partitionBy("host").orderBy("_ln")
+    is_ua = F.col("_key") == "user-agent"
+    prev_ua = F.lag(is_ua).over(w)
+    opens = (is_ua & (prev_ua.isNull() | ~prev_ua)).cast("int")
+    grouped = parsed.withColumn(
+        "_grp", F.sum(opens).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    agents = grouped.where(is_ua).select(
+        "host", "_grp", F.lower(F.col("_val")).alias("agent"))
+    rules = grouped.where(~is_ua & (F.col("_val") != "")).select(
+        "host", "_grp", F.col("_key").alias("rule"),
+        F.col("_val").alias("path"))
+    return agents.join(rules, ["host", "_grp"]).select(
+        "host", "agent", "rule", "path")
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Evaluate crawl permission per URL against parse_robots output,
+    with RFC 9309 precedence: the most specific matching GROUP wins
+    (exact-agent rules, when any exist for the host, shadow '*' rules
+    entirely), then the longest matching path prefix wins, with Allow
+    beating Disallow on equal length; no matching rule means allowed.
+
+    Scale shape: rules tables are site-metadata-sized (broadcast); the
+    per-URL longest-match is a row_number over (prefix-length DESC,
+    rule ASC) window keyed by ALL input columns (so duplicate URLs on
+    distinct rows each keep their verdict) — one shuffle of the matched
+    subset. Returns urls plus (allowed, matched_rule, matched_path).
+    """
+    from ecokg_spark.functions.url import url_host, url_path
+
+    a = agent.lower()
+    r = rules.where(F.col("agent").isin(a, "*"))
+    wh = Window.partitionBy("host")
+    r = (r.withColumn("_exact", (F.col("agent") == a).cast("int"))
+         .withColumn("_has_exact", F.max("_exact").over(wh))
+         .where(F.col("_exact") == F.col("_has_exact"))
+         .select("host", "rule", "path"))
+    u = urls.select(
+        "*", url_host(url_col).alias("_uhost"),
+        F.when(url_path(url_col) == "", "/")
+         .otherwise(url_path(url_col)).alias("_upath"))
+    j = u.join(F.broadcast(r), u["_uhost"] == r["host"], "left")
+    m = j.withColumn(
+        "_match", F.col("path").isNotNull()
+        & F.col("_upath").startswith(F.col("path")))
+    wu = Window.partitionBy(*urls.columns).orderBy(
+        F.when(F.col("_match"), F.length("path")).otherwise(-1).desc(),
+        F.col("rule").asc_nulls_last())
+    best = (m.withColumn("_rn", F.row_number().over(wu))
+            .where(F.col("_rn") == 1))
+    return best.select(
+        *[c for c in urls.columns],
+        (~(F.col("_match") & (F.col("rule") == "disallow")))
+        .alias("allowed"),
+        F.when(F.col("_match"), F.col("rule")).alias("matched_rule"),
+        F.when(F.col("_match"), F.col("path")).alias("matched_path"),
+    )

@@ -162,3 +162,41 @@ def test_audio_chunk_plan_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, 1000)], "doc_id long, duration_ms long")
     with _pytest.raises(ValueError, match="overlap_ms"):
         audio_chunk_plan(df, chunk_ms=10, overlap_ms=10)
+
+
+def test_frame_sample_plan(spark):
+    from ecokg_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame(
+        [(1, 2000, 30), (2, 100, 30), (3, 0, 30), (4, 10_000, 10)],
+        "doc_id long, duration_ms long, fps int")
+    out = frame_sample_plan(media, fps_col="fps", every_n=30).collect()
+    rows = {}
+    for r in out:
+        rows.setdefault(r["doc_id"], []).append(
+            (r["frame_idx"], r["ts_ms"], r["n_sampled"]))
+    # item 1: 2000ms @30fps = 60 frames -> ceil(60/30) = 2 samples
+    assert sorted(rows[1]) == [(0, 0, 2), (30, 1000, 2)]
+    # item 2: 100ms @30fps = 3 frames -> 1 sample at t=0
+    assert rows[2] == [(0, 0, 1)]
+    # item 3: zero duration -> no rows
+    assert 3 not in rows
+    # item 4: 10s @10fps = 100 frames -> ceil(100/30) = 4 samples;
+    # ts = idx*30*1000 div 10
+    assert sorted(rows[4]) == [(0, 0, 4), (30, 3000, 4),
+                               (60, 6000, 4), (90, 9000, 4)]
+
+
+def test_frame_sample_plan_cap(spark):
+    from ecokg_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame(
+        [(1, 3_600_000)], "doc_id long, duration_ms long")
+    out = frame_sample_plan(media, fps=30, every_n=30,
+                            max_frames=10).collect()
+    assert len(out) == 10 and all(r["n_sampled"] == 10 for r in out)
+    assert max(r["frame_idx"] for r in out) == 270
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        frame_sample_plan(media, every_n=0)

@@ -250,3 +250,66 @@ def test_canonical_meta(spark):
     assert c["canonical_final"] == "https://c.com/q" and not c["noindex"]
     # directives are case-insensitive
     assert got["https://d.com/r"]["noindex"]
+
+
+ROBOTS_TXT = """# example robots
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+
+User-agent: ecobot
+User-agent: otherbot
+Disallow: /eco-only
+Disallow:
+Allow: /
+
+User-agent: greedy
+Disallow: /
+"""
+
+
+def test_parse_robots_groups(spark):
+    from ecokg_spark.operators.web import parse_robots
+
+    df = spark.createDataFrame([("a.com", ROBOTS_TXT)],
+                               "host string, robots_txt string")
+    got = sorted(tuple(r) for r in parse_robots(df).collect())
+    assert got == [
+        ("a.com", "*", "allow", "/private/ok"),
+        ("a.com", "*", "disallow", "/private"),
+        # the contiguous UA run shares its rules; empty Disallow dropped
+        ("a.com", "ecobot", "allow", "/"),
+        ("a.com", "ecobot", "disallow", "/eco-only"),
+        ("a.com", "greedy", "disallow", "/"),
+        ("a.com", "otherbot", "allow", "/"),
+        ("a.com", "otherbot", "disallow", "/eco-only"),
+    ]
+
+
+def test_robots_allowed_precedence(spark):
+    from ecokg_spark.operators.web import parse_robots, robots_allowed
+
+    rules = parse_robots(spark.createDataFrame(
+        [("a.com", ROBOTS_TXT)], "host string, robots_txt string"))
+    urls = spark.createDataFrame(
+        [("https://a.com/private/x",),       # * disallow /private
+         ("https://a.com/private/ok/y",),    # longer allow wins
+         ("https://a.com/public",),          # no rule -> allowed
+         ("https://b.com/anything",)],       # unknown host -> allowed
+        "url string")
+    star = {r["url"]: (r["allowed"], r["matched_path"])
+            for r in robots_allowed(urls, rules, agent="randombot").collect()}
+    assert star["https://a.com/private/x"] == (False, "/private")
+    assert star["https://a.com/private/ok/y"] == (True, "/private/ok")
+    assert star["https://a.com/public"] == (True, None)
+    assert star["https://b.com/anything"] == (True, None)
+
+    # exact-agent group shadows '*' entirely: /private is fine for ecobot
+    eco = {r["url"]: (r["allowed"], r["matched_path"])
+           for r in robots_allowed(urls, rules, agent="EcoBot").collect()}
+    assert eco["https://a.com/private/x"] == (True, "/")
+    # greedy is fully blocked
+    greedy = {r["url"]: r["allowed"]
+              for r in robots_allowed(urls, rules, agent="greedy").collect()}
+    assert greedy["https://a.com/public"] is False
+    assert greedy["https://b.com/anything"] is True
