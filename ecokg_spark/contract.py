@@ -6702,6 +6702,114 @@ FROM u
 """
 
 
+def q_frame_sample(spark, sf):
+    """Video frame-sampling plan (operators/multimodal.py
+    frame_sample_plan): per-item durations and mixed frame rates derived
+    from nation keys; every-24th frame, capped at 8 — all integer div
+    arithmetic, exactly recomputable."""
+    from ecokg_spark.operators.multimodal import frame_sample_plan
+
+    n = t(spark, sf, "nation")
+    media = n.select(
+        F.col("n_nationkey").alias("doc_id"),
+        (F.col("n_nationkey") * 700 + 300).alias("duration_ms"),
+        (F.when(F.col("n_nationkey") % 3 == 0, 24)
+          .when(F.col("n_nationkey") % 3 == 1, 30)
+          .otherwise(60)).alias("fps"),
+    )
+    return frame_sample_plan(media, fps_col="fps", every_n=24,
+                             max_frames=8)
+
+
+SQL_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT n_nationkey AS doc_id,
+         n_nationkey * 700 + 300 AS duration_ms,
+         CASE n_nationkey % 3 WHEN 0 THEN 24 WHEN 1 THEN 30
+              ELSE 60 END AS fps
+  FROM nation),
+c AS (
+  SELECT doc_id, fps,
+         least((duration_ms * fps // 1000 + 23) // 24, 8) AS n
+  FROM m),
+x AS (SELECT doc_id, fps, n, unnest(range(0, n)) AS i FROM c WHERE n > 0)
+SELECT doc_id, CAST(i * 24 AS BIGINT) AS frame_idx,
+       CAST(i * 24 * 1000 // fps AS BIGINT) AS ts_ms,
+       CAST(n AS BIGINT) AS n_sampled
+FROM x
+"""
+
+
+def q_web_canonical_dedup(spark, sf):
+    """Composed crawl-normalization chain: canonical_meta verdicts ->
+    noindex drop -> redirect resolution over the declared canonical
+    edges (pointer doubling collapses canonical-of-canonical chains) ->
+    exact dedup on the final landing URL with min-doc_id survivor and
+    collapse counts. Each stage is individually certified
+    (canonical_meta / redirect_resolve / exact-dedup family); this row
+    certifies the composition. Canonical targets point at OTHER
+    documents' URLs (doc_id -> doc_id div 10 * 10), so chains are 2
+    hops deep and every block of 10 docs collapses onto its head."""
+    from ecokg_spark.operators.web import canonical_meta, resolve_redirects
+
+    d = t(spark, sf, "documents")
+    url = F.concat(F.lit("https://w"), F.col("doc_id") % 7,
+                   F.lit(".example.org/d/"), F.col("doc_id"))
+    canon_target = F.concat(
+        F.lit("https://w"), (F.expr("doc_id div 10 * 10")) % 7,
+        F.lit(".example.org/d/"), F.expr("doc_id div 10 * 10"))
+    canon_tag = F.when(
+        F.col("doc_id") % 10 != 0,
+        F.concat(F.lit('<link rel="canonical" href="'), canon_target,
+                 F.lit('"/>')),
+    ).otherwise(F.lit(""))
+    robots_tag = F.when(
+        F.col("doc_id") % 50 == 3,
+        F.lit('<meta name="robots" content="noindex">')).otherwise(F.lit(""))
+    html = F.concat(F.lit("<head>"), canon_tag, robots_tag,
+                    F.lit("</head>"))
+    pages = d.select(F.col("doc_id"), url.alias("url"),
+                     F.encode(html, "UTF-8").alias("html"))
+    meta = canonical_meta(pages)
+    kept = meta.where(~F.col("noindex"))
+    edges = kept.where(F.col("canonical_url") != "").select(
+        F.col("url").alias("src"), F.col("canonical_url").alias("dst"))
+    resolved = resolve_redirects(edges)
+    final = (
+        kept.join(resolved, kept["url"] == resolved["src"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("final_url", F.col("canonical_final"))
+            .alias("landing_url"),
+        )
+    )
+    return final.groupBy("landing_url").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_collapsed"),
+    )
+
+
+SQL_WEB_CANONICAL_DEDUP = """
+WITH d AS (
+  SELECT doc_id,
+         'https://w' || (doc_id % 7) || '.example.org/d/' || doc_id AS url,
+         'https://w' || ((doc_id // 10 * 10) % 7) || '.example.org/d/'
+           || (doc_id // 10 * 10) AS canon,
+         doc_id % 10 <> 0 AS has_canon,
+         doc_id % 50 = 3 AS noindex
+  FROM documents),
+kept AS (SELECT * FROM d WHERE NOT noindex),
+-- every declared canonical points at the block head (doc_id div 10*10),
+-- whose own page declares NO canonical -> chains resolve in one hop
+landed AS (
+  SELECT doc_id, CASE WHEN has_canon THEN canon ELSE url END AS landing_url
+  FROM kept)
+SELECT landing_url, MIN(doc_id) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_collapsed
+FROM landed GROUP BY landing_url
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6888,6 +6996,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_stream": q_join_stream,
     "robots_rules": q_robots_rules,
     "robots_check": q_robots_check,
+    "frame_sample": q_frame_sample,
+    "web_canonical_dedup": q_web_canonical_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -7071,6 +7181,8 @@ ORACLES: dict[str, str] = {
     "join_stream": SQL_JOIN_STREAM,
     "robots_rules": SQL_ROBOTS_RULES,
     "robots_check": SQL_ROBOTS_CHECK,
+    "frame_sample": SQL_FRAME_SAMPLE,
+    "web_canonical_dedup": SQL_WEB_CANONICAL_DEDUP,
 }
 
 
