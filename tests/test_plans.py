@@ -383,3 +383,72 @@ def test_inverse_candidates_broadcasts_predicate_sizes(spark):
     plan = physical_plan(df)
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_map_side(spark):
+    """The Lloyd assignment stage is pure map-side: centroids ride as
+    literals, so the plan has ZERO exchanges and no Python stage."""
+    from ecokg_spark.operators.embed import _assign_clusters
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [[0.1] * 64, [0.5] * 64, [0.9] * 64]
+    out = _assign_clusters(e, "embedding", "vec_id", cents, 9)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 0, plan
+    assert "Python" not in plan
+
+
+def test_anchor_texts_partial_topk(spark):
+    """The per-host rank<=k filter must hit WindowGroupLimit (partial
+    top-k before the final sort), and extraction stays UDF-free."""
+    from ecokg_spark.operators.web import anchor_texts
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    pages = d.select(
+        F.concat(F.lit("https://h"), F.col("doc_id") % 5,
+                 F.lit(".org/p")).alias("url"),
+        F.encode(F.concat(F.lit('<a href="/x">t</a>'), F.col("text")),
+                 "UTF-8").alias("html"))
+    out = anchor_texts(pages, k=3)
+    plan = physical_plan(out)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Python" not in plan
+
+
+def test_chunk_sliding_no_shuffle(spark):
+    """Chunk fanout pipelines with the scan: zero exchanges, no UDF."""
+    from ecokg_spark.operators.pack import chunk_sliding
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = chunk_sliding(d, size=16, stride=12)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 0, plan
+    assert "Python" not in plan
+
+
+def test_kg_negatives_broadcasts_picks(spark):
+    """The choice table joins map-side (broadcast); the only non-
+    broadcast shuffle is the filtered-protocol anti-join."""
+    from ecokg_spark.operators.kgtrain import kg_negative_samples
+
+    s = spark.read.parquet(f"{SF}/supplier.parquet")
+    triples = s.select(
+        F.concat(F.lit("S:"), F.col("s_suppkey")).alias("subject"),
+        F.lit("p").alias("predicate"),
+        F.concat(F.lit("N:"), F.col("s_nationkey")).alias("object"))
+    out = kg_negative_samples(triples, k=2, buckets=16)
+    assert has_broadcast_join(out)
+
+
+def test_canonical_meta_rides_the_scan(spark):
+    """Verdict columns are projections — zero exchanges, no UDF."""
+    from ecokg_spark.operators.web import canonical_meta
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    pages = d.select(
+        F.concat(F.lit("https://h"), F.col("doc_id")).alias("url"),
+        F.encode("text", "UTF-8").alias("html"))
+    out = canonical_meta(pages)
+    plan = physical_plan(out)
+    assert count_exchanges(out) == 0, plan
+    assert "Python" not in plan
