@@ -6810,6 +6810,69 @@ FROM landed GROUP BY landing_url
 """
 
 
+def q_rollup_cube(spark, sf):
+    """Hierarchical subtotal aggregation (SURVEY §2.4 OLAP surface):
+    Spark's .rollup over (source, lang) with grouping-set ids — the
+    graph-stats YAML's facet rollup generalized to the standard ROLLUP
+    form. NULL group keys are disambiguated from real NULLs via
+    grouping(), emitted as the literal 'ALL'."""
+    d = t(spark, sf, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("n_chars"),
+             F.grouping("source").alias("_gs"),
+             F.grouping("lang").alias("_gl"))
+        .select(
+            F.when(F.col("_gs") == 1, F.lit("ALL"))
+             .otherwise(F.col("source")).alias("source"),
+            F.when(F.col("_gl") == 1, F.lit("ALL"))
+             .otherwise(F.col("lang")).alias("lang"),
+            "n_docs", "n_chars",
+        )
+    )
+
+
+SQL_ROLLUP_CUBE = """
+SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+
+def q_pivot_events(spark, sf):
+    """Wide-format pivot (SURVEY §2.4): per-user event counts spread
+    into one column per event type — Spark groupBy().pivot() with an
+    explicit value list (never the distinct-scan inference at scale);
+    the oracle is conditional aggregation, the engine-portable pivot
+    form."""
+    e = t(spark, sf, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (e.groupBy("user_id")
+           .pivot("event_type", types)
+           .agg(F.count(F.lit(1))))
+    for c in types:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+    return out
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+         AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+         AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS error
+FROM events GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6998,6 +7061,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_check": q_robots_check,
     "frame_sample": q_frame_sample,
     "web_canonical_dedup": q_web_canonical_dedup,
+    "rollup_cube": q_rollup_cube,
+    "pivot_events": q_pivot_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -7183,6 +7248,8 @@ ORACLES: dict[str, str] = {
     "robots_check": SQL_ROBOTS_CHECK,
     "frame_sample": SQL_FRAME_SAMPLE,
     "web_canonical_dedup": SQL_WEB_CANONICAL_DEDUP,
+    "rollup_cube": SQL_ROLLUP_CUBE,
+    "pivot_events": SQL_PIVOT_EVENTS,
 }
 
 
