@@ -6873,6 +6873,55 @@ FROM events GROUP BY user_id
 """
 
 
+def q_sparql_describe(spark, sf):
+    """SPARQL DESCRIBE form (query.py sparql_describe, the symmetric
+    1-hop CBD over the two-table graph): describe every part with
+    size 5 — its has_size edges plus its category triple."""
+    from ecokg_spark.query import sparql_describe
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_describe(
+        spark, "DESCRIBE ?x WHERE { ?x biolink:has_size SZ:5 }",
+        nodes, edges)
+
+
+SQL_SPARQL_DESCRIBE = """
+SELECT DISTINCT 'P:' || p_partkey AS subject,
+       'biolink:has_size' AS predicate,
+       'SZ:' || p_size AS object
+FROM part WHERE p_size = 5
+UNION
+SELECT DISTINCT 'P:' || p_partkey, 'biolink:category', p_brand
+FROM part WHERE p_size = 5
+"""
+
+
+def q_harmonic_centrality(spark, sf):
+    """Truncated harmonic centrality from HyperBall (operators/graph.py
+    harmonic_centrality): newly-reached-at-r nodes contribute 1/r; the
+    oracle derives the same differences from the hyperball CTE chain
+    with a lag window."""
+    from ecokg_spark.operators.graph import harmonic_centrality
+
+    e = t(spark, sf, "events")
+    edges = e.select(
+        F.concat(F.lit("g"), F.col("event_id") % 997).alias("src"),
+        F.concat(F.lit("g"), (F.col("event_id") * 31 + 7) % 997).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return harmonic_centrality(edges, radius=2, p=8)
+
+
+SQL_HARMONIC_CENTRALITY = f"""
+WITH hb AS ({SQL_HYPERBALL}),
+d AS (SELECT id, r, estimate,
+             LAG(estimate) OVER (PARTITION BY id ORDER BY r) AS prev
+      FROM hb)
+SELECT id, ROUND(SUM(CASE WHEN r > 0 THEN (estimate - prev) / r END), 4)
+         AS harmonic
+FROM d GROUP BY id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7063,6 +7112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "web_canonical_dedup": q_web_canonical_dedup,
     "rollup_cube": q_rollup_cube,
     "pivot_events": q_pivot_events,
+    "sparql_describe": q_sparql_describe,
+    "harmonic_centrality": q_harmonic_centrality,
 }
 
 ORACLES: dict[str, str] = {
@@ -7250,6 +7301,8 @@ ORACLES: dict[str, str] = {
     "web_canonical_dedup": SQL_WEB_CANONICAL_DEDUP,
     "rollup_cube": SQL_ROLLUP_CUBE,
     "pivot_events": SQL_PIVOT_EVENTS,
+    "sparql_describe": SQL_SPARQL_DESCRIBE,
+    "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
 }
 
 

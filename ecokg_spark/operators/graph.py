@@ -666,3 +666,38 @@ def distance_distribution(
             .alias("fraction"),
         )
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    radius: int = 3,
+    p: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Harmonic centrality estimated from HyperBall (Boldi & Vigna 2014
+    — the centrality HyperBall was built for): for each node v,
+    sum over r >= 1 of (|ball(v, r)| - |ball(v, r-1)|) / r, i.e. each
+    newly-reached node contributes 1/distance, truncated at `radius`
+    (the published truncated-harmonic form; contributions beyond the
+    truncation decay as 1/r). Over OUT-edges, matching hyperball.
+
+    One hyperball run + a per-node lag window over radius+1 rows — the
+    derivation adds one small shuffle on the node id. The per-radius
+    estimates are already rounded, so the oracle replays the identical
+    differences. Returns (id, harmonic) rounded to `round_to`.
+    """
+    from pyspark.sql import Window
+
+    nf = hyperball(edges, src=src, dst=dst, radius=radius, p=p,
+                   round_to=round_to)
+    w = Window.partitionBy("id").orderBy("r")
+    prev = F.lag("estimate").over(w)
+    contrib = F.when(
+        F.col("r") > 0, (F.col("estimate") - prev) / F.col("r"))
+    return (
+        nf.select("id", "r", contrib.alias("_c"))
+        .groupBy("id")
+        .agg(F.round(F.sum("_c"), round_to).alias("harmonic"))
+    )

@@ -18,6 +18,7 @@ the same queries compile straight to Catalyst plans — no endpoint:
 
     ASK { <same WHERE body> }                       -- sparql_ask()
     CONSTRUCT { pattern+ } WHERE { <body> }         -- sparql_construct()
+    DESCRIBE ?var+ WHERE { <body> }                 -- sparql_describe()
 
     agg      := COUNT([DISTINCT] ?x) | COUNT(*) | MIN(?x) | MAX(?x)
               | SUM(?x) | AVG(?x) | SAMPLE(?x)  (deterministic: MIN)
@@ -1174,3 +1175,55 @@ def sparql_construct(
         F.col("subject").isNotNull() & F.col("predicate").isNotNull()
         & F.col("object").isNotNull()
     ).distinct()
+
+
+_DESCRIBE_RE = re.compile(
+    r"(?is)^\s*DESCRIBE\s+((?:\?\w+\s*)+)WHERE\s*"
+    r"\{((?:[^{}]|\{(?:[^{}]|\{[^{}]*\})*\})*)\}\s*$")
+
+
+def sparql_describe(
+    spark: SparkSession,
+    query: str,
+    nodes: DataFrame,
+    edges: DataFrame,
+) -> DataFrame:
+    """DESCRIBE ?x [?y ...] WHERE { body } -> every edge triple whose
+    subject OR object is a described resource, plus one
+    (id, biolink:category, category) triple per described node — the
+    Concise-Bounded-Description-flavored result most endpoints return
+    (spec §16.4 leaves the description form implementation-defined;
+    this one is the symmetric 1-hop neighborhood over this engine's
+    two-table graph).
+
+    Scale shape: the solution set projects to a distinct resource list,
+    then two LEFT SEMI joins (edges on subject, edges on object) and one
+    on nodes — each a single equi-join the optimizer broadcasts when the
+    resource list is small; the union is distinct because the result is
+    an RDF graph.
+    """
+    m = _DESCRIBE_RE.match(query)
+    if not m:
+        raise SparqlError(f"unsupported DESCRIBE shape: {query!r}")
+    dvars = [v[1:] for v in m.group(1).split()]
+    body = _parse_body(m.group(2))
+    out, bound = _compile_body(nodes, edges, body)
+    missing = [v for v in dvars if v not in bound]
+    if missing:
+        raise SparqlError(f"DESCRIBE references unbound variables: {missing}")
+    res = None
+    for v in dvars:
+        r = out.select(F.col(bound[v]).alias("_r"))
+        res = r if res is None else res.unionByName(r)
+    res = res.distinct()
+    e = edges.select(
+        F.col("subject"), F.col("predicate"), F.col("object"))
+    by_s = e.join(res, e["subject"] == res["_r"], "left_semi")
+    by_o = e.join(res, e["object"] == res["_r"], "left_semi")
+    cat = (
+        nodes.join(res, nodes["id"] == res["_r"], "left_semi")
+        .select(F.col("id").alias("subject"),
+                F.lit(CATEGORY_PRED).alias("predicate"),
+                F.col("category").alias("object"))
+    )
+    return by_s.unionByName(by_o).unionByName(cat).distinct()

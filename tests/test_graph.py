@@ -335,3 +335,17 @@ def test_distance_distribution_monotone(spark):
     assert abs(out[3][1] - 1.0) < 1e-9     # fraction of max radius is 1
     # r=0: every node reaches itself only -> ~|V| = 6
     assert abs(out[0][0] - 6) / 6 < 0.05
+
+
+def test_harmonic_centrality_path(spark):
+    """a -> b -> c: truncated harmonic over out-balls —
+    a: 1/1 + 1/2, b: 1, c: 0 (LinearCounting near-exact at these sizes)."""
+    from ecokg_spark.operators.graph import harmonic_centrality
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")],
+                              "src string, dst string")
+    got = {r["id"]: r["harmonic"]
+           for r in harmonic_centrality(e, radius=3, p=10).collect()}
+    assert abs(got["a"] - 1.5) < 0.05
+    assert abs(got["b"] - 1.0) < 0.05
+    assert abs(got["c"] - 0.0) < 0.01

@@ -1397,3 +1397,34 @@ def test_filter_in_empty_list_rejected(spark, kg):
             'SELECT ?x WHERE { ?x biolink:category ?c . '
             'FILTER( ?c IN () ) }',
             nodes, edges)
+
+
+def test_sparql_describe(spark, kg):
+    from ecokg_spark.query import sparql_describe
+
+    nodes, edges = kg
+    out = sparql_describe(
+        spark,
+        'DESCRIBE ?x WHERE { ?x biolink:in_taxon T:1 }',
+        nodes, edges)
+    got = {tuple(r) for r in out.collect()}
+    # every edge touching G:1 or G:2 (as subject OR object) + categories
+    assert ("G:1", "biolink:in_taxon", "T:1") in got
+    assert ("G:2", "biolink:in_taxon", "T:1") in got
+    assert ("G:1", "biolink:has_phenotype", "P:1") in got
+    assert ("G:1", "biolink:category", "biolink:GenomicEntity") in got
+    assert ("G:2", "biolink:category", "biolink:GenomicEntity") in got
+    # T:1 itself was not described
+    assert ("T:1", "biolink:category", "biolink:OrganismTaxon") not in got
+
+
+def test_sparql_describe_unbound_rejected(spark, kg):
+    import pytest as _pytest
+
+    from ecokg_spark.query import SparqlError, sparql_describe
+
+    nodes, edges = kg
+    with _pytest.raises(SparqlError):
+        sparql_describe(spark,
+                        'DESCRIBE ?z WHERE { ?x biolink:in_taxon T:1 }',
+                        nodes, edges)
