@@ -6922,6 +6922,74 @@ FROM d GROUP BY id
 """
 
 
+def q_group_sample(spark, sf):
+    """Per-group deterministic fixed-size sample (operators/sample.py
+    group_fixed_sample): 5 docs per source by md5 order — nested,
+    layout-independent, WindowGroupLimit partial top-k."""
+    from ecokg_spark.operators.sample import group_fixed_sample
+
+    d = t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return group_fixed_sample(d, "source", 5, "doc_id")
+
+
+SQL_GROUP_SAMPLE = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents)
+WHERE rn <= 5
+"""
+
+
+def q_winnow_fp(spark, sf):
+    """Winnowing fingerprints (operators/dedup.py winnow_fingerprints,
+    k=5, w=4): the MOSS rightmost-min selection replayed in DuckDB via
+    the identical fixed-width (hash, inverted-position) key and trailing
+    window."""
+    from ecokg_spark.operators.dedup import winnow_fingerprints
+
+    d = t(spark, sf, "documents")
+    return winnow_fingerprints(d, k=5, w=4)
+
+
+_WN = _NORM_SQL.format(c="text")
+
+SQL_WINNOW_FP = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(lower({_WN}), ' ') AS t,
+         len(string_split(lower({_WN}), ' ')) AS n
+  FROM documents),
+sh AS (
+  SELECT doc_id, u.p AS pos, u.s AS s FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN n <= 5
+                  THEN [struct_pack(p := 0, s := array_to_string(t, ' '))]
+                  ELSE list_transform(range(0, n - 4),
+                       i -> struct_pack(p := i,
+                            s := array_to_string(t[i+1:i+5], ' ')))
+                  END) AS u
+    FROM tok)),
+keyed AS (
+  SELECT doc_id, pos,
+         lpad(CAST({_HEX15.format(h='md5(s)')} AS VARCHAR), 19, '0')
+         || lpad(CAST(9999999999 - pos AS VARCHAR), 10, '0') AS key
+  FROM sh),
+win AS (
+  SELECT doc_id, pos,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk,
+         COUNT(*) OVER (PARTITION BY doc_id) AS m
+  FROM keyed)
+SELECT DISTINCT doc_id,
+       9999999999 - CAST(substr(mk, 20, 10) AS BIGINT) AS pos,
+       CAST(substr(mk, 1, 19) AS BIGINT) AS hash
+FROM win
+WHERE pos >= 3 OR (m < 4 AND pos = m - 1)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7114,6 +7182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_events": q_pivot_events,
     "sparql_describe": q_sparql_describe,
     "harmonic_centrality": q_harmonic_centrality,
+    "group_sample": q_group_sample,
+    "winnow_fp": q_winnow_fp,
 }
 
 ORACLES: dict[str, str] = {
@@ -7303,6 +7373,8 @@ ORACLES: dict[str, str] = {
     "pivot_events": SQL_PIVOT_EVENTS,
     "sparql_describe": SQL_SPARQL_DESCRIBE,
     "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
+    "group_sample": SQL_GROUP_SAMPLE,
+    "winnow_fp": SQL_WINNOW_FP,
 }
 
 

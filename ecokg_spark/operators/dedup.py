@@ -1074,3 +1074,63 @@ def semdedup_clustered(
     return semantic_dedup(
         assigned, vec_col, id_col, block_col="cluster",
         threshold=threshold, transitive=transitive)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every k-gram, slide a w-hash
+    window, and select the RIGHTMOST MINIMUM hash of each window; the
+    distinct selections are the fingerprint set. Guarantees every match
+    of length >= w + k - 1 tokens shares a fingerprint while storing
+    only ~2/(w+1) of the hashes — the local, position-aware complement
+    of MinHash (which sketches global similarity; winnowing localizes
+    WHERE the overlap is, the plagiarism/attribution use case).
+
+    Mechanics, exactly recomputable cross-engine: shingle hashes use the
+    portable md5/60-bit spec; the rightmost-min rule is one lexicographic
+    MIN over a trailing row window of the fixed-width key
+    lpad(hash) || lpad(9999999999 - pos) (min hash first, then max
+    position), parsed back after selection. Documents shorter than one
+    full window contribute their global rightmost-min. One shuffle on
+    the doc id (the window), one distinct on the selection.
+
+    Returns (id_col, pos, hash) — pos is the 0-based shingle position.
+    """
+    from pyspark.sql import Window
+
+    from ecokg_spark.functions.text import word_shingles
+
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.col(text_col), k=k)).alias("pos", "_s"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10).cast("long")
+    key = F.concat(
+        F.lpad(h.cast("string"), 19, "0"),
+        F.lpad((F.lit(9999999999) - F.col("pos")).cast("string"), 10, "0"),
+    )
+    dw = Window.partitionBy(id_col).orderBy("pos")
+    trail = dw.rowsBetween(-(w - 1), 0)
+    full = dw.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    sel = (
+        sh.withColumn("_key", key)
+        .withColumn("_min", F.min("_key").over(trail))
+        .withColumn("_m", F.count(F.lit(1)).over(full))
+        .where((F.col("pos") >= w - 1)
+               | ((F.col("_m") < w) & (F.col("pos") == F.col("_m") - 1)))
+        .select(
+            F.col(id_col),
+            (F.lit(9999999999)
+             - F.substring("_min", 20, 10).cast("long")).alias("pos"),
+            F.substring("_min", 1, 19).cast("long").alias("hash"),
+        )
+        .distinct()
+    )
+    return sel

@@ -300,3 +300,33 @@ def temperature_mixture(
             F.floor(F.col("share") * F.lit(int(budget))).cast("long"),
         )
     return out
+
+
+def group_fixed_sample(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+) -> DataFrame:
+    """Exactly min(n, group size) rows PER GROUP, deterministically —
+    the per-domain / per-source cap a mixture policy needs when rates
+    (domain_quota_sample) are too coarse: order each group by
+    (md5(key), key) and keep the first n. The md5 order is a uniform
+    permutation independent of the data layout, so the kept set is a
+    true deterministic random sample of each group and is NESTED in the
+    kept set for any larger n (enlarging the budget only adds rows).
+
+    One shuffle on the group key; the rank<=n filter hits Spark's
+    WindowGroupLimit partial top-k, so a giant group never materializes
+    a full sort (same plan class as window_topk). Returns the sampled
+    rows of ``df``.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )

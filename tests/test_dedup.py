@@ -710,3 +710,42 @@ def test_semdedup_clustered_drops_planted(spark):
     ids = {r["vec_id"] for r in kept.collect()}
     assert set(range(24)) <= ids          # all originals kept (min ids)
     assert not any(i >= 1000 for i in ids)  # planted copies dropped
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """The winnowing guarantee: two documents sharing a run of
+    >= w + k - 1 tokens share at least one fingerprint HASH, and the
+    fingerprint set is much smaller than the shingle set."""
+    from ecokg_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, "one two three " + shared + " four five six"),
+        (2, "seven eight " + shared + " nine ten eleven twelve"),
+        (3, "totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc_id"], set()).add(r["hash"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # density ~2/(w+1): far fewer fingerprints than shingles (16 shingles)
+    assert len(by_doc[1]) < 16
+
+
+def test_winnow_fingerprints_short_doc_and_determinism(spark):
+    from ecokg_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y")], "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=5, w=4)
+    rows = sorted(map(tuple, fp.collect()))
+    # doc 1: 2 shingles < w -> its global rightmost-min only
+    assert len([r for r in rows if r[0] == 1]) == 1
+    # doc 2: shorter than k tokens -> ONE whole-text shingle (the
+    # word_shingles short-doc contract) -> one fingerprint at pos 0
+    assert [r[1] for r in rows if r[0] == 2] == [0]
+    assert rows == sorted(map(tuple, winnow_fingerprints(
+        df, k=5, w=4).collect()))
