@@ -6990,6 +6990,65 @@ WHERE pos >= 3 OR (m < 4 AND pos = m - 1)
 """
 
 
+def q_surt_keys(spark, sf):
+    """SURT web-archive keys (functions/url.py url_surt): reversed
+    comma-joined host labels + lowercased path, www-stripped — the CDX
+    index key; the oracle recomputes it from the generator columns."""
+    from ecokg_spark.functions.url import url_surt
+
+    d = t(spark, sf, "documents")
+    url = F.concat(F.lit("https://www."), F.col("source"),
+                   F.lit(".example.org/D/"), F.col("doc_id"),
+                   F.lit("?utm_source=x"))
+    u = d.select("doc_id", url.alias("url"))
+    return u.select("doc_id", "url", url_surt("url").alias("surt"))
+
+
+SQL_SURT_KEYS = """
+SELECT doc_id,
+       'https://www.' || source || '.example.org/D/' || doc_id
+         || '?utm_source=x' AS url,
+       'org,example,' || source || ')/d/' || doc_id AS surt
+FROM documents
+"""
+
+
+def q_ts_multi(spark, sf):
+    """Multi-format timestamp ingestion (io.py parse_timestamp_multi):
+    event times re-rendered in five rotating formats, parsed back with
+    the try_to_timestamp coalesce chain; fmt_idx must equal the
+    generator's format choice, and the parsed value the original
+    truncated to that format's precision."""
+    from ecokg_spark.io import parse_timestamp_multi
+
+    e = t(spark, sf, "events")
+    m = F.col("event_id") % 5
+    raw = (
+        F.when(m == 0, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .when(m == 1, F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(m == 2, F.date_format("ts", "yyyy-MM-dd"))
+        .when(m == 3, F.date_format("ts", "MM/dd/yyyy HH:mm"))
+        .otherwise(F.date_format("ts", "MM/dd/yyyy"))
+    )
+    p = parse_timestamp_multi(raw)
+    return e.select(
+        "event_id", p["ts"].alias("parsed_ts"),
+        p["fmt_idx"].alias("fmt_idx"))
+
+
+SQL_TS_MULTI = """
+SELECT event_id,
+       CASE event_id % 5
+         WHEN 0 THEN date_trunc('second', ts)
+         WHEN 1 THEN date_trunc('second', ts)
+         WHEN 2 THEN date_trunc('day', ts)
+         WHEN 3 THEN date_trunc('minute', ts)
+         ELSE date_trunc('day', ts) END AS parsed_ts,
+       CAST(event_id % 5 AS INT) AS fmt_idx
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7184,6 +7243,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "harmonic_centrality": q_harmonic_centrality,
     "group_sample": q_group_sample,
     "winnow_fp": q_winnow_fp,
+    "surt_keys": q_surt_keys,
+    "ts_multi": q_ts_multi,
 }
 
 ORACLES: dict[str, str] = {
@@ -7375,6 +7436,8 @@ ORACLES: dict[str, str] = {
     "harmonic_centrality": SQL_HARMONIC_CENTRALITY,
     "group_sample": SQL_GROUP_SAMPLE,
     "winnow_fp": SQL_WINNOW_FP,
+    "surt_keys": SQL_SURT_KEYS,
+    "ts_multi": SQL_TS_MULTI,
 }
 
 

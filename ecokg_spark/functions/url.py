@@ -117,3 +117,26 @@ def url_canonicalize(col: Column | str) -> Column:
         F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
     )
     return F.when(scheme == "", c).otherwise(rebuilt)
+
+
+def url_surt(col: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the canonical
+    key format of web-archive indexes (CDX / Common Crawl's cdx-index):
+    host labels reversed and comma-joined, then ')' and the path, all
+    lowercased, 'www.' stripped first, query dropped. Example:
+    https://www.News.Example.co.uk/a/b?x=1 -> uk,co,example,news)/a/b
+
+    Why it exists: lexicographic order on SURT keys groups a registered
+    domain's entire subtree contiguously, so a range scan (or a
+    range-partitioned sort at corpus scale) retrieves per-site slices
+    without a shuffle — the property CDX indexes are built on. Pure
+    Catalyst; non-URLs yield ''.
+    """
+    c = _c(col)
+    host = url_host(c)
+    host = F.regexp_replace(host, "^www\\.", "")
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    path = F.lower(url_path(c))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.when(host == "", F.lit("")).otherwise(
+        F.concat(rev, F.lit(")"), path))

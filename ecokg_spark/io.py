@@ -163,3 +163,29 @@ def read_zip_tsv(spark: SparkSession, path: str, cols: list[str],
     return lines.select(
         *[parts.getItem(i).alias(c) for i, c in enumerate(cols)]
     )
+
+
+def parse_timestamp_multi(col, formats: list[str] | None = None):
+    """Multi-format timestamp ingestion: try each format in order with
+    try_to_timestamp (NULL on mismatch, never ANSI errors), first match
+    wins; returns (ts, fmt_idx) as a struct column — fmt_idx records
+    WHICH format matched (-1 = none), the lineage a messy-feed ingest
+    keeps for QC. Formats are Spark datetime patterns; the default list
+    covers ISO, ISO-with-T, date-only, and US slash forms.
+
+    Pure Catalyst coalesce chain — one projection, no UDF; at corpus
+    scale this rides the scan like any other conversion.
+    """
+    from pyspark.sql import functions as F
+
+    fmts = formats or [
+        "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
+        "yyyy-MM-dd", "MM/dd/yyyy HH:mm", "MM/dd/yyyy",
+    ]
+    c = F.col(col) if isinstance(col, str) else col
+    parsed = [F.try_to_timestamp(c, F.lit(f)) for f in fmts]
+    ts = F.coalesce(*parsed)
+    idx = F.lit(-1)
+    for i in range(len(fmts) - 1, -1, -1):
+        idx = F.when(parsed[i].isNotNull(), F.lit(i)).otherwise(idx)
+    return F.struct(ts.alias("ts"), idx.cast("int").alias("fmt_idx"))

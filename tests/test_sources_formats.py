@@ -120,3 +120,24 @@ def test_zip_source(spark, tmp_path):
                         comment="!")
     got = {(r["gene"], r["val"]) for r in rows.collect()}
     assert got == {("g1", "x"), ("g2", "y"), ("g3", "z")}
+
+
+def test_parse_timestamp_multi(spark):
+    import datetime as dt
+
+    from ecokg_spark.io import parse_timestamp_multi
+
+    df = spark.createDataFrame(
+        [(1, "2024-03-05 10:20:30"), (2, "2024-03-05T10:20:30"),
+         (3, "2024-03-05"), (4, "03/05/2024 10:20"), (5, "garbage"),
+         (6, None)],
+        "id long, raw string")
+    out = df.select("id", parse_timestamp_multi("raw").alias("p"))
+    got = {r["id"]: (r["p"]["ts"], r["p"]["fmt_idx"])
+           for r in out.collect()}
+    assert got[1] == (dt.datetime(2024, 3, 5, 10, 20, 30), 0)
+    assert got[2] == (dt.datetime(2024, 3, 5, 10, 20, 30), 1)
+    assert got[3] == (dt.datetime(2024, 3, 5), 2)
+    assert got[4] == (dt.datetime(2024, 3, 5, 10, 20), 3)
+    assert got[5] == (None, -1)
+    assert got[6] == (None, -1)

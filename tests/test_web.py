@@ -313,3 +313,24 @@ def test_robots_allowed_precedence(spark):
               for r in robots_allowed(urls, rules, agent="greedy").collect()}
     assert greedy["https://a.com/public"] is False
     assert greedy["https://b.com/anything"] is True
+
+
+def test_url_surt(spark):
+    from ecokg_spark.functions.url import url_surt
+
+    df = spark.createDataFrame(
+        [(1, "https://www.News.Example.co.uk/a/B?x=1"),
+         (2, "http://example.com"),
+         (3, "not a url")],
+        "id long, url string")
+    got = {r["id"]: r["s"] for r in df.select(
+        "id", url_surt("url").alias("s")).collect()}
+    assert got[1] == "uk,co,example,news)/a/b"
+    assert got[2] == "com,example)/"
+    assert got[3] == ""
+    # the point of SURT: one domain's subtree is lexicographically
+    # contiguous — a sibling host of example.co.uk sorts adjacent
+    sib = df.sparkSession.createDataFrame(
+        [(4, "https://blog.example.co.uk/z")], "id long, url string")
+    s4 = sib.select(url_surt("url").alias("s")).collect()[0]["s"]
+    assert s4.startswith("uk,co,example,")
