@@ -7049,6 +7049,97 @@ FROM events
 """
 
 
+def q_mad_outliers(spark, sf):
+    """Robust modified-z outlier flags (operators/curation.py
+    mad_outliers): per-event-type median/MAD over the value column,
+    z rounded before the flag compare."""
+    from ecokg_spark.operators.curation import mad_outliers
+
+    e = t(spark, sf, "events").select("event_id", "event_type", "value")
+    return mad_outliers(e, "event_type", "value")
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS d
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev
+  GROUP BY event_type),
+z AS (
+  SELECT d.event_id, d.event_type, d.value,
+         ROUND(d.med, 6) AS med, ROUND(m.mad, 6) AS mad,
+         CASE WHEN m.mad > 0
+              THEN ROUND(0.6745 * (d.value - d.med) / m.mad, 6) END AS z
+  FROM dev d JOIN mad m USING (event_type))
+SELECT event_id, event_type, value, med, mad, z,
+       COALESCE(abs(z) > 3.5, FALSE) AS is_outlier
+FROM z
+"""
+
+
+def q_crawl_frontier(spark, sf):
+    """Politeness-capped frontier selection (operators/web.py
+    crawl_frontier): authority = weighted in-degree of the crawled-set
+    host graph; crawled candidates anti-joined away; per-host cap 3 by
+    md5 order. The oracle recomputes every stage from the generator
+    arithmetic."""
+    from ecokg_spark.operators.web import crawl_frontier
+
+    d = t(spark, sf, "documents")
+    url = F.concat(F.lit("https://s"), F.col("source"),
+                   F.lit(".example.org/d/"), F.col("doc_id"))
+    html = F.concat(
+        F.lit('<a href="https://site'), F.col("doc_id") % 7,
+        F.lit('.example.com/x">l</a><a href="/local/'), F.col("doc_id"),
+        F.lit('">r</a>'))
+    pages = d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    cand_new = d.where(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("https://site"), F.col("doc_id") % 7,
+                 F.lit(".example.com/new/"), F.col("doc_id")).alias("url"))
+    cand_dup = d.where(F.col("doc_id") % 9 == 0).select(url.alias("url"))
+    return crawl_frontier(pages, cand_new.unionByName(cand_dup),
+                          per_host=3)
+
+
+SQL_CRAWL_FRONTIER = """
+WITH crawled AS (
+  SELECT 'https://s' || source || '.example.org/d/' || doc_id AS url,
+         doc_id, source
+  FROM documents),
+auth AS (
+  SELECT 'site' || (doc_id % 7) || '.example.com' AS host,
+         COUNT(DISTINCT doc_id) AS a
+  FROM documents GROUP BY 1
+  UNION ALL
+  SELECT 's' || source || '.example.org', COUNT(DISTINCT doc_id)
+  FROM documents GROUP BY source),
+cand AS (
+  SELECT 'https://site' || (doc_id % 7) || '.example.com/new/' || doc_id
+           AS url,
+         'site' || (doc_id % 7) || '.example.com' AS host
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT url, 's' || source || '.example.org' FROM crawled
+  WHERE doc_id % 9 = 0),
+uncrawled AS (
+  SELECT c.url, c.host FROM cand c
+  WHERE c.url NOT IN (SELECT url FROM crawled)),
+ranked AS (
+  SELECT u.url, u.host, COALESCE(a.a, 0) AS authority,
+         ROW_NUMBER() OVER (PARTITION BY u.host
+                            ORDER BY md5(u.url), u.url) AS rank
+  FROM uncrawled u LEFT JOIN auth a ON a.host = u.host)
+SELECT url, host, CAST(authority AS BIGINT) AS authority,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7245,6 +7336,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fp": q_winnow_fp,
     "surt_keys": q_surt_keys,
     "ts_multi": q_ts_multi,
+    "mad_outliers": q_mad_outliers,
+    "crawl_frontier": q_crawl_frontier,
 }
 
 ORACLES: dict[str, str] = {
@@ -7438,6 +7531,8 @@ ORACLES: dict[str, str] = {
     "winnow_fp": SQL_WINNOW_FP,
     "surt_keys": SQL_SURT_KEYS,
     "ts_multi": SQL_TS_MULTI,
+    "mad_outliers": SQL_MAD_OUTLIERS,
+    "crawl_frontier": SQL_CRAWL_FRONTIER,
 }
 
 

@@ -201,3 +201,50 @@ def curate_corpus_v3(
     d = fuzzy_dedup(d, text_col, id_col, threshold=threshold, k=k,
                     bands=bands, transitive=True, portable=portable)
     return stratified_sample(d, strata_col, rates, key_col=id_col)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier flags via the modified z-score
+    (Iglewicz & Hoaglin 1993): z = 0.6745 * (x - median) / MAD, flagged
+    past `threshold` (their recommended 3.5). The ingest-QC dual of
+    rolling_zscore — mean/stddev break down exactly where outlier
+    detection matters, the median/MAD pair does not (50% breakdown
+    point).
+
+    Both medians are exact 0.5-percentile probes (one shuffle on the
+    group each, joined back); z is ROUNDed before the flag compare so
+    the verdict is reproducible cross-engine (the float-before-ranking
+    discipline — interpolated medians of doubles agree to the last ulp
+    on the standard lower + 0.5*(upper-lower) formula, and the rounding
+    absorbs any summation residue in |x - median|). MAD = 0 (a
+    majority-constant group) yields NULL z and no flag. At corpus scale
+    swap F.percentile for percentile_approx, same schema.
+
+    Returns df plus (med, mad, z, is_outlier), med/mad/z rounded.
+    """
+    g = F.col(group_col)
+    med = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("_med"))
+    with_med = df.join(med, group_col)
+    dev = F.abs(F.col(value_col) - F.col("_med"))
+    mad = (with_med.select(g.alias(group_col), dev.alias("_dev"))
+           .groupBy(group_col)
+           .agg(F.percentile("_dev", F.lit(0.5)).alias("_mad")))
+    out = with_med.join(mad, group_col)
+    z = F.when(
+        F.col("_mad") > 0,
+        F.round(F.lit(0.6745) * (F.col(value_col) - F.col("_med"))
+                / F.col("_mad"), decimals))
+    return out.select(
+        *df.columns,
+        F.round(F.col("_med"), decimals).alias("med"),
+        F.round(F.col("_mad"), decimals).alias("mad"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_outlier"),
+    )

@@ -426,3 +426,57 @@ def robots_allowed(
         F.when(F.col("_match"), F.col("rule")).alias("matched_rule"),
         F.when(F.col("_match"), F.col("path")).alias("matched_path"),
     )
+
+
+def crawl_frontier(
+    pages: DataFrame,
+    candidates: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    cand_url_col: str = "url",
+    per_host: int = 5,
+) -> DataFrame:
+    """Politeness-capped crawl-frontier selection: rank UNCRAWLED
+    candidate URLs by the authority of their host in the link graph of
+    the pages already crawled, keeping at most `per_host` candidates per
+    host (the politeness budget). Authority here is weighted in-degree
+    (distinct linking pages summed over in-edges) — the
+    degree-prioritized frontier baseline; swap in pagerank() over the
+    same host_link_graph edges for the eigenvector variant.
+
+    Stages, each individually certified elsewhere: host_link_graph on
+    the crawled set -> per-destination-host authority aggregate ->
+    LEFT ANTI join removes already-crawled canonical URLs -> per-host
+    md5-ordered cap (the group_fixed_sample rule, nested and
+    layout-independent). One corpus shuffle for the anti-join, one for
+    the cap window; the authority table is host-cardinality and
+    broadcasts. Returns (cand_url_col, host, authority, rank) with
+    rank 1..per_host by (md5 order) within host.
+    """
+    from ecokg_spark.functions.url import url_canonicalize, url_host
+
+    hg = host_link_graph(pages, url_col=url_col, html_col=html_col)
+    auth = hg.groupBy("dst_host").agg(
+        F.sum("n_pages").cast("long").alias("authority"))
+    crawled = pages.select(
+        url_canonicalize(url_col).alias("_c")).distinct()
+    cand = (
+        candidates.select(F.col(cand_url_col))
+        .withColumn("_c", url_canonicalize(cand_url_col))
+        .join(crawled, "_c", "left_anti")
+        .withColumn("host", url_host(cand_url_col))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.col(cand_url_col)).asc(), F.col(cand_url_col).asc())
+    return (
+        cand.join(F.broadcast(auth),
+                  cand["host"] == auth["dst_host"], "left")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= per_host)
+        .select(
+            cand_url_col, "host",
+            F.coalesce("authority", F.lit(0)).cast("long")
+            .alias("authority"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -138,3 +138,18 @@ def test_curate_v3_stage_order_and_survivors(spark):
     assert 3 not in kept      # score floor drop
     assert 4 not in kept      # stratum absent from the mixture spec
     assert all(0.0 < r["q_score"] < 1.0 for r in out.collect())
+
+
+def test_mad_outliers(spark):
+    from ecokg_spark.operators.curation import mad_outliers
+
+    rows = ([("a", float(v)) for v in [10, 11, 12, 13, 14, 100]]
+            + [("b", 5.0), ("b", 5.0), ("b", 5.0)])
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = mad_outliers(df, "grp", "v")
+    flagged = {(r["grp"], r["v"]) for r in out.collect() if r["is_outlier"]}
+    # only the planted spike is flagged
+    assert flagged == {("a", 100.0)}
+    # constant group: mad=0 -> no z, no flags
+    b = [r for r in out.collect() if r["grp"] == "b"]
+    assert all(r["z"] is None and not r["is_outlier"] for r in b)

@@ -334,3 +334,29 @@ def test_url_surt(spark):
         [(4, "https://blog.example.co.uk/z")], "id long, url string")
     s4 = sib.select(url_surt("url").alias("s")).collect()[0]["s"]
     assert s4.startswith("uk,co,example,")
+
+
+def test_crawl_frontier(spark):
+    from ecokg_spark.operators.web import crawl_frontier
+
+    pages = spark.createDataFrame(
+        [("https://a.com/1",
+          '<a href="https://popular.com/x">l</a>'
+          '<a href="https://popular.com/y">l</a>'),
+         ("https://b.com/1", '<a href="https://popular.com/z">l</a>'
+                             '<a href="https://rare.com/q">l</a>')],
+        "url string, html string",
+    ).withColumn("html", F.encode("html", "UTF-8"))
+    candidates = spark.createDataFrame(
+        [("https://popular.com/new1",), ("https://popular.com/new2",),
+         ("https://rare.com/new",), ("https://unknown.org/new",),
+         ("https://a.com/1",)],       # already crawled -> excluded
+        "url string")
+    out = {r["url"]: (r["authority"], r["rank"])
+           for r in crawl_frontier(pages, candidates, per_host=1).collect()}
+    assert "https://a.com/1" not in out
+    # popular.com linked from 2 distinct pages, rare from 1, unknown 0
+    pop = [u for u in out if "popular" in u]
+    assert len(pop) == 1 and out[pop[0]][0] == 2   # per-host cap applied
+    assert out["https://rare.com/new"][0] == 1
+    assert out["https://unknown.org/new"][0] == 0
