@@ -7590,7 +7590,12 @@ assert all(n in QUERIES for n in _CERT_WINDOW), [
 # and the 12 rows added in the continuation session (anchor_topk,
 # interval_merge, tc_reachability, rdfs_closure, redirect_resolve,
 # hyperball, flesch_score, chunk_sliding, hierarchy_cycles,
-# canonical_meta, kg_negatives, kmeans) —
+# canonical_meta, kg_negatives, kmeans, semdedup_kmeans,
+# sparql_strfuncs, sparql_in, distance_distribution, join_stream,
+# robots_rules, robots_check, frame_sample, web_canonical_dedup,
+# rollup_cube, pivot_events, sparql_describe, harmonic_centrality,
+# group_sample, winnow_fp, surt_keys, ts_multi, mad_outliers,
+# crawl_frontier) —
 # which have local-oracle green but no driver record, then (b) the r03-certified rows that have now sat out a
 # round (token_count .. embedding_neardup block), then (c) canaries.
 # Every row then has a driver-green record within the last two rounds.
