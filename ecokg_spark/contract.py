@@ -7140,6 +7140,60 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_jsonl_corrupt(spark, sf):
+    """Corrupt-tolerant JSONL ingestion (io.py read_jsonl_tolerant):
+    a feed synthesized from documents with every 7th line truncated
+    mid-string; the parse must keep good rows fully typed and capture
+    bad lines in _corrupt. Emits the per-source QC aggregate; the
+    oracle recomputes it from the generator arithmetic."""
+    import tempfile
+
+    from ecokg_spark.io import read_jsonl_tolerant
+
+    d = t(spark, sf, "documents")
+    line = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id"),
+                 F.lit(', "source": "'), F.col("source"),
+                 F.lit('", "text": "trunc')),
+    ).otherwise(
+        F.concat(F.lit('{"doc_id": '), F.col("doc_id"),
+                 F.lit(', "source": "'), F.col("source"),
+                 F.lit('", "nc": '), F.col("n_chars"), F.lit("}")))
+    out_dir = tempfile.mkdtemp(prefix="ecokg_jsonl_")
+    d.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(
+        out_dir)
+    parsed = read_jsonl_tolerant(
+        spark, out_dir, "doc_id long, source string, nc long")
+    # corrupt rows bind only _corrupt: recover the source for the QC
+    # aggregate from the raw line so the report stays per-source
+    src = F.coalesce(
+        F.col("source"),
+        F.regexp_extract(F.col("_corrupt"), '"source": "([^"]*)"', 1))
+    return (
+        parsed.select(src.alias("source"),
+                      F.col("_corrupt").isNotNull().alias("_bad"),
+                      "nc")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("_bad").cast("long")).cast("long").alias("n_corrupt"),
+            F.sum("nc").cast("long").alias("nc_sum"),
+        )
+    )
+
+
+SQL_JSONL_CORRUPT = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n_chars END)
+            AS BIGINT) AS nc_sum
+FROM documents GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7338,6 +7392,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_multi": q_ts_multi,
     "mad_outliers": q_mad_outliers,
     "crawl_frontier": q_crawl_frontier,
+    "jsonl_corrupt": q_jsonl_corrupt,
 }
 
 ORACLES: dict[str, str] = {
@@ -7533,6 +7588,7 @@ ORACLES: dict[str, str] = {
     "ts_multi": SQL_TS_MULTI,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "crawl_frontier": SQL_CRAWL_FRONTIER,
+    "jsonl_corrupt": SQL_JSONL_CORRUPT,
 }
 
 

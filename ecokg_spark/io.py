@@ -189,3 +189,29 @@ def parse_timestamp_multi(col, formats: list[str] | None = None):
     for i in range(len(fmts) - 1, -1, -1):
         idx = F.when(parsed[i].isNotNull(), F.lit(i)).otherwise(idx)
     return F.struct(ts.alias("ts"), idx.cast("int").alias("fmt_idx"))
+
+
+def read_jsonl_tolerant(spark: SparkSession, path: str, schema: str):
+    """Corrupt-tolerant JSONL ingestion: read with an explicit schema in
+    PERMISSIVE mode plus a `_corrupt` column capturing every line Spark
+    could not parse against the schema — the web-feed reality where a
+    fraction of records is truncated or malformed and FAILFAST would
+    kill a 100-TB job at the first bad byte. An explicit schema is also
+    the scale rule: schema inference is a full extra pass over the
+    data.
+
+    Returns the parsed DataFrame with `_corrupt` (NULL for good rows);
+    filter `_corrupt IS NULL` for the clean set, aggregate the rest for
+    the ingest QC report. NOTE (Spark semantics): a corrupt row binds
+    ONLY `_corrupt` — its schema columns are NULL — and querying only
+    the corrupt column requires the full row set, which this wrapper
+    guarantees by never pruning the parsed columns away before a cache
+    boundary.
+    """
+    full = schema + ", _corrupt string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )

@@ -141,3 +141,27 @@ def test_parse_timestamp_multi(spark):
     assert got[4] == (dt.datetime(2024, 3, 5, 10, 20), 3)
     assert got[5] == (None, -1)
     assert got[6] == (None, -1)
+
+
+def test_read_jsonl_tolerant(spark, tmp_path):
+    from ecokg_spark.io import read_jsonl_tolerant
+
+    p = tmp_path / "feed.jsonl"
+    lines = []
+    for i in range(20):
+        if i % 5 == 3:
+            lines.append('{"id": %d, "text": "broken' % i)   # truncated
+        else:
+            lines.append('{"id": %d, "text": "ok %d"}' % (i, i))
+    p.write_text("\n".join(lines))
+    df = read_jsonl_tolerant(spark, str(p), "id long, text string")
+    df = df.cache()
+    good = df.where(F.col("_corrupt").isNull())
+    bad = df.where(F.col("_corrupt").isNotNull())
+    assert good.count() == 16
+    assert bad.count() == 4
+    # good rows parsed fully; corrupt rows keep the raw line for QC
+    assert {r["id"] for r in good.collect()} == {
+        i for i in range(20) if i % 5 != 3}
+    assert all(r["_corrupt"].startswith('{"id"') for r in bad.collect())
+    df.unpersist()
