@@ -7194,6 +7194,33 @@ FROM documents GROUP BY source
 """
 
 
+def q_nfc_normalize(spark, sf):
+    """Unicode NFC normalization (functions/text.py nfc_normalize_col —
+    the engine's one Arrow-UDF text stage) against DuckDB's NATIVE
+    nfc_normalize: decomposed accents planted ahead of every document
+    must collapse to precomposed form identically in both engines."""
+    from ecokg_spark.functions.text import nfc_normalize_col
+
+    d = t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(F.lit("Cafe\u0301 nai\u0308ve "), F.col("text"))
+         .alias("text"))
+    out = nfc_normalize_col(planted, "text")
+    return out.select("doc_id", "text_nfc",
+                      F.length("text_nfc").alias("n_chars_nfc"))
+
+
+SQL_NFC_NORMALIZE = """
+SELECT doc_id,
+       nfc_normalize('Cafe' || chr(769) || ' nai' || chr(776) || 've '
+                     || text) AS text_nfc,
+       length(nfc_normalize('Cafe' || chr(769) || ' nai' || chr(776)
+                            || 've ' || text)) AS n_chars_nfc
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7393,6 +7420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers": q_mad_outliers,
     "crawl_frontier": q_crawl_frontier,
     "jsonl_corrupt": q_jsonl_corrupt,
+    "nfc_normalize": q_nfc_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -7589,6 +7617,7 @@ ORACLES: dict[str, str] = {
     "mad_outliers": SQL_MAD_OUTLIERS,
     "crawl_frontier": SQL_CRAWL_FRONTIER,
     "jsonl_corrupt": SQL_JSONL_CORRUPT,
+    "nfc_normalize": SQL_NFC_NORMALIZE,
 }
 
 

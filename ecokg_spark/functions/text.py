@@ -393,3 +393,32 @@ def flesch_reading_ease(col: Column | str) -> Column:
              - F.lit(84.6) * (syll / words))
     return F.when(words > 0, F.round(score, 4))
 
+
+
+def nfc_normalize_col(df, col: str, out_col: str = "text_nfc"):
+    """Unicode NFC normalization of a text column — the first transform
+    of any multilingual pipeline (decomposed accents, compatibility
+    variants, and platform-specific encodings must collapse BEFORE any
+    hashing/dedup/shingling, or the same sentence fingerprints two
+    ways). Spark has no built-in normalizer, so this is one of the
+    engine's few Python stages — an Arrow-batched pandas UDF over
+    `unicodedata.normalize` (C-implemented per string; the batch
+    transfer dominates, ~the cost class of the fused extractor), never
+    a row-at-a-time UDF. DuckDB's native nfc_normalize implements the
+    same Unicode algorithm, which the contract row exploits.
+
+    Takes/returns a DataFrame (pandas UDFs need the session context).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them and pandas_udf's hint resolver rejects that in a
+    # nested scope; the explicit return type string is authoritative
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x)
+                     if x is not None else None)
+
+    return df.withColumn(out_col, _nfc(F.col(col)))

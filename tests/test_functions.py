@@ -222,3 +222,16 @@ def test_flesch_reading_ease(spark):
     # 206.835 - 1.015*4 - 84.6*(9/4)
     assert abs(got[2] - (206.835 - 1.015 * 4 - 84.6 * 2.25)) < 1e-6
     assert got[3] is None
+
+
+def test_nfc_normalize_col(spark):
+    from ecokg_spark.functions.text import nfc_normalize_col
+
+    df = spark.createDataFrame(
+        [(1, "Café"), (2, "Café"), (3, "plain"), (4, None)],
+        "id long, text string")
+    got = {r["id"]: r["text_nfc"] for r in
+           nfc_normalize_col(df, "text").collect()}
+    # decomposed and precomposed forms collapse to the same bytes
+    assert got[1] == got[2] == "Café"
+    assert got[3] == "plain" and got[4] is None
