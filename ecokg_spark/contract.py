@@ -7221,6 +7221,38 @@ FROM documents
 """
 
 
+def q_sparql_bind_if(spark, sf):
+    """SPARQL §17.4.1 functional forms in BIND (query.py): IF over a
+    BOUND() condition and COALESCE, exercised across an OPTIONAL miss
+    (has_size edges exist only for p_size < 10)."""
+    from ecokg_spark.query import sparql_select
+
+    p = t(spark, sf, "part")
+    nodes = p.select(
+        F.concat(F.lit("P:"), F.col("p_partkey")).alias("id"),
+        F.col("p_brand").alias("category"))
+    edges = p.where(F.col("p_size") < 10).select(
+        F.concat(F.lit("P:"), F.col("p_partkey")).alias("subject"),
+        F.lit("biolink:has_size").alias("predicate"),
+        F.concat(F.lit("SZ:"), F.col("p_size")).alias("object"))
+    return sparql_select(
+        spark,
+        'SELECT ?x ?c ?m ?sized ?v WHERE { ?x biolink:category ?c . '
+        'OPTIONAL { ?x biolink:has_size ?m } . '
+        'BIND( IF(BOUND(?m), "sized", "unsized") AS ?sized ) . '
+        'BIND( COALESCE(?m, "none") AS ?v ) }',
+        nodes, edges)
+
+
+SQL_SPARQL_BIND_IF = """
+SELECT 'P:' || p_partkey AS x, p_brand AS c,
+       CASE WHEN p_size < 10 THEN 'SZ:' || p_size END AS m,
+       CASE WHEN p_size < 10 THEN 'sized' ELSE 'unsized' END AS sized,
+       CASE WHEN p_size < 10 THEN 'SZ:' || p_size ELSE 'none' END AS v
+FROM part
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7421,6 +7453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_frontier": q_crawl_frontier,
     "jsonl_corrupt": q_jsonl_corrupt,
     "nfc_normalize": q_nfc_normalize,
+    "sparql_bind_if": q_sparql_bind_if,
 }
 
 ORACLES: dict[str, str] = {
@@ -7618,6 +7651,7 @@ ORACLES: dict[str, str] = {
     "crawl_frontier": SQL_CRAWL_FRONTIER,
     "jsonl_corrupt": SQL_JSONL_CORRUPT,
     "nfc_normalize": SQL_NFC_NORMALIZE,
+    "sparql_bind_if": SQL_SPARQL_BIND_IF,
 }
 
 

@@ -51,6 +51,8 @@ the same queries compile straight to Catalyst plans — no endpoint:
     expr     := ?var | "literal"
               | CONCAT(expr, ...) | STRLEN(e) | UCASE(e) | LCASE(e)
               | STR(e) | STRAFTER(e, "lit") | STRBEFORE(e, "lit")
+              | IF(cond, e, e) | COALESCE(e, ...) | BOUND(?var)
+              cond := e (=|!=|>|<|>=|<=) e | BOUND(?var)
 
   BIND evaluates its expression over the joined required patterns (every
   referenced variable must be pattern-bound — SPARQL's in-scope rule for
@@ -213,6 +215,24 @@ def _parse_expr(s: str):
     | (FUNC, [arg asts]). Args split on top-level commas only (quotes and
     nested calls respected)."""
     s = s.strip()
+    # top-level comparison (the IF() condition form): split on the first
+    # comparison operator outside quotes/parens
+    depth0, inq0 = 0, False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == '"':
+            inq0 = not inq0
+        elif not inq0 and ch == "(":
+            depth0 += 1
+        elif not inq0 and ch == ")":
+            depth0 -= 1
+        elif not inq0 and depth0 == 0:
+            for op in ("!=", ">=", "<=", "=", ">", "<"):
+                if s.startswith(op, i):
+                    return ("cmp", op, _parse_expr(s[:i]),
+                            _parse_expr(s[i + len(op):]))
+        i += 1
     if s.startswith("?"):
         m = re.fullmatch(r"\?(\w+)", s)
         if not m:
@@ -256,6 +276,13 @@ def _compile_expr(ast, bound: dict[str, str]):
         return F.col(bound[v])
     if kind == "lit":
         return F.lit(ast[1])
+    if kind == "cmp":
+        _, op, left, right = ast
+        lc, rc = _compile_expr(left, bound), _compile_expr(right, bound)
+        # codepoint comparison on string-typed RDF terms — the same
+        # semantics as quoted-literal FILTER comparisons
+        return {"=": lc == rc, "!=": lc != rc, ">": lc > rc,
+                "<": lc < rc, ">=": lc >= rc, "<=": lc <= rc}[op]
     name, args = ast
     cols = [_compile_expr(a, bound) for a in args]
 
@@ -295,6 +322,27 @@ def _compile_expr(ast, bound: dict[str, str]):
         return F.when(pos > 0, F.substring(s, F.lit(1), pos - 1)).otherwise(
             F.lit("")
         )
+    if name == "IF":
+        # §17.4.1.2: IF(cond, then, else); the condition must be a
+        # comparison (or BOUND()) so the branch choice is an effective
+        # boolean value, not a string
+        need(3)
+        if args[0][0] not in ("cmp",) and args[0][0] != "BOUND":
+            raise SparqlError("IF() condition must be a comparison or "
+                              "BOUND()")
+        return F.when(cols[0], cols[1]).otherwise(cols[2])
+    if name == "COALESCE":
+        # §17.4.1.3: first bound (non-NULL) argument
+        if not args:
+            raise SparqlError("COALESCE() needs at least one argument")
+        return F.coalesce(*cols)
+    if name == "BOUND":
+        # §17.4.1.1: true iff the variable is bound (non-NULL here — the
+        # OPTIONAL-miss representation)
+        need(1)
+        if args[0][0] != "var":
+            raise SparqlError("BOUND() takes a variable")
+        return cols[0].isNotNull()
     raise SparqlError(f"unsupported BIND function: {name}()")
 
 

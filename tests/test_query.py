@@ -1428,3 +1428,51 @@ def test_sparql_describe_unbound_rejected(spark, kg):
         sparql_describe(spark,
                         'DESCRIBE ?z WHERE { ?x biolink:in_taxon T:1 }',
                         nodes, edges)
+
+
+def test_bind_if_coalesce_bound(spark, kg):
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        'SELECT ?x ?k WHERE { ?x biolink:category ?c . '
+        'BIND( IF(?c = "biolink:GenomicEntity", "gene", "other") AS ?k ) }',
+        nodes, edges)
+    got = {r["x"]: r["k"] for r in out.collect()}
+    assert got["G:1"] == "gene" and got["G:2"] == "gene"
+    assert got["T:1"] == "other" and got["P:1"] == "other"
+
+    # BOUND over an OPTIONAL-miss + COALESCE default
+    out2 = sparql_select(
+        spark,
+        'SELECT ?x ?p ?has WHERE { ?x biolink:in_taxon T:1 . '
+        'OPTIONAL { ?x biolink:has_phenotype ?p } . '
+        'BIND( IF(BOUND(?p), "yes", "no") AS ?has ) }',
+        nodes, edges)
+    got2 = {r["x"]: (r["p"], r["has"]) for r in out2.collect()}
+    assert got2["G:1"] == ("P:1", "yes")
+    assert got2["G:2"] == (None, "no")
+
+    out3 = sparql_select(
+        spark,
+        'SELECT ?x ?v WHERE { ?x biolink:in_taxon T:1 . '
+        'OPTIONAL { ?x biolink:has_phenotype ?p } . '
+        'BIND( COALESCE(?p, "none") AS ?v ) }',
+        nodes, edges)
+    got3 = {r["x"]: r["v"] for r in out3.collect()}
+    assert got3 == {"G:1": "P:1", "G:2": "none"}
+
+
+def test_bind_if_bad_condition_rejected(spark, kg):
+    import pytest as _pytest
+
+    from ecokg_spark.query import SparqlError, sparql_select
+
+    nodes, edges = kg
+    with _pytest.raises(SparqlError):
+        sparql_select(
+            spark,
+            'SELECT ?x WHERE { ?x biolink:category ?c . '
+            'BIND( IF(?c, "a", "b") AS ?k ) }',
+            nodes, edges)
