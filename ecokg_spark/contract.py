@@ -7253,6 +7253,85 @@ FROM part
 """
 
 
+def q_host_boilerplate(spark, sf):
+    """Per-host boilerplate lines (operators/web.py
+    host_boilerplate_lines): pages synthesized per source host with a
+    host-wide banner on every page, a footer on even pages, and the
+    document text as the unique line; the oracle recomputes the flagged
+    set from the generator arithmetic."""
+    from ecokg_spark.operators.web import host_boilerplate_lines
+
+    d = t(spark, sf, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/d/"), F.col("doc_id"))
+    text = F.concat(
+        F.lit("BANNER "), F.col("source"), F.lit("\n"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("FOOTER "), F.col("source"), F.lit("\n")))
+         .otherwise(F.lit("")),
+        F.col("text"))
+    pages = d.select(url.alias("url"), text.alias("text"))
+    return host_boilerplate_lines(pages, min_ratio=0.4, min_pages=2)
+
+
+SQL_HOST_BOILERPLATE = """
+WITH hp AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS host_pages,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS even_pages
+  FROM documents GROUP BY source),
+cand AS (
+  SELECT source || '.example.org' AS host, 'BANNER ' || source AS line,
+         host_pages AS n_pages, host_pages FROM hp
+  UNION ALL
+  SELECT source || '.example.org', 'FOOTER ' || source,
+         even_pages, host_pages FROM hp)
+SELECT host, line, n_pages, host_pages,
+       ROUND(CAST(n_pages AS DOUBLE) / host_pages, 6) AS ratio
+FROM cand
+WHERE n_pages >= 2
+  AND ROUND(CAST(n_pages AS DOUBLE) / host_pages, 6) >= 0.4
+"""
+
+
+def q_sitemap_urls(spark, sf):
+    """Sitemap extraction (operators/web.py sitemap_urls): one sitemap
+    per source host listing each document, lastmod present on every
+    third entry; the oracle recomputes the (host, url, lastmod) table
+    from the generator columns."""
+    from ecokg_spark.operators.web import sitemap_urls
+
+    d = t(spark, sf, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"),
+        F.lit(".example.org/d/"), F.col("doc_id"), F.lit("</loc>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("<lastmod>2024-01-"),
+                        F.lpad((F.col("doc_id") % 28 + 1).cast("string"),
+                               2, "0"),
+                        F.lit("</lastmod>"))).otherwise(F.lit("")),
+        F.lit("</url>"))
+    maps = (
+        d.groupBy("source")
+        .agg(F.concat(F.lit("<urlset>"),
+                      F.array_join(F.array_sort(F.collect_list(entry)), ""),
+                      F.lit("</urlset>")).alias("sitemap_xml"))
+        .select(F.concat(F.col("source"), F.lit(".example.org"))
+                .alias("host"), "sitemap_xml")
+    )
+    return sitemap_urls(maps)
+
+
+SQL_SITEMAP_URLS = """
+SELECT source || '.example.org' AS host,
+       'https://' || source || '.example.org/d/' || doc_id AS url,
+       CASE WHEN doc_id % 3 = 0
+            THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       END AS lastmod
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7454,6 +7533,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonl_corrupt": q_jsonl_corrupt,
     "nfc_normalize": q_nfc_normalize,
     "sparql_bind_if": q_sparql_bind_if,
+    "host_boilerplate": q_host_boilerplate,
+    "sitemap_urls": q_sitemap_urls,
 }
 
 ORACLES: dict[str, str] = {
@@ -7652,6 +7733,8 @@ ORACLES: dict[str, str] = {
     "jsonl_corrupt": SQL_JSONL_CORRUPT,
     "nfc_normalize": SQL_NFC_NORMALIZE,
     "sparql_bind_if": SQL_SPARQL_BIND_IF,
+    "host_boilerplate": SQL_HOST_BOILERPLATE,
+    "sitemap_urls": SQL_SITEMAP_URLS,
 }
 
 

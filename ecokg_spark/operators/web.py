@@ -480,3 +480,76 @@ def crawl_frontier(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def host_boilerplate_lines(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_ratio: float = 0.5,
+    min_pages: int = 2,
+) -> DataFrame:
+    """Per-host boilerplate detection: a LINE that appears on at least
+    `min_ratio` of a host's pages (and at least `min_pages` of them) is
+    site template, not content — nav bars, cookie banners, footers. The
+    host-scoped refinement of CCNet's corpus-level line dedup: "about us"
+    is boilerplate on the site that repeats it, content in a corpus that
+    quotes it once.
+
+    Shape: explode lines -> per (host, line) DISTINCT-page count (two-
+    phase partial aggregation keeps the per-page distinct map-side) ->
+    broadcast-size per-host page totals joined back -> ratio gate. Two
+    aggregates on keys that include the host, so a giant site is spread
+    over its distinct lines, not one reducer. Returns
+    (host, line, n_pages, host_pages, ratio) for flagged lines; join
+    back on (host, line) to strip them from the corpus.
+    """
+    from ecokg_spark.functions.url import url_host
+
+    lines = pages.select(
+        url_host(url_col).alias("host"),
+        F.col(url_col).alias("_page"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).withColumn("line", F.trim("line")).where(F.col("line") != "")
+    per_line = lines.groupBy("host", "line").agg(
+        F.countDistinct("_page").cast("long").alias("n_pages"))
+    host_pages = pages.select(
+        url_host(url_col).alias("host"), F.col(url_col).alias("_page")
+    ).groupBy("host").agg(
+        F.countDistinct("_page").cast("long").alias("host_pages"))
+    return (
+        per_line.join(host_pages, "host")
+        .withColumn("ratio", F.round(
+            F.col("n_pages") / F.col("host_pages"), 6))
+        .where((F.col("n_pages") >= min_pages)
+               & (F.col("ratio") >= min_ratio))
+    )
+
+
+def sitemap_urls(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Sitemap.xml extraction — the crawl-seeding complement of
+    parse_robots: pull every <url><loc>...</loc>[<lastmod>...</lastmod>]
+    </url> entry into (host, url, lastmod), lastmod NULL when absent.
+    Pure Catalyst: regexp_extract_all over whole <url> blocks, then
+    per-block field extraction — the host_link_graph extraction
+    discipline (no XML parser dependency, the 99% well-formed-sitemap
+    case; a full parser would be a mapInPandas stage with the same
+    output schema).
+    """
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit("(?s)(<url>.*?</url>)"), 1)
+    exploded = sitemaps.select(
+        F.col(host_col).alias("host"), F.explode(blocks).alias("_b"))
+    loc = F.regexp_extract(F.col("_b"), "<loc>\\s*([^<]*?)\\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        F.col("_b"), "<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1)
+    return (
+        exploded.select(
+            "host", loc.alias("url"),
+            F.when(lastmod != "", lastmod).alias("lastmod"))
+        .where(F.col("url") != "")
+    )

@@ -360,3 +360,39 @@ def test_crawl_frontier(spark):
     assert len(pop) == 1 and out[pop[0]][0] == 2   # per-host cap applied
     assert out["https://rare.com/new"][0] == 1
     assert out["https://unknown.org/new"][0] == 0
+
+
+def test_host_boilerplate_lines(spark):
+    from ecokg_spark.operators.web import host_boilerplate_lines
+
+    pages = spark.createDataFrame(
+        [("https://a.com/1", "COOKIE BANNER\nunique content one\nFOOTER"),
+         ("https://a.com/2", "COOKIE BANNER\nother article text\nFOOTER"),
+         ("https://a.com/3", "COOKIE BANNER\nthird thing entirely"),
+         ("https://b.com/1", "COOKIE BANNER\nb content")],
+        "url string, text string")
+    out = host_boilerplate_lines(pages, min_ratio=0.5, min_pages=2)
+    got = {(r["host"], r["line"]): (r["n_pages"], r["host_pages"])
+           for r in out.collect()}
+    assert got[("a.com", "COOKIE BANNER")] == (3, 3)
+    assert got[("a.com", "FOOTER")] == (2, 3)
+    # content lines never flagged; b.com has 1 page < min_pages
+    assert not any(h == "b.com" for h, _ in got)
+    assert ("a.com", "unique content one") not in got
+
+
+def test_sitemap_urls(spark):
+    from ecokg_spark.operators.web import sitemap_urls
+
+    xml = ("<?xml version='1.0'?><urlset>"
+           "<url><loc> https://a.com/p1 </loc>"
+           "<lastmod>2024-01-02</lastmod></url>"
+           "<url><loc>https://a.com/p2</loc></url>"
+           "<url><lastmod>2024-05-05</lastmod></url>"   # no loc: dropped
+           "</urlset>")
+    df = spark.createDataFrame([("a.com", xml)],
+                               "host string, sitemap_xml string")
+    got = sorted(tuple(r) for r in sitemap_urls(df).collect())
+    assert got == [
+        ("a.com", "https://a.com/p1", "2024-01-02"),
+        ("a.com", "https://a.com/p2", None)]
