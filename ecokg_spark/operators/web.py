@@ -192,12 +192,13 @@ def anchor_texts(
     output feeds build_termlist as an extra alias source).
 
     Extraction is pure Catalyst: regexp_extract_all pulls whole
-    ``<a href="...">text</a>`` elements (double-quoted href, no nested
-    markup inside the anchor — the host_link_graph extraction contract),
-    then per-element regexp_extract splits href and text, whitespace is
-    collapsed, and the destination host resolves via the shared
-    _resolve_dst_host rule. Empty anchors and dropped schemes vanish
-    before the aggregate.
+    ``<a ...>text</a>`` elements (double-quoted href anywhere in the
+    attribute list, no nested markup inside the anchor — the
+    host_link_graph extraction contract), then per-element
+    regexp_extract splits href and text, whitespace is collapsed, and
+    the destination host resolves via the shared _resolve_dst_host rule.
+    Empty anchors, href-less anchors, and dropped schemes vanish before
+    the aggregate.
 
     Scale shape: anchor fanout pipelines with the scan (no shuffle until
     the aggregate); one (dst_host, anchor) count aggregate with map-side
@@ -211,11 +212,14 @@ def anchor_texts(
     """
     h = F.col(html_col).cast("string")
     anchors = F.regexp_extract_all(
-        h, F.lit('(<a href="[^"]*"[^>]*>[^<]*</a>)'), 1)
+        h, F.lit('(<a [^>]*>[^<]*</a>)'), 1)
     exploded = pages.select(
         url_host(url_col).alias("src_host"),
         F.explode(anchors).alias("_a"),
     )
+    # href extracted from the captured tag, so attribute ORDER is free
+    # (<a class="x" href="..."> works); anchors with no href at all
+    # yield link='' which _resolve_dst_host maps to '' -> dropped
     link = F.regexp_extract(F.col("_a"), 'href="([^"]*)"', 1)
     text = F.trim(F.regexp_replace(
         F.regexp_extract(F.col("_a"), '>([^<]*)</a>', 1), r"\s+", " "))

@@ -396,3 +396,18 @@ def test_sitemap_urls(spark):
     assert got == [
         ("a.com", "https://a.com/p1", "2024-01-02"),
         ("a.com", "https://a.com/p2", None)]
+
+
+def test_anchor_texts_attr_order_free(spark):
+    from ecokg_spark.operators.web import anchor_texts
+
+    pages = spark.createDataFrame(
+        [("https://a.com/1",
+          '<a class="nav" href="https://t.org/x">Before Href</a>'
+          '<a name="no-href-anchor">Skip Me</a>')],
+        "url string, html string",
+    ).withColumn("html", F.encode("html", "UTF-8"))
+    got = {(r["dst_host"], r["anchor"]) for r in
+           anchor_texts(pages, k=5).collect()}
+    assert ("t.org", "Before Href") in got
+    assert not any(a == "Skip Me" for _, a in got)
