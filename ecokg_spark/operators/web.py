@@ -309,10 +309,11 @@ def canonical_meta(
     derived corpora the way a polite crawler excludes them from an index.
 
     Extraction contract (same as host_link_graph): double-quoted
-    attributes in source order ``rel="canonical" ... href="..."`` and
-    ``name="robots" ... content="..."``; first match wins. Pure Catalyst
-    regexp_extract — no shuffle at all, the verdict columns ride along
-    with the scan.
+    attributes; the identifying attribute (rel="canonical" /
+    name="robots") anchors the tag and href/content are pulled from the
+    captured tag, so attribute ORDER is free; first matching tag wins.
+    Pure Catalyst regexp_extract — no shuffle at all, the verdict
+    columns ride along with the scan.
 
     Returns df plus (canonical_url, canonical_final, noindex, nofollow):
     canonical_url is the raw declared target ('' when absent),
@@ -321,10 +322,14 @@ def canonical_meta(
     content list.
     """
     h = F.col(html_col).cast("string")
+    # capture the whole tag first, then the attribute — href/content may
+    # precede rel/name in real markup (attribute order is free)
     canon = F.regexp_extract(
-        h, '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+        F.regexp_extract(h, '(<link[^>]*rel="canonical"[^>]*>)', 1),
+        'href="([^"]*)"', 1)
     robots = F.lower(F.regexp_extract(
-        h, '<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1))
+        F.regexp_extract(h, '(<meta[^>]*name="robots"[^>]*>)', 1),
+        'content="([^"]*)"', 1))
     return pages.select(
         "*",
         canon.alias("canonical_url"),

@@ -411,3 +411,17 @@ def test_anchor_texts_attr_order_free(spark):
            anchor_texts(pages, k=5).collect()}
     assert ("t.org", "Before Href") in got
     assert not any(a == "Skip Me" for _, a in got)
+
+
+def test_canonical_meta_attr_order_free(spark):
+    from ecokg_spark.operators.web import canonical_meta
+
+    pages = spark.createDataFrame(
+        [("https://a.com/p",
+          '<link href="https://a.com/canon" rel="canonical"/>'
+          '<meta content="noindex" name="robots">')],
+        "url string, html string",
+    ).withColumn("html", F.encode("html", "UTF-8"))
+    r = canonical_meta(pages).collect()[0]
+    assert r["canonical_url"] == "https://a.com/canon"
+    assert r["noindex"]
