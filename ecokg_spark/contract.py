@@ -7332,6 +7332,47 @@ FROM documents
 """
 
 
+def q_strip_boilerplate(spark, sf):
+    """Boilerplate stripping end to end (operators/web.py
+    strip_host_boilerplate over the host_boilerplate fixture): banners
+    and even-page footers vanish, document content survives; the oracle
+    replays the threshold rule INCLUDING the document-text lines (a
+    same-source exact-duplicate text that clears the threshold must
+    strip in both engines)."""
+    from ecokg_spark.operators.web import strip_host_boilerplate
+
+    d = t(spark, sf, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/d/"), F.col("doc_id"))
+    text = F.concat(
+        F.lit("BANNER "), F.col("source"), F.lit("\n"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("FOOTER "), F.col("source"), F.lit("\n")))
+         .otherwise(F.lit("")),
+        F.col("text"))
+    pages = d.select(url.alias("url"), text.alias("text"))
+    return strip_host_boilerplate(pages, min_ratio=0.4, min_pages=2)
+
+
+SQL_STRIP_BOILERPLATE = """
+WITH hp AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+  GROUP BY source),
+docline AS (
+  SELECT source, trim(text) AS line, COUNT(DISTINCT doc_id) AS np
+  FROM documents GROUP BY 1, 2),
+flagged_doc AS (
+  SELECT d.source, d.line FROM docline d JOIN hp USING (source)
+  WHERE d.np >= 2 AND ROUND(CAST(d.np AS DOUBLE) / hp.n, 6) >= 0.4)
+SELECT 'https://' || d.source || '.example.org/d/' || d.doc_id AS url,
+       CASE WHEN EXISTS (SELECT 1 FROM flagged_doc f
+                         WHERE f.source = d.source
+                           AND f.line = trim(d.text))
+            THEN '' ELSE d.text END AS text
+FROM documents d
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7535,6 +7576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_bind_if": q_sparql_bind_if,
     "host_boilerplate": q_host_boilerplate,
     "sitemap_urls": q_sitemap_urls,
+    "strip_boilerplate": q_strip_boilerplate,
 }
 
 ORACLES: dict[str, str] = {
@@ -7735,6 +7777,7 @@ ORACLES: dict[str, str] = {
     "sparql_bind_if": SQL_SPARQL_BIND_IF,
     "host_boilerplate": SQL_HOST_BOILERPLATE,
     "sitemap_urls": SQL_SITEMAP_URLS,
+    "strip_boilerplate": SQL_STRIP_BOILERPLATE,
 }
 
 

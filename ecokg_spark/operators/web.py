@@ -562,3 +562,56 @@ def sitemap_urls(
             F.when(lastmod != "", lastmod).alias("lastmod"))
         .where(F.col("url") != "")
     )
+
+
+def strip_host_boilerplate(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_ratio: float = 0.5,
+    min_pages: int = 2,
+) -> DataFrame:
+    """Remove per-host boilerplate lines from page text: detect with
+    host_boilerplate_lines, anti-join the flagged (host, line) pairs out
+    of the exploded line table, and rebuild each page's text in original
+    line order — the cleanup the detector exists for (CCNet-style, but
+    host-scoped so one site's banner never deletes another site's
+    content).
+
+    Shape: detection's two host-keyed aggregates, then one posexplode +
+    left-anti on (host, line) + one (page) rebuild aggregate over
+    sort_array'd (pos, line) structs — deterministic rebuild without a
+    window sort. Pages whose every line was boilerplate come back with
+    empty text (kept, so downstream length gates decide their fate).
+    Returns (url_col, text) with text rebuilt.
+    """
+    from ecokg_spark.functions.url import url_host
+
+    flagged = host_boilerplate_lines(
+        pages, url_col=url_col, text_col=text_col,
+        min_ratio=min_ratio, min_pages=min_pages,
+    ).select("host", F.col("line").alias("_bl"))
+    lines = pages.select(
+        F.col(url_col),
+        url_host(url_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_t", F.trim("line"))
+    kept = lines.join(
+        flagged,
+        (lines["host"] == flagged["host"]) & (lines["_t"] == flagged["_bl"]),
+        "left_anti")
+    rebuilt = (
+        kept.groupBy(url_col)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"]),
+            "\n").alias("text"))
+    )
+    # a page whose EVERY line was boilerplate has no kept rows — restore
+    # it with empty text from the page key set (left join), per contract
+    return (
+        pages.select(url_col).distinct()
+        .join(rebuilt, url_col, "left")
+        .select(url_col, F.coalesce("text", F.lit("")).alias("text"))
+    )

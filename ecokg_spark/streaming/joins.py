@@ -42,6 +42,10 @@ def windowed_stream_join(
     DataFrames too (watermark is a no-op there), which is what the
     batch-parity tests exploit.
     """
+    window_s, watermark_s = int(window_s), int(watermark_s)
+    if window_s <= 0 or watermark_s <= 0:
+        raise ValueError(f"need positive window/watermark seconds; got "
+                         f"{window_s=}, {watermark_s=}")
     lw = (left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
           .withWatermark(left_ts, f"{watermark_s} seconds"))
     rw = (right.withColumn(right_ts, F.col(right_ts).cast("timestamp"))

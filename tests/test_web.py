@@ -425,3 +425,35 @@ def test_canonical_meta_attr_order_free(spark):
     r = canonical_meta(pages).collect()[0]
     assert r["canonical_url"] == "https://a.com/canon"
     assert r["noindex"]
+
+
+def test_strip_host_boilerplate(spark):
+    from ecokg_spark.operators.web import strip_host_boilerplate
+
+    pages = spark.createDataFrame(
+        [("https://a.com/1", "BANNER\ncontent one\nFOOTER"),
+         ("https://a.com/2", "BANNER\ncontent two\nFOOTER"),
+         ("https://a.com/3", "BANNER\nthird content"),
+         ("https://b.com/1", "BANNER\nb keeps its banner")],
+        "url string, text string")
+    got = {r["url"]: r["text"]
+           for r in strip_host_boilerplate(pages).collect()}
+    assert got["https://a.com/1"] == "content one"
+    assert got["https://a.com/2"] == "content two"
+    assert got["https://a.com/3"] == "third content"
+    # b.com has one page: nothing reaches min_pages, text intact
+    assert got["https://b.com/1"] == "BANNER\nb keeps its banner"
+
+
+def test_strip_host_boilerplate_fully_boilerplate_page(spark):
+    from ecokg_spark.operators.web import strip_host_boilerplate
+
+    pages = spark.createDataFrame(
+        [("https://a.com/1", "SAME"), ("https://a.com/2", "SAME"),
+         ("https://a.com/3", "SAME\nreal content")],
+        "url string, text string")
+    got = {r["url"]: r["text"]
+           for r in strip_host_boilerplate(pages).collect()}
+    # pages that were pure boilerplate survive with EMPTY text
+    assert got["https://a.com/1"] == "" and got["https://a.com/2"] == ""
+    assert got["https://a.com/3"] == "real content"
