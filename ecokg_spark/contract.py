@@ -7373,6 +7373,86 @@ FROM documents d
 """
 
 
+def q_recrawl_priority(spark, sf):
+    """Cho-Garcia-Molina recrawl scheduling (operators/temporal.py
+    recrawl_priority): per-user event history as the observation log,
+    clicks as the change signal, a FIXED scheduling instant (the job is
+    replayable — no clock reads); lambda and priority rounded before
+    comparison."""
+    from ecokg_spark.operators.temporal import recrawl_priority
+
+    e = t(spark, sf, "events")
+    h = e.select(
+        "user_id", "ts",
+        (F.col("event_type") == "click").alias("changed"))
+    return recrawl_priority(h, "user_id", "ts", "changed",
+                            "2024-12-31 00:00:00")
+
+
+SQL_RECRAWL_PRIORITY = """
+WITH agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_changes,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 86400000000.0 AS span,
+         MAX(ts) AS last_ts
+  FROM events GROUP BY user_id),
+lam AS (
+  SELECT user_id, n_obs, n_changes,
+         ROUND(CASE WHEN span > 0 THEN n_changes / span ELSE 1.0 END, 6)
+           AS lambda_per_day,
+         (epoch_us(TIMESTAMP '2024-12-31 00:00:00') - epoch_us(last_ts))
+           / 86400000000.0 AS age
+  FROM agg)
+SELECT user_id, n_obs, n_changes, lambda_per_day,
+       ROUND(1.0 - exp(-lambda_per_day * age), 6) AS priority
+FROM lam
+"""
+
+
+def q_assortativity(spark, sf):
+    """Degree assortativity (operators/kgqc.py degree_assortativity)
+    over the events functional graph: all five correlation sums stage
+    as exact integers (decimal(38,0) in Spark, HUGEINT in DuckDB, both
+    stringified identically), one closed-form double division at the
+    end."""
+    from ecokg_spark.operators.kgqc import degree_assortativity
+
+    e = t(spark, sf, "events")
+    edges = e.select(
+        (F.col("event_id") % 997).alias("src"),
+        ((F.col("event_id") * 31 + 7) % 997).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return degree_assortativity(edges)
+
+
+SQL_ASSORTATIVITY = """
+WITH e AS (
+  SELECT event_id % 997 AS u, (event_id * 31 + 7) % 997 AS v
+  FROM events WHERE event_id % 997 <> (event_id * 31 + 7) % 997),
+dout AS (SELECT u, COUNT(*) AS dx FROM e GROUP BY u),
+din AS (SELECT v, COUNT(*) AS dy FROM e GROUP BY v),
+j AS (SELECT dx, dy FROM e JOIN dout USING (u) JOIN din USING (v)),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(CAST(SUM(dx) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(dy) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(dx * dx) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(dy * dy) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(dx * dy) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM j)
+SELECT n_edges,
+       CASE WHEN sqrt(n_edges * sxx - sx * sx)
+                 * sqrt(n_edges * syy - sy * sy) > 0
+            THEN ROUND((n_edges * sxy - sx * sy)
+                       / (sqrt(n_edges * sxx - sx * sx)
+                          * sqrt(n_edges * syy - sy * sy)), 6)
+       END AS assortativity
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7577,6 +7657,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_boilerplate": q_host_boilerplate,
     "sitemap_urls": q_sitemap_urls,
     "strip_boilerplate": q_strip_boilerplate,
+    "recrawl_priority": q_recrawl_priority,
+    "assortativity": q_assortativity,
 }
 
 ORACLES: dict[str, str] = {
@@ -7778,6 +7860,8 @@ ORACLES: dict[str, str] = {
     "host_boilerplate": SQL_HOST_BOILERPLATE,
     "sitemap_urls": SQL_SITEMAP_URLS,
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
+    "recrawl_priority": SQL_RECRAWL_PRIORITY,
+    "assortativity": SQL_ASSORTATIVITY,
 }
 
 

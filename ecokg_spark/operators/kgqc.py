@@ -158,3 +158,54 @@ def degree_histogram(
             F.max("deg").cast("long").alias("max_degree"),
         )
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    decimals: int = 6,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of (out-degree(src), in-degree(dst)) over directed
+    edges — one number separating hub-to-hub topologies (assortative,
+    r > 0: citation cliques) from hub-to-leaf (disassortative, r < 0:
+    the web's typical shape). A KG whose assortativity shifts between
+    releases changed its growth regime — a schema-free QC tripwire next
+    to degree_histogram.
+
+    All five correlation sums (n, Sx, Sy, Sxx, Syy, Sxy) accumulate as
+    exact integers (degrees are integers; products stage through
+    decimal(38,0) so a billion-edge graph cannot overflow a BIGINT
+    product sum), and only the final closed form divides in double,
+    ROUNDed — both engines evaluate one identical expression on
+    identical integers. Three shuffles: two degree aggregates + the
+    final 1-row global sum (map-side combined). Returns one row
+    (n_edges, assortativity); NULL when either degree is constant
+    (zero variance)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    dout = e.groupBy("u").agg(F.count(F.lit(1)).alias("_dx"))
+    din = e.groupBy("v").agg(F.count(F.lit(1)).alias("_dy"))
+    j = e.join(dout, "u").join(din, "v")
+    d0 = "decimal(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.col("_dx").cast(d0)).alias("_sx"),
+        F.sum(F.col("_dy").cast(d0)).alias("_sy"),
+        F.sum((F.col("_dx") * F.col("_dx")).cast(d0)).alias("_sxx"),
+        F.sum((F.col("_dy") * F.col("_dy")).cast(d0)).alias("_syy"),
+        F.sum((F.col("_dx") * F.col("_dy")).cast(d0)).alias("_sxy"),
+    )
+    n = F.col("n_edges").cast("double")
+    sx = F.col("_sx").cast("string").cast("double")
+    sy = F.col("_sy").cast("string").cast("double")
+    sxx = F.col("_sxx").cast("string").cast("double")
+    syy = F.col("_syy").cast("string").cast("double")
+    sxy = F.col("_sxy").cast("string").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return s.select(
+        "n_edges",
+        F.when(den > 0, F.round(num / den, decimals))
+         .alias("assortativity"),
+    )

@@ -317,3 +317,55 @@ def rolling_zscore(
         z.alias("z"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def recrawl_priority(
+    history: DataFrame,
+    key_col: str,
+    ts_col: str,
+    changed_col: str,
+    now_ts,
+    decimals: int = 6,
+) -> DataFrame:
+    """Recrawl scheduling priority from a per-URL observation history
+    (Cho & Garcia-Molina 2003's Poisson change model, the classic
+    freshness policy): estimate each page's change rate lambda =
+    changes / observed-span-days, then priority = 1 - exp(-lambda *
+    days-since-last-crawl) — the probability the page has changed since
+    we last fetched it. Rank the frontier by priority descending.
+
+    `history` has one row per (key, observation ts, changed flag);
+    `now_ts` is the scheduling instant (pass an explicit literal — the
+    job must be deterministic/replayable, so no clock reads here).
+    Pages with a single observation (no measurable span) fall back to
+    lambda = 1/day (crawl-soon optimism), the standard cold-start
+    choice. exp() is IEEE-identical cross-engine on identical inputs;
+    lambda and priority are ROUNDed (the float-before-ranking
+    discipline).
+
+    One shuffle on the key (the per-key aggregate). Returns
+    (key, n_obs, n_changes, lambda_per_day, priority).
+    """
+    span_days = (
+        (F.unix_micros(F.max(F.col(ts_col)).cast("timestamp"))
+         - F.unix_micros(F.min(F.col(ts_col)).cast("timestamp")))
+        / F.lit(86_400_000_000.0))
+    agg = history.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.col(changed_col).cast("long")).cast("long")
+         .alias("n_changes"),
+        span_days.alias("_span"),
+        F.max(F.col(ts_col).cast("timestamp")).alias("_last"),
+    )
+    lam = F.when(F.col("_span") > 0,
+                 F.col("n_changes") / F.col("_span")).otherwise(F.lit(1.0))
+    age_days = (
+        (F.unix_micros(F.lit(now_ts).cast("timestamp"))
+         - F.unix_micros(F.col("_last"))) / F.lit(86_400_000_000.0))
+    lam_r = F.round(lam, decimals)
+    prio = F.round(F.lit(1.0) - F.exp(-lam_r * age_days), decimals)
+    return agg.select(
+        key_col, "n_obs", "n_changes",
+        lam_r.alias("lambda_per_day"),
+        prio.alias("priority"),
+    )

@@ -169,3 +169,55 @@ def test_coalesce_intervals_gap(spark):
     out = coalesce_intervals(df, "k", "s", "e", gap=2)
     got = sorted(tuple(r) for r in out.collect())
     assert got == [("a", 1, 5, 2), ("a", 9, 10, 1)]
+
+
+def test_recrawl_priority(spark):
+    import datetime as dt
+
+    from ecokg_spark.operators.temporal import recrawl_priority
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # hot page: observed daily for 10 days, changed every time
+    for i in range(10):
+        rows.append(("hot", t0 + dt.timedelta(days=i), True))
+    # cold page: observed daily for 10 days, changed once
+    for i in range(10):
+        rows.append(("cold", t0 + dt.timedelta(days=i), i == 5))
+    # single observation: cold-start lambda = 1/day
+    rows.append(("new", t0, True))
+    h = spark.createDataFrame(rows, "url string, ts timestamp, changed boolean")
+    now = dt.datetime(2024, 1, 15)
+    got = {r["url"]: r for r in
+           recrawl_priority(h, "url", "ts", "changed", now).collect()}
+    import math
+    # hot: lambda = 10/9, age 5 days since last obs (t0+9d) -> near 1
+    lam_hot = round(10 / 9, 6)
+    assert abs(got["hot"]["lambda_per_day"] - lam_hot) < 1e-9
+    assert abs(got["hot"]["priority"]
+               - round(1 - math.exp(-lam_hot * 5), 6)) < 1e-9
+    # cold changes rarely -> lower priority than hot at equal age
+    assert got["cold"]["priority"] < got["hot"]["priority"]
+    # cold-start: lambda = 1.0
+    assert got["new"]["lambda_per_day"] == 1.0
+    assert got["new"]["n_obs"] == 1
+
+
+def test_degree_assortativity(spark):
+    from ecokg_spark.operators.kgqc import degree_assortativity
+
+    # star graph: hub -> leaves is maximally disassortative in the
+    # (out-deg, in-deg) pairing only when degrees VARY; a pure star has
+    # constant degrees per side -> NULL (zero variance)
+    star = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(5)], "src string, dst string")
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_edges"] == 5 and r["assortativity"] is None
+
+    # mixed graph: hub->hub edge plus hub->leaf edges gives variance
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("d", "b"), ("d", "e"), ("f", "b")],
+        "src string, dst string")
+    r2 = degree_assortativity(e).collect()[0]
+    assert r2["n_edges"] == 5 and r2["assortativity"] is not None
+    assert -1.0 <= r2["assortativity"] <= 1.0
