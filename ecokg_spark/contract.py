@@ -7453,6 +7453,62 @@ FROM s
 """
 
 
+def q_funnel(spark, sf):
+    """Strict-order funnel (operators/temporal.py funnel_counts):
+    click -> view -> purchase per user, each step strictly after the
+    previous step's earliest qualifying event."""
+    from ecokg_spark.operators.temporal import funnel_counts
+
+    e = t(spark, sf, "events")
+    return funnel_counts(e, "user_id", "ts", "event_type",
+                         ["click", "view", "purchase"])
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'click' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST(0 AS INT) AS step_idx, 'click' AS step,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_keys
+UNION ALL SELECT 1, 'view', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s3)
+"""
+
+
+def q_event_transitions(spark, sf):
+    """Markov transition table (operators/temporal.py event_transitions)
+    per user over (ts, event_id) order — event_id as the determinism
+    tiebreak; probabilities are exact ratios rounded to 6 dp."""
+    from ecokg_spark.operators.temporal import event_transitions
+
+    e = t(spark, sf, "events")
+    return event_transitions(e, "user_id", "ts", "event_type",
+                             tiebreak_cols=["event_id"])
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH p AS (
+  SELECT event_type AS from_step,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_step
+  FROM events),
+c AS (
+  SELECT from_step, to_step, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p WHERE to_step IS NOT NULL GROUP BY from_step, to_step),
+tot AS (SELECT from_step, SUM(n) AS tt FROM c GROUP BY from_step)
+SELECT c.from_step, c.to_step, c.n, ROUND(c.n / t2.tt, 6) AS p
+FROM c JOIN tot t2 USING (from_step)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7659,6 +7715,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_boilerplate": q_strip_boilerplate,
     "recrawl_priority": q_recrawl_priority,
     "assortativity": q_assortativity,
+    "funnel": q_funnel,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLES: dict[str, str] = {
@@ -7862,6 +7920,8 @@ ORACLES: dict[str, str] = {
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
     "recrawl_priority": SQL_RECRAWL_PRIORITY,
     "assortativity": SQL_ASSORTATIVITY,
+    "funnel": SQL_FUNNEL,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
 }
 
 

@@ -369,3 +369,88 @@ def recrawl_priority(
         lam_r.alias("lambda_per_day"),
         prio.alias("priority"),
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis: how many keys (users/sessions) reached
+    each step of `steps` IN ORDER — step k counts a key iff it has an
+    event of step k at a timestamp strictly after its earliest
+    qualifying step-(k-1) event (the classic strict-order funnel; ties
+    at the same timestamp do not advance). Returns
+    (step_idx, step, n_keys), n_keys non-increasing in step_idx.
+
+    Shape: one min-timestamp aggregate per step, each joined on the key
+    against the previous frontier — len(steps) small-key-space
+    aggregates and joins, never a per-key sort of the full event log.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    spark_rows = []
+    frontier = None
+    for i, s in enumerate(steps):
+        ev = events.where(F.col(step_col) == s).select(
+            F.col(key_col).alias("_k"), F.col(ts_col).alias("_t"))
+        if frontier is None:
+            cur = ev.groupBy("_k").agg(F.min("_t").alias("_ft"))
+        else:
+            cur = (
+                ev.join(frontier, "_k")
+                .where(F.col("_t") > F.col("_ft"))
+                .groupBy("_k")
+                .agg(F.min("_t").alias("_ft"))
+            )
+        frontier = cur.localCheckpoint()
+        spark_rows.append(
+            frontier.agg(
+                F.lit(i).cast("int").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.count(F.lit(1)).cast("long").alias("n_keys")))
+    out = spark_rows[0]
+    for fr in spark_rows[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_col: str,
+    tiebreak_cols: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """First-order Markov transition table of event types per key: for
+    each consecutive event pair in (ts, tiebreak) order, count
+    (from_step, to_step) and the row-normalized transition probability
+    — the behavioral fingerprint session-quality and bot-detection
+    heuristics read. Pass `tiebreak_cols` when timestamps can tie (the
+    lead() determinism rule, as in scd2_intervals).
+
+    ONE shuffle on the key for the lead window, then a map-side-
+    combinable pair count and a broadcast-sized from-step total join.
+    Probabilities are exact-integer ratios divided once in double and
+    ROUNDed. Returns (from_step, to_step, n, p).
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        events.select(F.col(key_col), F.col(step_col).alias("from_step"),
+                      *[F.col(c) for c in [ts_col, *(tiebreak_cols or [])]])
+        .withColumn("to_step", F.lead("from_step").over(w))
+        .where(F.col("to_step").isNotNull())
+        .groupBy("from_step", "to_step")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_step").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_step")
+        .select("from_step", "to_step", "n",
+                F.round(F.col("n") / F.col("_tot"), decimals).alias("p"))
+    )

@@ -221,3 +221,49 @@ def test_degree_assortativity(spark):
     r2 = degree_assortativity(e).collect()[0]
     assert r2["n_edges"] == 5 and r2["assortativity"] is not None
     assert -1.0 <= r2["assortativity"] <= 1.0
+
+
+def test_funnel_counts(spark):
+    import datetime as dt
+
+    from ecokg_spark.operators.temporal import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, s, m):
+        return (u, t0 + dt.timedelta(minutes=m), s)
+
+    rows = [
+        # u1 completes the funnel in order
+        ev(1, "click", 0), ev(1, "view", 5), ev(1, "purchase", 10),
+        # u2 views BEFORE clicking: stops at click
+        ev(2, "view", 0), ev(2, "click", 5),
+        # u3 clicks then views, no purchase
+        ev(3, "click", 0), ev(3, "view", 1),
+        # u4 same-timestamp tie does not advance
+        ev(4, "click", 0), (4, t0, "view"),
+    ]
+    e = spark.createDataFrame(rows, "u long, ts timestamp, s string")
+    got = {r["step"]: r["n_keys"] for r in funnel_counts(
+        e, "u", "ts", "s", ["click", "view", "purchase"]).collect()}
+    assert got == {"click": 4, "view": 2, "purchase": 1}
+
+
+def test_event_transitions(spark):
+    import datetime as dt
+
+    from ecokg_spark.operators.temporal import event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(minutes=i), s, i)
+            for i, s in enumerate(["a", "b", "a", "b", "c"])]
+    rows += [(2, t0 + dt.timedelta(minutes=i), s, i)
+             for i, s in enumerate(["a", "b"])]
+    e = spark.createDataFrame(rows, "u long, ts timestamp, s string, seq int")
+    got = {(r["from_step"], r["to_step"]): (r["n"], r["p"])
+           for r in event_transitions(e, "u", "ts", "s",
+                                      tiebreak_cols=["seq"]).collect()}
+    # a->b 3 times (all of a's transitions), b->a once, b->c once
+    assert got[("a", "b")] == (3, 1.0)
+    assert got[("b", "a")] == (1, 0.5)
+    assert got[("b", "c")] == (1, 0.5)
