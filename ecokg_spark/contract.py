@@ -7509,6 +7509,78 @@ FROM c JOIN tot t2 USING (from_step)
 """
 
 
+def q_crawl_lifecycle(spark, sf):
+    """Capstone crawl-lifecycle composition: sitemap seeds ->
+    robots gate ('*' group, Disallow /d/3 prefix) -> already-crawled
+    anti-join + authority-ranked politeness-capped frontier. Every
+    stage is individually certified (sitemap_urls / robots_rules /
+    robots_check / crawl_frontier); this row certifies the chain. The
+    oracle replays the whole lifecycle as generator arithmetic (the
+    /d/3 prefix rule becomes doc_id LIKE '3%')."""
+    from ecokg_spark.operators.web import (
+        crawl_frontier,
+        parse_robots,
+        robots_allowed,
+        sitemap_urls,
+    )
+
+    d = t(spark, sf, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.org/d/"), F.col("doc_id"))
+    # 1. sitemap seeds, one sitemap per source host
+    entry = F.concat(F.lit("<url><loc>"), url, F.lit("</loc></url>"))
+    maps = (d.groupBy("source")
+            .agg(F.concat(F.lit("<urlset>"),
+                          F.array_join(F.array_sort(F.collect_list(entry)),
+                                       ""),
+                          F.lit("</urlset>")).alias("sitemap_xml"))
+            .select(F.concat(F.col("source"), F.lit(".example.org"))
+                    .alias("host"), "sitemap_xml"))
+    seeds = sitemap_urls(maps).select("url")
+    # 2. robots gate
+    robots = d.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.org")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /d/3").alias("robots_txt"))
+    rules = parse_robots(robots)
+    allowed = (robots_allowed(seeds, rules, agent="ecocrawler")
+               .where(F.col("allowed")).select("url"))
+    # 3. crawled set (every 5th doc) with one outbound link each
+    html = F.concat(F.lit('<a href="https://src'),
+                    (F.col("doc_id") * 7) % 20,
+                    F.lit('.example.org/x">l</a>'))
+    crawled = d.where(F.col("doc_id") % 5 == 0).select(
+        url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    # 4. frontier: authority-ranked, per-host cap 3
+    return crawl_frontier(crawled, allowed, per_host=3)
+
+
+SQL_CRAWL_LIFECYCLE = """
+WITH seeds AS (
+  SELECT doc_id, source,
+         'https://' || source || '.example.org/d/' || doc_id AS url
+  FROM documents),
+allowed AS (
+  SELECT * FROM seeds
+  WHERE CAST(doc_id AS VARCHAR) NOT LIKE '3%'),
+uncrawled AS (
+  SELECT * FROM allowed WHERE doc_id % 5 <> 0),
+auth AS (
+  SELECT 'src' || ((doc_id * 7) % 20) || '.example.org' AS host,
+         COUNT(DISTINCT doc_id) AS a
+  FROM documents WHERE doc_id % 5 = 0 GROUP BY 1),
+ranked AS (
+  SELECT u.url, u.source || '.example.org' AS host,
+         COALESCE(a.a, 0) AS authority,
+         ROW_NUMBER() OVER (PARTITION BY u.source
+                            ORDER BY md5(u.url), u.url) AS rank
+  FROM uncrawled u
+  LEFT JOIN auth a ON a.host = u.source || '.example.org')
+SELECT url, host, CAST(authority AS BIGINT) AS authority,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7717,6 +7789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assortativity": q_assortativity,
     "funnel": q_funnel,
     "event_transitions": q_event_transitions,
+    "crawl_lifecycle": q_crawl_lifecycle,
 }
 
 ORACLES: dict[str, str] = {
@@ -7922,6 +7995,7 @@ ORACLES: dict[str, str] = {
     "assortativity": SQL_ASSORTATIVITY,
     "funnel": SQL_FUNNEL,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "crawl_lifecycle": SQL_CRAWL_LIFECYCLE,
 }
 
 
