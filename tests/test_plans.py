@@ -452,3 +452,36 @@ def test_canonical_meta_rides_the_scan(spark):
     plan = physical_plan(out)
     assert count_exchanges(out) == 0, plan
     assert "Python" not in plan
+
+
+def test_event_transitions_single_key_shuffle_no_udf(spark):
+    from ecokg_spark.operators.temporal import event_transitions
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    out = event_transitions(e, "user_id", "ts", "event_type",
+                            tiebreak_cols=["event_id"])
+    plan = physical_plan(out)
+    assert "Python" not in plan
+    assert has_broadcast_join(out), plan      # totals join is broadcast
+
+
+def test_assortativity_no_udf_exact_sums(spark):
+    from ecokg_spark.operators.kgqc import degree_assortativity
+
+    e = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_id % 97 as src", "(event_id * 3 + 1) % 97 as dst")
+    out = degree_assortativity(e)
+    plan = physical_plan(out)
+    assert "Python" not in plan
+
+
+def test_strip_boilerplate_no_udf(spark):
+    from ecokg_spark.operators.web import strip_host_boilerplate
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    pages = d.selectExpr(
+        "concat('https://h', doc_id % 5, '.org/p/', doc_id) as url",
+        "text")
+    out = strip_host_boilerplate(pages)
+    plan = physical_plan(out)
+    assert "Python" not in plan
