@@ -7581,6 +7581,85 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_int8_quantize(spark, sf):
+    """Symmetric int8 embedding quantization (operators/embed.py
+    int8_quantize): floor(x + 0.5) tie convention so both engines
+    produce identical integers (ROUND would split HALF_UP/HALF_EVEN on
+    exact midpoints)."""
+    from ecokg_spark.operators.embed import int8_quantize
+
+    e = t(spark, sf, "embeddings")
+    return int8_quantize(e)
+
+
+SQL_INT8_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                       y -> abs(y)), 'max') AS m
+  FROM embeddings)
+SELECT vec_id,
+       ROUND(m / 127.0, 6) AS scale,
+       CASE WHEN m > 0
+            THEN list_transform(x, y -> CAST(floor(127.0 * y / m + 0.5)
+                                             AS INT))
+            ELSE list_transform(x, y -> CAST(0 AS INT)) END AS qvec
+FROM v
+"""
+
+
+def q_kg_negatives_head(spark, sf):
+    """Head-corruption negative sampling — kg_negative_samples with
+    swapped roles (the documented two-call protocol): subjects corrupt
+    against the subject pool; the oracle mirrors the swap."""
+    from ecokg_spark.operators.kgtrain import kg_negative_samples
+
+    s = t(spark, sf, "supplier")
+    triples = s.select(
+        F.concat(F.lit("N:"), F.col("s_nationkey")).alias("subject"),
+        F.lit("eco:hosts").alias("predicate"),
+        F.concat(F.lit("S:"), F.col("s_suppkey")).alias("object"),
+    ).distinct()
+    swapped = triples.select(
+        F.col("object").alias("subject"), "predicate",
+        F.col("subject").alias("object"))
+    negs = kg_negative_samples(swapped, k=2, buckets=16)
+    return negs.select(
+        F.col("neg_object").alias("neg_subject"), "predicate",
+        F.col("subject").alias("object"), "neg_idx")
+
+
+_H60T2 = _HEX15.format(
+    h="md5(s || '|' || p || '|' || o || '|' || CAST(st.neg_idx AS VARCHAR))")
+_H60E2 = _HEX15.format(h="md5(CAST(neg_idx AS VARCHAR) || '#' || ent)")
+
+SQL_KG_NEGATIVES_HEAD = f"""
+WITH t AS (
+  SELECT DISTINCT 'S:' || s_suppkey AS s, 'eco:hosts' AS p,
+                  'N:' || s_nationkey AS o
+  FROM supplier),
+e AS (SELECT DISTINCT o AS ent FROM t),
+salts AS (SELECT unnest(range(0, 2)) AS neg_idx),
+eh AS (SELECT neg_idx, ent, {_H60E2} AS h FROM e CROSS JOIN salts),
+picks AS (
+  SELECT neg_idx, h % 16 AS bucket,
+         MIN(lpad(CAST(h AS VARCHAR), 19, '0') || '|' || ent) AS pk
+  FROM eh GROUP BY 1, 2),
+p2 AS (SELECT neg_idx, bucket, split_part(pk, '|', 2) AS pick FROM picks),
+cand AS (
+  SELECT t.s, t.p, p2.pick, st.neg_idx
+  FROM t CROSS JOIN salts st
+  JOIN p2 ON p2.neg_idx = st.neg_idx
+         AND p2.bucket = ({_H60T2}) % 16
+  WHERE p2.pick <> t.o)
+SELECT c.pick AS neg_subject, c.p AS predicate, c.s AS object,
+       CAST(c.neg_idx AS INT) AS neg_idx
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM t WHERE t.s = c.s AND t.p = c.p AND t.o = c.pick)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7790,6 +7869,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "event_transitions": q_event_transitions,
     "crawl_lifecycle": q_crawl_lifecycle,
+    "int8_quantize": q_int8_quantize,
+    "kg_negatives_head": q_kg_negatives_head,
 }
 
 ORACLES: dict[str, str] = {
@@ -7996,6 +8077,8 @@ ORACLES: dict[str, str] = {
     "funnel": SQL_FUNNEL,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "crawl_lifecycle": SQL_CRAWL_LIFECYCLE,
+    "int8_quantize": SQL_INT8_QUANTIZE,
+    "kg_negatives_head": SQL_KG_NEGATIVES_HEAD,
 }
 
 

@@ -218,3 +218,41 @@ def kmeans_lloyd(
         new = {r["cluster"]: [float(x) for x in r["centroid"]] for r in rows}
         centroids = [new.get(i, centroids[i]) for i in range(k)]
     return _assign_clusters(df, vec_col, id_col, centroids, round_to)
+
+
+def int8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the embedding-export
+    format ANN serving stacks consume (4x smaller than float32, dot
+    products in integer SIMD): q_i = round(127 * x_i / max_abs(x)),
+    scale = max_abs/127 reconstructs x ~ q * scale. Zero vectors
+    quantize to all-zero with scale 0.
+
+    Catalyst-only: max_abs via one fold (max of doubles is order-
+    independent and exact), the quantized array via transform; the
+    integer rounding is floor(x + 0.5) — ties resolve toward +infinity
+    IDENTICALLY in every engine, where ROUND would split between
+    HALF_UP (Spark) and HALF_EVEN (DuckDB) on exact midpoints. Scale is
+    emitted rounded. Fanout-free — rides the scan. Returns
+    (id_col, scale, qvec array<int>).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    max_abs = F.aggregate(
+        v, F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x)))
+    df2 = df.select(F.col(id_col), v.alias("_v"),
+                    max_abs.alias("_m"))
+    q = F.when(
+        F.col("_m") > 0,
+        F.transform("_v", lambda x: F.floor(
+            F.lit(127.0) * x / F.col("_m") + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform("_v", lambda x: F.lit(0)))
+    return df2.select(
+        id_col,
+        F.round(F.col("_m") / 127.0, decimals).alias("scale"),
+        q.alias("qvec"),
+    )

@@ -129,3 +129,20 @@ def test_kmeans_lloyd_deterministic(spark):
     b = sorted(map(tuple, kmeans_lloyd(df, k=4, iterations=2)
                    .select("vec_id", "cluster", "dist").collect()))
     assert a == b
+
+
+def test_int8_quantize(spark):
+    from ecokg_spark.operators.embed import int8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["scale"], r["qvec"])
+           for r in int8_quantize(df).collect()}
+    s1, q1 = got[1]
+    assert q1 == [127, -63, 32, 0]    # floor(127 * x / 1.0 + 0.5)
+    assert abs(s1 - 1.0 / 127) < 1e-6
+    # reconstruction error bounded by scale/2 per component
+    for orig, q in zip([1.0, -0.5, 0.25, 0.0], q1):
+        assert abs(orig - q * (1.0 / 127)) <= (1.0 / 127) / 2 + 1e-9
+    assert got[2] == (0.0, [0, 0, 0, 0])
