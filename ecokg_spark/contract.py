@@ -7660,6 +7660,48 @@ WHERE NOT EXISTS (
 """
 
 
+def q_int8_topk(spark, sf):
+    """Integer-exact retrieval over int8-quantized embeddings
+    (operators/similarity.py int8_topk): BIGINT dot products need no
+    rounding discipline at all — the ranking is bit-stable by
+    construction. Queries = the three lowest vec_ids."""
+    from ecokg_spark.operators.similarity import int8_topk
+
+    e = t(spark, sf, "embeddings")
+    return int8_topk(e, e.where(F.col("vec_id") < 3), k=5)
+
+
+SQL_INT8_TOPK = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                       y -> abs(y)), 'max') AS m
+  FROM embeddings),
+q AS (
+  SELECT vec_id,
+         CASE WHEN m > 0
+              THEN list_transform(x, y -> CAST(floor(127.0 * y / m + 0.5)
+                                               AS BIGINT))
+              ELSE list_transform(x, y -> CAST(0 AS BIGINT)) END AS qv
+  FROM v),
+d AS (
+  SELECT a.vec_id AS query_id, b.vec_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(len(a.qv)),
+                            i -> a.qv[i+1] * b.qv[i+1])),
+           (acc, y) -> acc + y) AS dot
+  FROM q a JOIN q b ON a.vec_id < 3 AND b.vec_id <> a.vec_id),
+r AS (
+  SELECT query_id, vec_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, vec_id ASC) AS rank
+  FROM d)
+SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7871,6 +7913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_lifecycle": q_crawl_lifecycle,
     "int8_quantize": q_int8_quantize,
     "kg_negatives_head": q_kg_negatives_head,
+    "int8_topk": q_int8_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -8079,6 +8122,7 @@ ORACLES: dict[str, str] = {
     "crawl_lifecycle": SQL_CRAWL_LIFECYCLE,
     "int8_quantize": SQL_INT8_QUANTIZE,
     "kg_negatives_head": SQL_KG_NEGATIVES_HEAD,
+    "int8_topk": SQL_INT8_TOPK,
 }
 
 

@@ -234,3 +234,45 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def int8_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Integer top-k retrieval over int8-quantized embeddings — the
+    serving-side payoff of int8_quantize: similarity = the INTEGER dot
+    product of quantized vectors, summed exactly as BIGINTs, so the
+    ranking is bit-for-bit reproducible on any engine (float cosine
+    rankings need the round-before-rank discipline; integer dots need
+    nothing). The standard recall trade: int8 dot ordering ~ cosine
+    ordering up to quantization error.
+
+    Both sides quantize with int8_quantize; queries (few, by contract)
+    broadcast. One WindowGroupLimit partial top-k per query key over
+    (dot DESC, id ASC). Returns (query_id, vec_id, dot, rank).
+    """
+    from ecokg_spark.operators.embed import int8_quantize
+
+    corpus_q = int8_quantize(df, vec_col, id_col).select(
+        F.col(id_col), F.col("qvec"))
+    query_q = int8_quantize(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("_qq"))
+    j = corpus_q.crossJoin(F.broadcast(query_q)).where(
+        F.col(id_col) != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("qvec", "_qq",
+                   lambda a, b: (a.cast("long") * b.cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col(id_col).asc())
+    return (
+        j.select("query_id", id_col, dot.alias("dot"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "dot",
+                F.col("rank").cast("int").alias("rank"))
+    )

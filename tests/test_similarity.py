@@ -92,3 +92,28 @@ def test_ivf_deterministic(spark):
     import numpy as np
 
     assert np.array_equal(c1, c2)
+
+
+def test_int8_topk_integer_exact(spark):
+    from ecokg_spark.operators.similarity import int8_topk
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id < 2")
+    out = int8_topk(df, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["dot"]))
+    assert set(by_q) == {0, 1}
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [r for r, _, _ in lst] == [1, 2, 3]
+        dots = [d for _, _, d in lst]
+        assert dots == sorted(dots, reverse=True)
+        assert all(isinstance(d, int) for d in dots)
+        assert all(v != q for _, v, _ in lst)   # self excluded
+    # determinism: integer ranking is bit-stable across runs
+    again = sorted(map(tuple, int8_topk(df, queries, k=3).collect()))
+    assert again == sorted(map(tuple, out))
