@@ -7702,6 +7702,74 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_cluster_topics(spark, sf):
+    """Deep composition — topic cards without a model: portable hashed
+    bag-of-words embeddings -> one Lloyd round of deterministic k-means
+    -> top-5 tokens per cluster by count. Every stage is individually
+    certified (hashed_embed / kmeans / vocab machinery); the oracle
+    replays the ENTIRE chain (hashed-BoW CTE, kmeans seed/assign/update
+    CTEs, token top-k) in one query."""
+    from ecokg_spark.functions.text import normalize_ws
+    from ecokg_spark.operators.embed import hashed_bow_embed, kmeans_lloyd
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    emb = hashed_bow_embed(d, "text", "doc_id", dims=16, portable=True)
+    assigned = kmeans_lloyd(
+        emb, vec_col="embedding", id_col="doc_id", k=4, iterations=1
+    ).select("doc_id", "cluster")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(normalize_ws(F.col("text"))), " "))
+         .alias("token"),
+    ).where(F.col("token") != "")
+    counts = (
+        toks.join(assigned, "doc_id")
+        .groupBy("cluster", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(F.col("cluster").cast("int").alias("cluster"),
+                "token", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_CLUSTER_TOPICS = f"""
+WITH he AS ({_hashed_embed_sql(16)}),
+u AS (SELECT doc_id AS vec_id, embedding FROM he),
+seeds AS (
+  SELECT rn - 1 AS cid, embedding AS cent
+  FROM (
+    SELECT embedding,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS rn
+    FROM u)
+  WHERE rn <= 4),
+{_sql_kmeans_assign('seeds', 'a1', 'u')[1:]},
+{_sql_kmeans_update('a1', 'c1', 'seeds')[1:]},
+{_sql_kmeans_assign('c1', 'a2', 'u')[1:]},
+tk AS (
+  SELECT doc_id,
+         unnest(string_split(lower({_NORM_SQL.format(c='text')}), ' ')) AS t
+  FROM documents),
+tk2 AS (SELECT doc_id, t FROM tk WHERE t <> ''),
+cnt AS (
+  SELECT a2.cluster, tk2.t AS token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tk2 JOIN a2 ON a2.vec_id = tk2.doc_id
+  GROUP BY 1, 2),
+r AS (
+  SELECT cluster, token, n,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY n DESC, token ASC) AS rank
+  FROM cnt)
+SELECT CAST(cluster AS INT) AS cluster, token, n, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7914,6 +7982,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "int8_quantize": q_int8_quantize,
     "kg_negatives_head": q_kg_negatives_head,
     "int8_topk": q_int8_topk,
+    "cluster_topics": q_cluster_topics,
 }
 
 ORACLES: dict[str, str] = {
@@ -8123,6 +8192,7 @@ ORACLES: dict[str, str] = {
     "int8_quantize": SQL_INT8_QUANTIZE,
     "kg_negatives_head": SQL_KG_NEGATIVES_HEAD,
     "int8_topk": SQL_INT8_TOPK,
+    "cluster_topics": SQL_CLUSTER_TOPICS,
 }
 
 
