@@ -7770,6 +7770,59 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_retention(spark, sf):
+    """Cumulative-audience curve (operators/temporal.py retention_curve):
+    exact expanding distinct via the first-seen decomposition — one
+    aggregate + one tiny running-sum window, never a distinct-over-
+    expanding-window."""
+    from ecokg_spark.operators.temporal import retention_curve
+
+    e = t(spark, sf, "events")
+    return retention_curve(e, "user_id", "ts", bucket="day")
+
+
+SQL_RETENTION = """
+WITH k AS (SELECT user_id AS u,
+                  CAST(date_trunc('day', ts) AS TIMESTAMP) AS b
+           FROM events),
+active AS (
+  SELECT b, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_active
+  FROM k GROUP BY b),
+fs AS (SELECT u, MIN(b) AS fb FROM k GROUP BY u),
+new AS (SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM fs GROUP BY fb)
+SELECT a.b AS bucket_start, a.n_active,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(SUM(COALESCE(n.n_new, 0))
+            OVER (ORDER BY a.b ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS n_cumulative
+FROM active a LEFT JOIN new n ON a.b = n.b
+"""
+
+
+def q_sparql_values_undef(spark, sf):
+    """VALUES with UNDEF wildcards (spec §10.2.2 partial bindings): one
+    row pins only the brand, the other only the size — compiled as a
+    disjunction whose UNDEF conjuncts are skipped."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        'SELECT ?x ?c ?m WHERE { ?x biolink:category ?c . '
+        '?x biolink:has_size ?m . '
+        'VALUES ( ?c ?m ) { ( "Brand#13" UNDEF ) ( UNDEF "SZ:5" ) } }',
+        nodes, edges)
+
+
+SQL_SPARQL_VALUES_UNDEF = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x, p_brand AS c,
+       'SZ:' || CAST(p_size AS VARCHAR) AS m
+FROM part
+WHERE p_brand = 'Brand#13' OR p_size = 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7983,6 +8036,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_negatives_head": q_kg_negatives_head,
     "int8_topk": q_int8_topk,
     "cluster_topics": q_cluster_topics,
+    "retention": q_retention,
+    "sparql_values_undef": q_sparql_values_undef,
 }
 
 ORACLES: dict[str, str] = {
@@ -8193,6 +8248,8 @@ ORACLES: dict[str, str] = {
     "kg_negatives_head": SQL_KG_NEGATIVES_HEAD,
     "int8_topk": SQL_INT8_TOPK,
     "cluster_topics": SQL_CLUSTER_TOPICS,
+    "retention": SQL_RETENTION,
+    "sparql_values_undef": SQL_SPARQL_VALUES_UNDEF,
 }
 
 

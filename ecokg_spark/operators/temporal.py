@@ -454,3 +454,37 @@ def event_transitions(
         .select("from_step", "to_step", "n",
                 F.round(F.col("n") / F.col("_tot"), decimals).alias("p"))
     )
+
+
+def retention_curve(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Cumulative-audience curve: per time bucket, how many DISTINCT
+    keys have appeared up to and including it — the growth/retention
+    denominator every engagement report starts from. A distinct-count
+    over an expanding window is intractable directly; the exact
+    first-seen decomposition isn't: cumulative_distinct(b) = sum over
+    buckets <= b of |keys first seen in that bucket|. One aggregate for
+    first-seen, one bucket count, one running-sum window over the
+    bucket-cardinality table (tiny). Also emits the per-bucket active
+    distinct count for the same report. Returns
+    (bucket_start, n_active, n_new, n_cumulative).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+    keyed = events.select(F.col(key_col).alias("_k"), b.alias("_b"))
+    active = keyed.groupBy("_b").agg(
+        F.countDistinct("_k").cast("long").alias("n_active"))
+    first_seen = keyed.groupBy("_k").agg(F.min("_b").alias("_fb"))
+    new = first_seen.groupBy("_fb").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"))
+    joined = active.join(
+        new.withColumnRenamed("_fb", "_b"), "_b", "left"
+    ).withColumn("n_new", F.coalesce("n_new", F.lit(0)).cast("long"))
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        F.col("_b").alias("bucket_start"), "n_active", "n_new",
+        F.sum("n_new").over(w).cast("long").alias("n_cumulative"),
+    )

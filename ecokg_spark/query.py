@@ -40,8 +40,9 @@ the same queries compile straight to Catalyst plans — no endpoint:
     optional := OPTIONAL { pattern (. pattern)* filter* }
     union    := { pattern+ } UNION { pattern+ } (UNION { pattern+ })*
     values   := VALUES ?var { value+ }
-              | VALUES ( ?var+ ) { ( value+ )+ }  (no UNDEF; inline
-                solution table, joined on every listed variable)
+              | VALUES ( ?var+ ) { ( (value|UNDEF)+ )+ }  (inline
+                solution table; UNDEF is the spec's wildcard — the
+                conjunct for that variable is skipped)
     bind     := BIND( expr AS ?newvar )
     subquery := '{' SELECT ... '}'  (one nesting level; evaluated
                 bottom-up per spec §12, exposes only its projected
@@ -459,16 +460,17 @@ def _parse_body(where_raw: str):
         rows: list[tuple[str, ...]] = []
         for row_raw in re.findall(r"\(([^()]*)\)", rows_raw):
             toks = row_raw.split()
-            if any(t.upper() == "UNDEF" for t in toks):
-                raise SparqlError(
-                    "UNDEF in VALUES rows is unsupported (partial-binding "
-                    "join semantics); split the VALUES block instead")
             if len(toks) != len(mvars):
                 raise SparqlError(
                     f"VALUES row ({row_raw.strip()}) has {len(toks)} "
                     f"entries for {len(mvars)} variables")
-            rows.append(tuple(t[1:-1] if t.startswith('"') else t
-                              for t in toks))
+            # UNDEF -> None: the spec's partial binding; against
+            # pattern-bound (non-NULL) variables, compatibility with an
+            # unbound value is always true, so the conjunct is skipped
+            rows.append(tuple(
+                None if t.upper() == "UNDEF"
+                else (t[1:-1] if t.startswith('"') else t)
+                for t in toks))
         if not rows:
             raise SparqlError("empty VALUES block")
         if len(rows) != len(set(rows)):
@@ -1031,6 +1033,8 @@ def _compile_body(nodes: DataFrame, edges: DataFrame, body: dict):
         for row in rows:
             c = F.lit(True)
             for v, val in zip(mvars, row):
+                if val is None:      # UNDEF: matches any binding
+                    continue
                 c = c & (F.col(bound[v]) == F.lit(val))
             row_conds.append(c)
         cond = row_conds[0]

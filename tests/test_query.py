@@ -1292,12 +1292,13 @@ def test_values_multi_joins_on_both_vars(spark, kg):
 
 def test_values_multi_errors(spark, kg):
     nodes, edges = kg
-    with pytest.raises(SparqlError, match="UNDEF"):
-        sparql_select(
-            spark,
-            "SELECT ?x WHERE { ?x biolink:category ?cat . "
-            "VALUES ( ?x ?cat ) { (G:1 UNDEF) } }",
-            nodes, edges)
+    # UNDEF is now the spec wildcard: (G:1 UNDEF) pins only ?x
+    out = sparql_select(
+        spark,
+        "SELECT ?x WHERE { ?x biolink:category ?cat . "
+        "VALUES ( ?x ?cat ) { (G:1 UNDEF) } }",
+        nodes, edges)
+    assert {r["x"] for r in out.collect()} == {"G:1"}
     with pytest.raises(SparqlError, match="entries for"):
         sparql_select(
             spark,
@@ -1476,3 +1477,20 @@ def test_bind_if_bad_condition_rejected(spark, kg):
             'SELECT ?x WHERE { ?x biolink:category ?c . '
             'BIND( IF(?c, "a", "b") AS ?k ) }',
             nodes, edges)
+
+
+def test_values_multi_undef_wildcard(spark, kg):
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        'SELECT ?x ?c WHERE { ?x biolink:category ?c . '
+        'VALUES ( ?x ?c ) { '
+        '( G:1 "biolink:GenomicEntity" ) '
+        '( UNDEF "biolink:OrganismTaxon" ) } }',
+        nodes, edges)
+    got = {(r["x"], r["c"]) for r in out.collect()}
+    # row 1 pins both vars; row 2 leaves ?x free (any taxon node)
+    assert got == {("G:1", "biolink:GenomicEntity"),
+                   ("T:1", "biolink:OrganismTaxon")}

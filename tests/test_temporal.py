@@ -267,3 +267,21 @@ def test_event_transitions(spark):
     assert got[("a", "b")] == (3, 1.0)
     assert got[("b", "a")] == (1, 0.5)
     assert got[("b", "c")] == (1, 0.5)
+
+
+def test_retention_curve(spark):
+    import datetime as dt
+
+    from ecokg_spark.operators.temporal import retention_curve
+
+    d0 = dt.datetime(2024, 1, 1, 10)
+    d1 = dt.datetime(2024, 1, 2, 11)
+    d2 = dt.datetime(2024, 1, 3, 12)
+    rows = [(1, d0), (2, d0), (1, d1), (3, d1), (1, d2), (2, d2), (3, d2)]
+    e = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {r["bucket_start"].day: (r["n_active"], r["n_new"],
+                                   r["n_cumulative"])
+           for r in retention_curve(e, "u", "ts").collect()}
+    assert got[1] == (2, 2, 2)      # users 1,2 appear
+    assert got[2] == (2, 1, 3)      # user 3 new; 1 returning
+    assert got[3] == (3, 0, 3)      # all active, none new
