@@ -7823,6 +7823,37 @@ WHERE p_brand = 'Brand#13' OR p_size = 5
 """
 
 
+def q_robots_delay(spark, sf):
+    """Crawl-delay extraction (operators/web.py robots_crawl_delay):
+    a '*' group with delay n_nationkey % 5 + 1 and an ecobot group with
+    a fractional delay on odd keys / a non-numeric value on even keys
+    (dropped via try_cast); the oracle recomputes the table from the
+    generator arithmetic."""
+    from ecokg_spark.operators.web import robots_crawl_delay
+
+    n = t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    txt = F.concat(
+        F.lit("User-agent: *\nCrawl-delay: "), (k % 5 + 1),
+        F.lit("\nDisallow: /x\n\nUser-agent: ecobot\nCrawl-delay: "),
+        F.when(k % 2 == 1, F.lit("0.5")).otherwise(F.lit("soon")),
+    )
+    robots = n.select(
+        F.concat(F.lit("h"), k, F.lit(".example.org")).alias("host"),
+        txt.alias("robots_txt"))
+    return robots_crawl_delay(robots)
+
+
+SQL_ROBOTS_DELAY = """
+SELECT 'h' || n_nationkey || '.example.org' AS host, '*' AS agent,
+       CAST(n_nationkey % 5 + 1 AS DOUBLE) AS delay_s
+FROM nation
+UNION ALL
+SELECT 'h' || n_nationkey || '.example.org', 'ecobot', 0.5
+FROM nation WHERE n_nationkey % 2 = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8038,6 +8069,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_topics": q_cluster_topics,
     "retention": q_retention,
     "sparql_values_undef": q_sparql_values_undef,
+    "robots_delay": q_robots_delay,
 }
 
 ORACLES: dict[str, str] = {
@@ -8250,6 +8282,7 @@ ORACLES: dict[str, str] = {
     "cluster_topics": SQL_CLUSTER_TOPICS,
     "retention": SQL_RETENTION,
     "sparql_values_undef": SQL_SPARQL_VALUES_UNDEF,
+    "robots_delay": SQL_ROBOTS_DELAY,
 }
 
 

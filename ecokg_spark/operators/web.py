@@ -615,3 +615,45 @@ def strip_host_boilerplate(
         .join(rebuilt, url_col, "left")
         .select(url_col, F.coalesce("text", F.lit("")).alias("text"))
     )
+
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Crawl-delay extraction from a robots.txt corpus — the de-facto
+    politeness-rate directive (not in RFC 9309 but honored by most
+    crawlers): per (host, agent group), the delay in seconds, parsed
+    with the same group-formation walk as parse_robots (a contiguous
+    User-agent run owns the following Crawl-delay). Non-numeric values
+    are dropped via try_cast (ANSI-safe). Returns
+    (host, agent, delay_s double); join on (host, matched agent) after
+    the parse_robots precedence pick to rate-limit the fetcher.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_raw"),
+    )
+    line = F.trim(F.regexp_replace(F.col("_raw"), "#.*$", ""))
+    key = F.lower(F.regexp_extract(line, r"^([A-Za-z-]+)\s*:", 1))
+    val = F.trim(F.regexp_extract(line, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    parsed = (
+        lines.select("host", "_ln", key.alias("_key"), val.alias("_val"))
+        .where(F.col("_key").isin("user-agent", "crawl-delay"))
+    )
+    w = Window.partitionBy("host").orderBy("_ln")
+    is_ua = F.col("_key") == "user-agent"
+    prev_ua = F.lag(is_ua).over(w)
+    opens = (is_ua & (prev_ua.isNull() | ~prev_ua)).cast("int")
+    grouped = parsed.withColumn(
+        "_grp", F.sum(opens).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    agents = grouped.where(is_ua).select(
+        "host", "_grp", F.lower(F.col("_val")).alias("agent"))
+    delays = grouped.where(~is_ua).select(
+        "host", "_grp",
+        F.col("_val").try_cast("double").alias("delay_s"),
+    ).where(F.col("delay_s").isNotNull())
+    return agents.join(delays, ["host", "_grp"]).select(
+        "host", "agent", "delay_s")

@@ -457,3 +457,16 @@ def test_strip_host_boilerplate_fully_boilerplate_page(spark):
     # pages that were pure boilerplate survive with EMPTY text
     assert got["https://a.com/1"] == "" and got["https://a.com/2"] == ""
     assert got["https://a.com/3"] == "real content"
+
+
+def test_robots_crawl_delay(spark):
+    from ecokg_spark.operators.web import robots_crawl_delay
+
+    txt = ("User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+           "User-agent: ecobot\nUser-agent: otherbot\nCrawl-delay: 0.5\n\n"
+           "User-agent: bad\nCrawl-delay: soon")
+    df = spark.createDataFrame([("a.com", txt)],
+                               "host string, robots_txt string")
+    got = sorted(tuple(r) for r in robots_crawl_delay(df).collect())
+    assert got == [("a.com", "*", 2.0), ("a.com", "ecobot", 0.5),
+                   ("a.com", "otherbot", 0.5)]
