@@ -8345,7 +8345,11 @@ assert all(n in QUERIES for n in _CERT_WINDOW), [
 # robots_rules, robots_check, frame_sample, web_canonical_dedup,
 # rollup_cube, pivot_events, sparql_describe, harmonic_centrality,
 # group_sample, winnow_fp, surt_keys, ts_multi, mad_outliers,
-# crawl_frontier) —
+# crawl_frontier, jsonl_corrupt, nfc_normalize, sparql_bind_if,
+# host_boilerplate, sitemap_urls, strip_boilerplate, recrawl_priority,
+# assortativity, funnel, event_transitions, crawl_lifecycle,
+# int8_quantize, kg_negatives_head, int8_topk, cluster_topics,
+# retention, sparql_values_undef, robots_delay) —
 # which have local-oracle green but no driver record, then (b) the r03-certified rows that have now sat out a
 # round (token_count .. embedding_neardup block), then (c) canaries.
 # Every row then has a driver-green record within the last two rounds.
