@@ -4212,12 +4212,67 @@ SELECT event_id, user_id, event_type, value FROM events
 
 
 def q_kg_pipeline(spark, sf):
-    """Full north-star pipeline on the synthetic CC corpus (rows-only:
-    multi-stage UDF pipeline is not SQL-expressible)."""
+    """Full north-star pipeline — extraction -> triple extraction ->
+    entity linking -> CC canonicalization -> merged-edge materialize —
+    on the PORTABLE synthetic CC corpus (sources/pages.py, md5/60-bit
+    draws, no misspellings): every generator decision is replayable in
+    SQL, so the oracle recomputes the exact expected merged edge set
+    from the generator arithmetic (synth_gold semantics: English pages,
+    canonical-id mapping with Publication mentions dropped, self-loops
+    dropped, distinct s/p/o). The fuzzy-linking path this corpus does
+    not exercise has its own oracle row (entity_link)."""
     n_pages = 400
-    pages = synth_pages(spark, n_pages)
+    pages = synth_pages(spark, n_pages, portable=True)
     out = build_kg(spark, pages)
     return out["edges"].select("subject", "predicate", "object", "relation")
+
+
+def _sql_kg_pipeline() -> str:
+    """DuckDB replay of the portable page generator + gold-triple rules."""
+    from ecokg_spark.sources.vocab import (
+        CANONICAL, VERB_CUM_WEIGHTS, VERB_PREDICATES, VERB_RELATIONS, VOCAB)
+
+    def h(tag, *cols):
+        parts = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        return _HEX15.format(h=f"md5('{tag}:42:' || {parts})")
+
+    canon = "[" + ", ".join(
+        "NULL" if c is None else f"'{c}'" for c in CANONICAL) + "]"
+    preds = "[" + ", ".join(f"'{p}'" for p in VERB_PREDICATES) + "]"
+    rels = "[" + ", ".join(f"'{r}'" for r in VERB_RELATIONS) + "]"
+    verb_case = "CASE " + " ".join(
+        f"WHEN vr < {w} THEN {i}"
+        for i, w in enumerate(VERB_CUM_WEIGHTS[:-1])
+    ) + f" ELSE {len(VERB_CUM_WEIGHTS) - 1} END"
+    nv = len(VOCAB)
+    return f"""
+WITH p AS (SELECT unnest(range(0, 400)) AS i),
+en AS (
+  SELECT i,
+         CASE WHEN {h('empty', 'i')} % 100 < 3 THEN 0
+              ELSE 1 + {h('ns', 'i')} % 8 END AS n_s
+  FROM p WHERE {h('lang', 'i')} % 100 < 90),
+sent AS (
+  SELECT i, unnest(range(0, n_s)) AS j FROM en WHERE n_s > 0),
+draw AS (
+  SELECT i, j,
+         CASE WHEN {h('hot', 'i', 'j')} % 100 < 30 THEN 0
+              ELSE CAST({h('subj', 'i', 'j')} % {nv} AS INT) END AS si,
+         CAST({h('obj', 'i', 'j')} % {nv} AS INT) AS oi,
+         {h('verb', 'i', 'j')} % 100 AS vr
+  FROM sent),
+v AS (SELECT si, oi, {verb_case} AS vi FROM draw),
+m AS (
+  SELECT {canon}[si + 1] AS subject, {preds}[vi + 1] AS predicate,
+         {canon}[oi + 1] AS object, {rels}[vi + 1] AS relation
+  FROM v)
+SELECT DISTINCT subject, predicate, object, relation
+FROM m
+WHERE subject IS NOT NULL AND object IS NOT NULL AND subject <> object
+"""
+
+
+SQL_KG_PIPELINE = _sql_kg_pipeline()
 
 
 # --------------------------------------------------------------------------
@@ -6334,7 +6389,7 @@ def q_kg_negatives(spark, sf):
 
 
 _H60T = _HEX15.format(
-    h="md5(s || '|' || p || '|' || o || '|' || CAST(neg_idx AS VARCHAR))")
+    h="md5(CAST(length(s) AS VARCHAR) || ':' || s || '|' || CAST(length(p) AS VARCHAR) || ':' || p || '|' || CAST(length(o) AS VARCHAR) || ':' || o || '|' || CAST(neg_idx AS VARCHAR))")
 _H60E = _HEX15.format(h="md5(CAST(neg_idx AS VARCHAR) || '#' || ent)")
 
 SQL_KG_NEGATIVES = f"""
@@ -6349,7 +6404,7 @@ picks AS (
   SELECT neg_idx, h % 16 AS bucket,
          MIN(lpad(CAST(h AS VARCHAR), 19, '0') || '|' || ent) AS pk
   FROM eh GROUP BY 1, 2),
-p2 AS (SELECT neg_idx, bucket, split_part(pk, '|', 2) AS pick FROM picks),
+p2 AS (SELECT neg_idx, bucket, substr(pk, 21) AS pick FROM picks),
 cand AS (
   SELECT t.s, t.p, p2.pick, st.neg_idx
   FROM t CROSS JOIN salts st
@@ -7630,7 +7685,7 @@ def q_kg_negatives_head(spark, sf):
 
 
 _H60T2 = _HEX15.format(
-    h="md5(s || '|' || p || '|' || o || '|' || CAST(st.neg_idx AS VARCHAR))")
+    h="md5(CAST(length(s) AS VARCHAR) || ':' || s || '|' || CAST(length(p) AS VARCHAR) || ':' || p || '|' || CAST(length(o) AS VARCHAR) || ':' || o || '|' || CAST(st.neg_idx AS VARCHAR))")
 _H60E2 = _HEX15.format(h="md5(CAST(neg_idx AS VARCHAR) || '#' || ent)")
 
 SQL_KG_NEGATIVES_HEAD = f"""
@@ -7645,7 +7700,7 @@ picks AS (
   SELECT neg_idx, h % 16 AS bucket,
          MIN(lpad(CAST(h AS VARCHAR), 19, '0') || '|' || ent) AS pk
   FROM eh GROUP BY 1, 2),
-p2 AS (SELECT neg_idx, bucket, split_part(pk, '|', 2) AS pick FROM picks),
+p2 AS (SELECT neg_idx, bucket, substr(pk, 21) AS pick FROM picks),
 cand AS (
   SELECT t.s, t.p, p2.pick, st.neg_idx
   FROM t CROSS JOIN salts st
@@ -8169,10 +8224,12 @@ ORACLES: dict[str, str] = {
     "multimodal_dims": SQL_MULTIMODAL_DIMS,
     "media_features": SQL_MEDIA_FEATURES,
     "media_resize_plan": SQL_MEDIA_RESIZE_PLAN,
-    # rows-only (non-SQL-expressible): kg_pipeline (multi-stage Arrow-UDF
-    # pipeline — its component stages each have their own oracle rows:
-    # extract_html, triple_extract, entity_link, connected_components,
+    # kg_pipeline runs on the PORTABLE corpus (md5/60-bit draws); its
+    # oracle replays the generator arithmetic to the exact merged edge
+    # set — component stages also keep their own oracle rows
+    # (extract_html, triple_extract, entity_link, connected_components,
     # kg_materialize)
+    "kg_pipeline": SQL_KG_PIPELINE,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
     "bigram_lm": SQL_BIGRAM_LM,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
@@ -8287,72 +8344,47 @@ ORACLES: dict[str, str] = {
 
 
 # ---------------------------------------------------------------------------
-# Driver-certification window ordering (round 4)
+# Driver-certification window ordering (round 5)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate runs the FIRST 50 registry entries only, so
 # registry order decides which rows get hard (driver-recorded) certification
-# each round. Rounds 1-3 kept thematic order and left 28 rows never
-# driver-run; this window puts every not-yet-certified row first:
-#   1-29  never driver-run in any round (SPARQL suite, graph analytics,
-#         TF-IDF/PMI, curation batch+stream, multimodal, kg_pipeline, the
-#         new minhash_banded / sparql_not_exists / sparql_agg rows)
-#   30    range_join_agg — red in r03 (decimal canonicalization, fixed)
-#   31-48 certified in r02 but rotated out of the r03 window
-#   49-50 canaries green in BOTH prior rounds (regression sentinels)
+# each round. After r04, 111 of 207 rows had local-oracle green but no
+# driver record; this window executes the documented rotation
+# (scripts/plan_rotation.py output, never-certified rows oldest-first):
+#   1      kg_pipeline — the flagship row, newly oracle-backed this round
+#          (the portable md5-corpus oracle replaces the r1-r4 no_oracle
+#          rows-only check), so its FIRST driver record is a full
+#          rows+schema+hash certification
+#   2-50   the oldest never-driver-certified rows in registry order:
+#          the post-r4-freeze block (paragraph_dedup .. dup_span_removal),
+#          the batch-12/15/16 rows, and the continuation-session head
+#          (sparql_* solution-modifier suite, graph analytics, sketches,
+#          samplers, packing, LM scoring)
+# After this round the never-certified backlog is 111 -> 61; the ROUND-6
+# window is the next 50 of `python scripts/plan_rotation.py 50` (vocab/
+# media/stream tail first), which takes the backlog to 11 — fully paid
+# by round 7 with slots to spare for re-certifying stale rows.
 # The dict-literal definitions above stay in thematic reading order; only
-# the iteration order is rebuilt here. Rotate this list next round so every
-# row re-certifies on a cadence.
+# the iteration order is rebuilt here.
 _CERT_WINDOW = [
-    # never driver-certified (29)
-    "sparql_select", "sparql_filter", "sparql_distinct", "sparql_optional",
-    "sparql_order_limit", "sparql_union", "sparql_values", "sparql_path_seq",
-    "sparql_path_plus", "sparql_path_star", "sparql_path_inverse",
-    "sparql_path_alt", "sparql_not_exists", "sparql_agg",
-    "pagerank", "triangle_count", "clustering_coeff", "shortest_path",
-    "tfidf_topk", "cooccur_pmi", "curate_corpus", "link_ambiguity",
-    "multimodal_meta", "multimodal_dims", "media_features",
-    "media_resize_plan", "minhash_banded", "kg_pipeline", "curate_stream",
-    # red in r03, fixed this round (1)
-    "range_join_agg",
-    # r02-certified, rotated out of the r03 window (18)
-    "ann_lsh_topk", "ann_ivf_topk", "extract_html", "triple_extract",
-    "entity_link", "termlist_explode", "connected_components", "kgx_merge",
-    "kg_materialize", "gaf_transform", "gaf_germplasm", "gaf_qtl",
-    "gaf_orthologs", "ontology_transform", "eol_hierarchy", "eol_traits",
-    "gea_transform", "graph_two_hop",
-    # canaries, green in r02 AND r03 (2; minhash_banded already exercises
-    # the minhash path inside the window)
-    "pricing_summary", "exact_dedup",
+    "kg_pipeline",
+    "paragraph_dedup", "bigram_lm", "semantic_dedup", "url_blocklist",
+    "sparql_bind", "sparql_group_concat", "sparql_regex",
+    "kcore", "ppr", "containment", "hashed_embed", "dup_span_removal",
+    "sparql_optional_filter", "curate_v2", "sparql_exists", "sparql_minus",
+    "sparql_sum_avg", "sparql_having", "sparql_ask", "sparql_construct",
+    "hits", "label_prop", "fuzzy_dedup", "quality_logit",
+    "stratified_sample", "dedup_stream", "hll_distinct", "c4_rules",
+    "incremental_dedup", "count_min", "sparql_offset", "vocab_topk",
+    "audio_chunks", "sparql_count_star", "sparql_filter_cmp",
+    "bloom_probe", "kgx_validate", "pack_sequences", "bpe_pairs",
+    "fixed_sample", "curate_v3", "group_centroids", "fuzzy_string_join",
+    "kg_diff", "stupid_backoff", "hll_stream", "sparql_neg_path",
+    "predicate_profile", "inverse_detect",
 ]
 assert len(_CERT_WINDOW) == 50 and len(set(_CERT_WINDOW)) == 50
 assert all(n in QUERIES for n in _CERT_WINDOW), [
     n for n in _CERT_WINDOW if n not in QUERIES]
-
-# ROUND-5 ROTATION PLAN: once CORRECTNESS_r04 lands green, rebuild the
-# window as (a) the 12 rows added after the r4 window was frozen —
-# paragraph_dedup, bigram_lm, semantic_dedup, url_blocklist, sparql_bind,
-# sparql_group_concat, sparql_regex, kcore, ppr, containment,
-# hashed_embed, dup_span_removal — plus the batch-12 rows
-# (sparql_neg_path, predicate_profile, inverse_detect, adamic_adar,
-# word_entropy, dsir_weights, scd2_history, sparql_subquery,
-# rolling_zscore, hash_walks), the batch 15-16 rows (host_graph,
-# degree_histogram, temperature_mix, sparql_values_multi, sparql_sample)
-# and the 12 rows added in the continuation session (anchor_topk,
-# interval_merge, tc_reachability, rdfs_closure, redirect_resolve,
-# hyperball, flesch_score, chunk_sliding, hierarchy_cycles,
-# canonical_meta, kg_negatives, kmeans, semdedup_kmeans,
-# sparql_strfuncs, sparql_in, distance_distribution, join_stream,
-# robots_rules, robots_check, frame_sample, web_canonical_dedup,
-# rollup_cube, pivot_events, sparql_describe, harmonic_centrality,
-# group_sample, winnow_fp, surt_keys, ts_multi, mad_outliers,
-# crawl_frontier, jsonl_corrupt, nfc_normalize, sparql_bind_if,
-# host_boilerplate, sitemap_urls, strip_boilerplate, recrawl_priority,
-# assortativity, funnel, event_transitions, crawl_lifecycle,
-# int8_quantize, kg_negatives_head, int8_topk, cluster_topics,
-# retention, sparql_values_undef, robots_delay) —
-# which have local-oracle green but no driver record, then (b) the r03-certified rows that have now sat out a
-# round (token_count .. embedding_neardup block), then (c) canaries.
-# Every row then has a driver-green record within the last two rounds.
 
 
 def _window_order(d):

@@ -175,9 +175,11 @@ def degree_assortativity(
     to degree_histogram.
 
     All five correlation sums (n, Sx, Sy, Sxx, Syy, Sxy) accumulate as
-    exact integers (degrees are integers; products stage through
-    decimal(38,0) so a billion-edge graph cannot overflow a BIGINT
-    product sum), and only the final closed form divides in double,
+    exact integers (degrees are integers; product OPERANDS are cast to
+    decimal(19,0) first, so the multiplication itself runs in decimal —
+    a decimal(38,0) product that cannot overflow for any BIGINT-ranged
+    degree — and the sums stay exact), and only the final closed form
+    divides in double,
     ROUNDed — both engines evaluate one identical expression on
     identical integers. Three shuffles: two degree aggregates + the
     final 1-row global sum (map-side combined). Returns one row
@@ -188,13 +190,15 @@ def degree_assortativity(
     din = e.groupBy("v").agg(F.count(F.lit(1)).alias("_dy"))
     j = e.join(dout, "u").join(din, "v")
     d0 = "decimal(38,0)"
+    dx19 = F.col("_dx").cast("decimal(19,0)")
+    dy19 = F.col("_dy").cast("decimal(19,0)")
     s = j.agg(
         F.count(F.lit(1)).cast("long").alias("n_edges"),
         F.sum(F.col("_dx").cast(d0)).alias("_sx"),
         F.sum(F.col("_dy").cast(d0)).alias("_sy"),
-        F.sum((F.col("_dx") * F.col("_dx")).cast(d0)).alias("_sxx"),
-        F.sum((F.col("_dy") * F.col("_dy")).cast(d0)).alias("_syy"),
-        F.sum((F.col("_dx") * F.col("_dy")).cast(d0)).alias("_sxy"),
+        F.sum((dx19 * dx19).cast(d0)).alias("_sxx"),
+        F.sum((dy19 * dy19).cast(d0)).alias("_syy"),
+        F.sum((dx19 * dy19).cast(d0)).alias("_sxy"),
     )
     n = F.col("n_edges").cast("double")
     sx = F.col("_sx").cast("string").cast("double")

@@ -65,7 +65,10 @@ def kg_negative_samples(
                        F.col("_e")))
     # deterministic argmin-by-hash inside each (salt, bucket): the
     # lexicographic (zero-padded hash, entity) key makes ties — md5
-    # collisions aside, impossible anyway — break on the entity itself
+    # collisions aside, impossible anyway — break on the entity itself.
+    # The hash prefix is fixed-width (19 digits + 1 separator), so the
+    # entity is recovered POSITIONALLY (substring from 21) — entities
+    # containing '|' round-trip intact.
     pick_key = F.concat(F.lpad(F.col("_eh").cast("string"), 19, "0"),
                         F.lit("|"), F.col("_e"))
     picks = (
@@ -76,12 +79,18 @@ def kg_negative_samples(
         .agg(F.min(pick_key).alias("_pk"))
         .select(
             "neg_idx", "_bucket",
-            F.substring_index(F.col("_pk"), "|", -1).alias("_pick"),
+            F.expr("substring(_pk, 21)").alias("_pick"),
         )
     )
 
-    th = _h60(F.concat_ws("|", "_s", "_p", "_o",
-                          F.col("neg_idx").cast("string")))
+    # length-prefixed record encoding (len:field|len:field|...) keeps the
+    # triple hash injective even when field values contain '|'
+    def _lp(c):
+        return F.concat(F.length(c).cast("string"), F.lit(":"), F.col(c))
+
+    th = _h60(F.concat_ws(
+        "|", _lp("_s"), _lp("_p"), _lp("_o"),
+        F.col("neg_idx").cast("string")))
     cand = (
         t.select("_s", "_p", "_o", salts)
         .withColumn("_bucket", th % buckets)

@@ -402,9 +402,11 @@ def robots_allowed(
 
     Scale shape: rules tables are site-metadata-sized (broadcast); the
     per-URL longest-match is a row_number over (prefix-length DESC,
-    rule ASC) window keyed by ALL input columns (so duplicate URLs on
-    distinct rows each keep their verdict) — one shuffle of the matched
-    subset. Returns urls plus (allowed, matched_rule, matched_path).
+    rule ASC) window keyed by a per-input-row tag (so duplicate input
+    rows — even byte-identical ones — each keep their own verdict and
+    output cardinality is exactly the input's) — one shuffle of the
+    matched subset. Returns urls plus (allowed, matched_rule,
+    matched_path).
     """
     from ecokg_spark.functions.url import url_host, url_path
 
@@ -416,14 +418,15 @@ def robots_allowed(
          .where(F.col("_exact") == F.col("_has_exact"))
          .select("host", "rule", "path"))
     u = urls.select(
-        "*", url_host(url_col).alias("_uhost"),
+        "*", F.monotonically_increasing_id().alias("_rowtag"),
+        url_host(url_col).alias("_uhost"),
         F.when(url_path(url_col) == "", "/")
          .otherwise(url_path(url_col)).alias("_upath"))
     j = u.join(F.broadcast(r), u["_uhost"] == r["host"], "left")
     m = j.withColumn(
         "_match", F.col("path").isNotNull()
         & F.col("_upath").startswith(F.col("path")))
-    wu = Window.partitionBy(*urls.columns).orderBy(
+    wu = Window.partitionBy("_rowtag").orderBy(
         F.when(F.col("_match"), F.length("path")).otherwise(-1).desc(),
         F.col("rule").asc_nulls_last())
     best = (m.withColumn("_rn", F.row_number().over(wu))

@@ -12,8 +12,10 @@ the same queries compile straight to Catalyst plans — no endpoint:
     SELECT [DISTINCT] (agg AS ?alias)* ?var*
     WHERE { pattern (('.' pattern) | filter | notexists | exists | minus
                      | optional | union | values | bind | subquery)* }
-    [GROUP BY ?var*] [HAVING( agg cmp value )]
+    [GROUP BY (?var | (expr AS ?var))*] [HAVING( agg cmp value )]
     [ORDER BY (?var | ASC(?var) | DESC(?var))*] [LIMIT n] [OFFSET n]
+    (GROUP BY (expr AS ?var) desugars to an implicit BIND — any BIND-
+    grammar expression works; the new variable is projectable)
     (OFFSET requires ORDER BY — an unordered slice is nondeterministic)
 
     ASK { <same WHERE body> }                       -- sparql_ask()
@@ -49,9 +51,10 @@ the same queries compile straight to Catalyst plans — no endpoint:
                 variables/aliases, joins the outer solution on shared
                 variables — cross product when none are shared, the
                 global-aggregate case)
-    expr     := ?var | "literal"
+    expr     := ?var | "literal" | integer
               | CONCAT(expr, ...) | STRLEN(e) | UCASE(e) | LCASE(e)
               | STR(e) | STRAFTER(e, "lit") | STRBEFORE(e, "lit")
+              | SUBSTR(e, start[, len])  (1-based, spec §17.4.3.3)
               | IF(cond, e, e) | COALESCE(e, ...) | BOUND(?var)
               cond := e (=|!=|>|<|>=|<=) e | BOUND(?var)
 
@@ -203,6 +206,8 @@ _VALUES_MULTI_RE = re.compile(
 _UNION_CHAIN_RE = re.compile(r"(?is)\{[^{}]*\}(?:\s*UNION\s*\{[^{}]*\})+")
 _BRACE_RE = re.compile(r"\{([^{}]*)\}")
 _ORDER_RE = re.compile(r"(?i)(?:(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+))")
+_GROUP_EXPR_RE = re.compile(
+    r"(?is)\(\s*((?:[^()]|\([^()]*\))*?)\s+AS\s+\?(\w+)\s*\)")
 
 CATEGORY_PRED = "biolink:category"
 
@@ -243,6 +248,9 @@ def _parse_expr(s: str):
         if not (s.endswith('"') and len(s) >= 2 and '"' not in s[1:-1]):
             raise SparqlError(f"bad literal in BIND expression: {s!r}")
         return ("lit", s[1:-1])
+    if re.fullmatch(r"-?\d+", s):
+        # xsd:integer literal (SUBSTR positions/lengths, IF branches)
+        return ("num", int(s))
     m = re.fullmatch(r"(?s)(\w+)\s*\((.*)\)", s)
     if not m:
         raise SparqlError(f"unsupported BIND expression: {s!r}")
@@ -277,6 +285,8 @@ def _compile_expr(ast, bound: dict[str, str]):
         return F.col(bound[v])
     if kind == "lit":
         return F.lit(ast[1])
+    if kind == "num":
+        return F.lit(ast[1])
     if kind == "cmp":
         _, op, left, right = ast
         lc, rc = _compile_expr(left, bound), _compile_expr(right, bound)
@@ -307,6 +317,18 @@ def _compile_expr(ast, bound: dict[str, str]):
     if name == "STR":
         need(1)
         return cols[0]
+    if name == "SUBSTR":
+        # §17.4.3.3: SUBSTR(source, startingLoc[, length]) — 1-based
+        # positions (xsd:integer), exactly F.substring's convention
+        if len(args) not in (2, 3):
+            raise SparqlError("SUBSTR() takes 2 or 3 arguments")
+        for a in args[1:]:
+            if a[0] != "num":
+                raise SparqlError("SUBSTR() positions must be integer "
+                                  "literals")
+        if len(args) == 2:
+            return F.substring(cols[0], args[1][1], 2_147_483_647)
+        return F.substring(cols[0], args[1][1], args[2][1])
     if name in ("STRAFTER", "STRBEFORE"):
         need(2)
         if args[1][0] != "lit":
@@ -571,6 +593,15 @@ def _parse(query: str):
     plain = _VAR_RE.findall(
         _COUNT_STAR_RE.sub(" ", _GROUP_CONCAT_RE.sub(
             " ", _AGG_RE.sub(" ", select_raw))))
+    # GROUP BY (expr AS ?var) — spec §10: a group key may be any
+    # expression with a fresh alias. Desugar to an implicit trailing
+    # BIND (same evaluation semantics: keys bind over the joined
+    # solution before grouping) and group on the alias.
+    if group_raw:
+        for expr, var in _GROUP_EXPR_RE.findall(group_raw):
+            where_raw += f" BIND({expr} AS ?{var})"
+        group_raw = _GROUP_EXPR_RE.sub(lambda m: " ?" + m.group(2) + " ",
+                                       group_raw)
     body = _parse_body(where_raw)
     group = _VAR_RE.findall(group_raw) if group_raw else []
     having = []

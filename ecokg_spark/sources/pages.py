@@ -56,6 +56,17 @@ def _h(tag: str, seed: int, *cols: Column) -> Column:
     return F.abs(F.xxhash64(F.lit(tag), F.lit(seed), *cols))
 
 
+def _h_md5(tag: str, seed: int, *cols: Column) -> Column:
+    """Portable 60-bit hash: first 15 md5 hex chars of 'tag:seed:c1[:c2]'
+    parsed base-16 (the engine-wide md5/60-bit spec, sketch.py). DuckDB
+    recomputes it verbatim (contract _HEX15), which is what makes the
+    portable corpus — and therefore the kg_pipeline oracle — possible."""
+    rec = F.concat_ws(
+        ":", F.lit(tag), F.lit(str(seed)),
+        *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(rec), 1, 15), 16, 10).cast("long")
+
+
 def _surfaces_lit() -> Column:
     return F.array(*[F.array(*[F.lit(s) for s in surfs]) for surfs in SURFACES])
 
@@ -74,38 +85,43 @@ def _pick_verb(h: Column) -> Column:
 
 
 def _mention(i: Column, j: Column, role: str, idx: Column, seed: int,
-             surfaces: Column) -> Column:
+             surfaces: Column, h=_h, misspell: bool = True) -> Column:
     """Render one entity mention: surface pick + caps/misspell variants."""
     surf_arr = F.element_at(surfaces, idx + 1)
-    surf = F.element_at(surf_arr, (_h(f"surf_{role}", seed, i, j) % F.size(surf_arr)).cast("int") + 1)
-    surf = F.when(_h(f"caps_{role}", seed, i, j) % 100 < 15, F.initcap(surf)).otherwise(surf)
+    surf = F.element_at(surf_arr, (h(f"surf_{role}", seed, i, j) % F.size(surf_arr)).cast("int") + 1)
+    surf = F.when(h(f"caps_{role}", seed, i, j) % 100 < 15, F.initcap(surf)).otherwise(surf)
+    if not misspell:
+        # portable mode: caps variants still exercise case-folding in the
+        # exact linker, but no 1-deletions — every mention links exactly,
+        # so the emitted triple set equals the gold set bit-for-bit
+        return surf
     # misspelling: drop the 3rd character (deterministic 1-deletion) on ~10%
     missp = F.concat(F.substring(surf, 1, 2), F.substring(surf, 4, F.length(surf)))
     return F.when(
-        (_h(f"missp_{role}", seed, i, j) % 100 < 10) & (F.length(surf) >= 6), missp
+        (h(f"missp_{role}", seed, i, j) % 100 < 10) & (F.length(surf) >= 6), missp
     ).otherwise(surf)
 
 
 def _sentence_struct(i: Column, j: Column, lang: Column, seed: int,
-                     surfaces: Column) -> Column:
+                     surfaces: Column, h=_h, misspell: bool = True) -> Column:
     """struct(subj_idx, verb_idx, obj_idx, sent) for sentence j of page i."""
     n_vocab = len(VOCAB)
     subj_idx = F.when(
-        _h("hot", seed, i, j) % 100 < 30, F.lit(HOT_ENTITY_IDX)
-    ).otherwise((_h("subj", seed, i, j) % n_vocab).cast("int"))
-    obj_idx = (_h("obj", seed, i, j) % n_vocab).cast("int")
-    verb_idx = _pick_verb(_h("verb", seed, i, j)).cast("int")
+        h("hot", seed, i, j) % 100 < 30, F.lit(HOT_ENTITY_IDX)
+    ).otherwise((h("subj", seed, i, j) % n_vocab).cast("int"))
+    obj_idx = (h("obj", seed, i, j) % n_vocab).cast("int")
+    verb_idx = _pick_verb(h("verb", seed, i, j)).cast("int")
 
     en_sent = F.concat(
-        _mention(i, j, "s", subj_idx, seed, surfaces),
+        _mention(i, j, "s", subj_idx, seed, surfaces, h, misspell),
         F.lit(" "),
         F.element_at(_str_arr(VERB_PHRASES), verb_idx + 1),
         F.lit(" "),
-        _mention(i, j, "o", obj_idx, seed, surfaces),
+        _mention(i, j, "o", obj_idx, seed, surfaces, h, misspell),
         F.lit("."),
     )
-    de_sent = F.element_at(_str_arr(_DE_SENTS), (_h("des", seed, i, j) % 3).cast("int") + 1)
-    fr_sent = F.element_at(_str_arr(_FR_SENTS), (_h("frs", seed, i, j) % 3).cast("int") + 1)
+    de_sent = F.element_at(_str_arr(_DE_SENTS), (h("des", seed, i, j) % 3).cast("int") + 1)
+    fr_sent = F.element_at(_str_arr(_FR_SENTS), (h("frs", seed, i, j) % 3).cast("int") + 1)
 
     is_en = lang == "en"
     return F.struct(
@@ -116,19 +132,28 @@ def _sentence_struct(i: Column, j: Column, lang: Column, seed: int,
     )
 
 
-def _plan(spark: SparkSession, n_pages: int, seed: int) -> DataFrame:
-    """Page plan: url/ts/lang/domain + array of sentence structs + text."""
+def _plan(spark: SparkSession, n_pages: int, seed: int,
+          portable: bool = False) -> DataFrame:
+    """Page plan: url/ts/lang/domain + array of sentence structs + text.
+
+    ``portable=True`` switches every random draw from xxhash64 to the
+    md5/60-bit spec (DuckDB-replayable) and disables misspellings, so a
+    SQL oracle can recompute the exact gold triple set (contract
+    SQL_KG_PIPELINE). Default mode is unchanged: xxhash64 (pure-JVM fast
+    path) + 1-deletion misspellings that exercise the fuzzy linker.
+    """
+    h = _h_md5 if portable else _h
     i = F.col("id")
     df = spark.range(n_pages)
 
-    lang_r = _h("lang", seed, i) % 100
+    lang_r = h("lang", seed, i) % 100
     lang = F.when(lang_r < 90, "en").when(lang_r < 95, "de").otherwise("fr")
     domain = F.when(
-        _h("dom", seed, i) % 100 < 30, F.lit("hot.example.org")
-    ).otherwise(F.concat(F.lit("site"), (_h("dom2", seed, i) % 50), F.lit(".example.org")))
+        h("dom", seed, i) % 100 < 30, F.lit("hot.example.org")
+    ).otherwise(F.concat(F.lit("site"), (h("dom2", seed, i) % 50), F.lit(".example.org")))
 
-    n_s = F.when(_h("empty", seed, i) % 100 < 3, F.lit(0)).otherwise(
-        (1 + _h("ns", seed, i) % 8).cast("int")
+    n_s = F.when(h("empty", seed, i) % 100 < 3, F.lit(0)).otherwise(
+        (1 + h("ns", seed, i) % 8).cast("int")
     )
 
     df = df.select(
@@ -138,9 +163,9 @@ def _plan(spark: SparkSession, n_pages: int, seed: int) -> DataFrame:
         lang.alias("lang"),
         domain.alias("domain"),
         n_s.alias("n_s"),
-        (_h("terms", seed, i) % 100 < 15).alias("has_terms"),
-        (_h("ws", seed, i) % 100 < 20).alias("wide_ws"),
-        (_h("hastext", seed, i) % 100 < 50).alias("with_text"),
+        (h("terms", seed, i) % 100 < 15).alias("has_terms"),
+        (h("ws", seed, i) % 100 < 20).alias("wide_ws"),
+        (h("hastext", seed, i) % 100 < 50).alias("with_text"),
     )
     # surfaces literal staged as ONE column so the per-sentence lambda
     # references it instead of inlining the 80-string array repeatedly
@@ -150,7 +175,8 @@ def _plan(spark: SparkSession, n_pages: int, seed: int) -> DataFrame:
     )).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.col("n_s") - 1),
-            lambda j: _sentence_struct(F.col("i"), j, F.col("lang"), seed, F.col("_surf")),
+            lambda j: _sentence_struct(F.col("i"), j, F.col("lang"), seed,
+                                       F.col("_surf"), h, not portable),
         )
     )
     df = df.withColumn("sentences", sentences).drop("_surf")
@@ -162,9 +188,10 @@ def _plan(spark: SparkSession, n_pages: int, seed: int) -> DataFrame:
     return df.withColumn("page_text", F.array_join(all_texts, " "))
 
 
-def synth_pages(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
+def synth_pages(spark: SparkSession, n_pages: int, seed: int = 42,
+                portable: bool = False) -> DataFrame:
     """The CC-style corpus: (url, warc_ts, html binary, text, lang)."""
-    plan = _plan(spark, n_pages, seed)
+    plan = _plan(spark, n_pages, seed, portable)
     sent_texts = F.transform(F.col("sentences"), lambda s: s["sent"])
     html_texts = F.when(
         F.col("has_terms"), F.concat(sent_texts, F.array(F.lit(_TERMS_HTML)))
@@ -191,12 +218,15 @@ def synth_pages(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
     )
 
 
-def expected_text(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
+def expected_text(spark: SparkSession, n_pages: int, seed: int = 42,
+                  portable: bool = False) -> DataFrame:
     """(url, text) ground truth for the byte-identity audit (all pages)."""
-    return _plan(spark, n_pages, seed).select("url", F.col("page_text").alias("text"))
+    return _plan(spark, n_pages, seed, portable).select(
+        "url", F.col("page_text").alias("text"))
 
 
-def synth_gold(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
+def synth_gold(spark: SparkSession, n_pages: int, seed: int = 42,
+               portable: bool = False) -> DataFrame:
     """Gold canonical (subject, predicate, object, relation) triple set.
 
     Derivation mirrors the generator's sentence plan: English sentences only,
@@ -205,7 +235,7 @@ def synth_gold(spark: SparkSession, n_pages: int, seed: int = 42) -> DataFrame:
     (reference P5 semantics, eol_traits.py:503-504), distinct s/p/o.
     """
     canon = F.array(*[F.lit(c) for c in CANONICAL])  # NULL for Publications
-    plan = _plan(spark, n_pages, seed).where(F.col("lang") == "en")
+    plan = _plan(spark, n_pages, seed, portable).where(F.col("lang") == "en")
     s = plan.select(F.explode("sentences").alias("st"))
     triples = s.select(
         F.element_at(canon, F.col("st.subj_idx") + 1).alias("subject"),

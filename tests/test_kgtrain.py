@@ -46,3 +46,22 @@ def test_negatives_salt_independence(spark):
     got1 = dict(by_idx.get(1, set()))
     shared = {s for s in got0 if s in got1 and got0[s] == got1[s]}
     assert len(shared) < max(len(got0), 1)
+
+
+def test_negatives_pipe_in_entity_roundtrips(spark):
+    """Entities containing the '|' separator survive the pick-key
+    round-trip intact (ADVICE r4: positional substring(_pk, 21), not
+    substring_index), and the filtered anti-join compares the REAL
+    entity string so known positives are still excluded."""
+    rows = [(f"s{i}", "p", f"a|b{i % 5}") for i in range(20)]
+    t = spark.createDataFrame(
+        rows, "subject string, predicate string, object string")
+    out = kg_negative_samples(t, k=3, buckets=8).collect()
+    assert out, "sampling produced no rows"
+    entities = {f"a|b{j}" for j in range(5)}
+    positives = {(f"s{i}", "p", f"a|b{i % 5}") for i in range(20)}
+    for r in out:
+        # the full pipe-containing entity, never a truncated tail segment
+        assert r["neg_object"] in entities, r["neg_object"]
+        assert (r["subject"], r["predicate"], r["neg_object"]) \
+            not in positives

@@ -72,3 +72,17 @@ def test_nodes_have_categories(kg):
     nodes = kg["nodes"]
     assert nodes.where(F.col("category").isNull()).count() == 0
     assert nodes.where(F.col("id").isNull()).count() == 0
+
+
+def test_portable_corpus_exact_gold(spark):
+    """The PORTABLE corpus (md5/60-bit draws, no misspellings) makes the
+    pipeline's merged edge set equal the gold set BIT-FOR-BIT — the
+    invariant the kg_pipeline contract oracle replays in DuckDB."""
+    pages = synth_pages(spark, 150, portable=True).localCheckpoint(eager=True)
+    got = build_kg(spark, pages)["edges"].select(
+        "subject", "predicate", "object", "relation")
+    gold = synth_gold(spark, 150, portable=True)
+    got_set = {tuple(r) for r in got.collect()}
+    gold_set = {tuple(r) for r in gold.collect()}
+    assert got_set == gold_set, (
+        f"missing={len(gold_set - got_set)} extra={len(got_set - gold_set)}")

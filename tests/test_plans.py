@@ -485,3 +485,75 @@ def test_strip_boilerplate_no_udf(spark):
     out = strip_host_boilerplate(pages)
     plan = physical_plan(out)
     assert "Python" not in plan
+
+
+def _count_nodes(plan: str, name: str) -> int:
+    import re
+    return len(re.findall(r"\(\d+\) " + name + r"\b", plan))
+
+
+def test_cluster_topics_assignment_map_side(spark):
+    """kmeans assignment must be MAP-SIDE (centroids ride the plan as
+    literals): given a checkpointed embedding table, the assignment
+    DataFrame contains ZERO exchanges and no Python stage."""
+    from ecokg_spark.operators.embed import hashed_bow_embed, kmeans_lloyd
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    emb = hashed_bow_embed(d, "text", "doc_id", dims=8, portable=True
+                           ).localCheckpoint(eager=True)
+    assigned = kmeans_lloyd(emb, vec_col="embedding", id_col="doc_id",
+                            k=2, iterations=1)
+    plan = physical_plan(assigned)
+    assert count_exchanges(assigned) == 0, plan
+    assert "Python" not in plan
+
+
+def test_retention_single_window_no_expanding_distinct(spark):
+    """retention_curve's expanding distinct count must decompose to the
+    first-seen rule: exactly ONE Window node (the running sum over the
+    bucket-cardinality table), never a distinct-over-expanding-window
+    on the raw events."""
+    from ecokg_spark.operators.temporal import retention_curve
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    out = retention_curve(e, "user_id", "ts", bucket="day")
+    plan = physical_plan(out)
+    assert _count_nodes(plan, "Window") == 1, plan
+    assert "Python" not in plan
+
+
+def test_int8_topk_integer_ranking_partial_topk(spark):
+    """int8_topk's ranking key must be the exact BIGINT dot product (no
+    float anywhere in the ordering), the few-queries side must broadcast,
+    and the per-query top-k must plan as WindowGroupLimit (partial top-k
+    before the shuffle), not a full per-group sort."""
+    from pyspark.sql.types import LongType
+
+    from ecokg_spark.operators.similarity import int8_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = int8_topk(emb, emb.limit(3), k=5)
+    assert isinstance(out.schema["dot"].dataType, LongType)
+    plan = physical_plan(out)
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Python" not in plan
+
+
+def test_strip_boilerplate_single_census_anti_join(spark):
+    """strip_host_boilerplate = ONE boilerplate census (host-keyed
+    aggregates) + ONE left-anti join + ONE rebuild aggregate — and the
+    in-order rebuild must come from sort_array over (pos, line) structs,
+    never a Window sort over the exploded line table."""
+    from ecokg_spark.operators.web import strip_host_boilerplate
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    pages = d.selectExpr(
+        "concat('https://h', doc_id % 5, '.org/p/', doc_id) as url",
+        "text")
+    out = strip_host_boilerplate(pages)
+    plan = physical_plan(out)
+    assert _count_nodes(plan, "Window") == 0, plan
+    assert "CartesianProduct" not in plan
+    anti = plan.count("LeftAnti")
+    assert anti >= 1, plan

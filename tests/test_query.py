@@ -1494,3 +1494,28 @@ def test_values_multi_undef_wildcard(spark, kg):
     # row 1 pins both vars; row 2 leaves ?x free (any taxon node)
     assert got == {("G:1", "biolink:GenomicEntity"),
                    ("T:1", "biolink:OrganismTaxon")}
+
+
+def test_group_by_expression(spark, kg):
+    """GROUP BY (expr AS ?var) — spec §10 expression keys desugar to an
+    implicit BIND; the alias is projectable alongside aggregates."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        'SELECT (COUNT(?s) AS ?n) ?prefix WHERE { ?s biolink:category ?c } '
+        'GROUP BY (SUBSTR(?s, 1, 1) AS ?prefix)',
+        nodes, edges)
+    assert out.columns == ["n", "prefix"]
+    got = {r["prefix"]: r["n"] for r in out.collect()}
+    assert got == {"G": 2, "T": 1, "P": 1}
+
+
+def test_order_by_multikey_mixed(spark, kg):
+    """ORDER BY with two keys, mixed ASC/DESC."""
+    nodes, edges = kg
+    out = sparql_select(
+        spark,
+        "SELECT ?s ?o WHERE { ?s ?p ?o } ORDER BY DESC(?o) ?s LIMIT 4",
+        nodes, edges)
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == sorted(rows, key=lambda r: (tuple(-ord(c) for c in r[1]), r[0]))[:4]

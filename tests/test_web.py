@@ -470,3 +470,25 @@ def test_robots_crawl_delay(spark):
     got = sorted(tuple(r) for r in robots_crawl_delay(df).collect())
     assert got == [("a.com", "*", 2.0), ("a.com", "ecobot", 0.5),
                    ("a.com", "otherbot", 0.5)]
+
+
+def test_robots_allowed_duplicate_rows_preserved(spark):
+    """Byte-identical duplicate input rows each keep their verdict —
+    output cardinality is exactly the input's (ADVICE r4, web.py
+    robots_allowed _rowtag window key)."""
+    from ecokg_spark.operators.web import parse_robots, robots_allowed
+
+    rules = parse_robots(spark.createDataFrame(
+        [("a.com", ROBOTS_TXT)], "host string, robots_txt string"))
+    urls = spark.createDataFrame(
+        [("https://a.com/private/x",),
+         ("https://a.com/private/x",),       # exact duplicate row
+         ("https://a.com/public",)],
+        "url string")
+    out = robots_allowed(urls, rules, agent="randombot").collect()
+    assert len(out) == 3
+    dup = [r for r in out if r["url"] == "https://a.com/private/x"]
+    assert len(dup) == 2
+    assert all(r["allowed"] is False and r["matched_path"] == "/private"
+               for r in dup)
+    assert "_rowtag" not in out[0].asDict()
