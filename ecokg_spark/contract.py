@@ -4516,6 +4516,51 @@ FROM part GROUP BY p_size
 """
 
 
+def q_sparql_group_expr(spark, sf):
+    """SPARQL GROUP BY on an EXPRESSION key with a fresh alias (spec §10,
+    round 5): the compiler desugars (SUBSTR(?cat, 7, 1) AS ?g) to an
+    implicit BIND evaluated over the joined solution, then groups on the
+    alias — node counts per brand-digit bucket."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT (COUNT(?x) AS ?n) ?g WHERE { ?x biolink:category ?cat } "
+        "GROUP BY (SUBSTR(?cat, 7, 1) AS ?g)",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_GROUP_EXPR = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n, substr(p_brand, 7, 1) AS g
+FROM part GROUP BY 2
+"""
+
+
+def q_sparql_order_multi(spark, sf):
+    """SPARQL ORDER BY with two keys and mixed ASC/DESC directions
+    (round 5): DESC(?m) then the plain (ASC) ?x tie-break, LIMIT 30 —
+    deterministic because (?m, ?x) is unique; both engines compare the
+    string-typed RDF terms by codepoint."""
+    from ecokg_spark.query import sparql_select
+
+    nodes, edges = _kg_tables_from_part(spark, sf)
+    return sparql_select(
+        spark,
+        "SELECT ?x ?m WHERE { ?x biolink:has_size ?m } "
+        "ORDER BY DESC(?m) ?x LIMIT 30",
+        nodes, edges,
+    )
+
+
+SQL_SPARQL_ORDER_MULTI = """
+SELECT 'P:' || CAST(p_partkey AS VARCHAR) AS x,
+       'SZ:' || CAST(p_size AS VARCHAR) AS m
+FROM part ORDER BY m DESC, x ASC LIMIT 30
+"""
+
+
 def q_curate_v2(spark, sf):
     """Composed round-4 curation chain (operators/curation.py
     curate_corpus_v2): blocklist -> token gate -> bigram-LM floor (0.5 x
@@ -8021,6 +8066,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_blocklist": q_url_blocklist,
     "sparql_bind": q_sparql_bind,
     "sparql_group_concat": q_sparql_group_concat,
+    "sparql_group_expr": q_sparql_group_expr,
+    "sparql_order_multi": q_sparql_order_multi,
     "sparql_regex": q_sparql_regex,
     "kcore": q_kcore,
     "ppr": q_ppr,
@@ -8236,6 +8283,8 @@ ORACLES: dict[str, str] = {
     "url_blocklist": SQL_URL_BLOCKLIST,
     "sparql_bind": SQL_SPARQL_BIND,
     "sparql_group_concat": SQL_SPARQL_GROUP_CONCAT,
+    "sparql_group_expr": SQL_SPARQL_GROUP_EXPR,
+    "sparql_order_multi": SQL_SPARQL_ORDER_MULTI,
     "sparql_regex": SQL_SPARQL_REGEX,
     "kcore": SQL_KCORE,
     "ppr": SQL_PPR,
@@ -8380,7 +8429,10 @@ _CERT_WINDOW = [
     "bloom_probe", "kgx_validate", "pack_sequences", "bpe_pairs",
     "fixed_sample", "curate_v3", "group_centroids", "fuzzy_string_join",
     "kg_diff", "stupid_backoff", "hll_stream", "sparql_neg_path",
-    "predicate_profile", "inverse_detect",
+    # the two round-5 SPARQL additions (VERDICT r4 #8) — new rows are
+    # themselves never-certified; predicate_profile / inverse_detect
+    # rotate to the head of the round-6 backlog
+    "sparql_group_expr", "sparql_order_multi",
 ]
 assert len(_CERT_WINDOW) == 50 and len(set(_CERT_WINDOW)) == 50
 assert all(n in QUERIES for n in _CERT_WINDOW), [
