@@ -5,7 +5,7 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-All real logic lives in ``ecokg_spark`` (see ecokg_spark/contract.py).
+All real logic lives in ``ecokg_spark`` (see the ecokg_spark/contract/ package).
 Because pandas UDFs pickle by module reference, the package must be
 importable on Spark's Python WORKERS too, whatever cwd the driver runs
 from: ``_ensure_importable`` ships a zip of the package to the context via

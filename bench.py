@@ -153,6 +153,34 @@ BENCH_REPS = int(os.environ.get("ECOKG_BENCH_REPS", "5"))
 BURST_SPREAD = float(os.environ.get("ECOKG_BURST_SPREAD", "5.0"))
 
 
+def _driver_vmhwm_mb(spark) -> dict:
+    """Peak RSS (VmHWM) of the two driver-side processes: this Python
+    process and the local-mode JVM. In local mode the JVM holds executor
+    state too, so its high-water mark is the upper bound on what a real
+    cluster's driver would need — flat growth across sf0.1 -> sf1 is the
+    scale evidence (no driver-side materialization grows with the data)."""
+    def hwm(pid):
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmHWM:"):
+                        return round(int(line.split()[1]) / 1024.0, 1)
+        except OSError:
+            return None
+        return None
+
+    out = {"python": hwm(os.getpid())}
+    jvm_pid = None
+    gw = spark.sparkContext._gateway
+    for attr in ("proc", "java_process"):  # pyspark sets gateway.proc
+        p = getattr(gw, attr, None)
+        if p is not None and getattr(p, "pid", None):
+            jvm_pid = int(p.pid)
+            break
+    out["jvm"] = hwm(jvm_pid) if jvm_pid else None
+    return out
+
+
 def main_bench():
     spark = _spark(CPUS)
     from ecokg_spark.contract import QUERIES
@@ -238,6 +266,7 @@ def main_bench():
         "sf": SF_DIR,
         "pages_per_sec": pipe["pages_per_sec"],
         "cpus": int(CPUS),
+        "driver_vmhwm_mb": _driver_vmhwm_mb(spark),
     }
     # fold in the latest scaling evidence (BENCH/scaling.json, written by
     # `bench.py --scaling`) so the per-round bench line carries the

@@ -78,6 +78,59 @@ class TableIO:
     def read_bucketed(self, name: str) -> DataFrame:
         return self.spark.table(name.replace(".", "_"))
 
+    def merge_into(self, source: DataFrame, name: str, keys: list[str],
+                   when_matched: str = "update") -> None:
+        """Key-upsert `source` into logical table `name` (north-rule Iceberg
+        language: the merged-graph tables are MERGE targets).
+
+        With an Iceberg catalog this is a real in-place ``MERGE INTO``
+        (``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``);
+        on the parquet fallback it is the anti-join emulation the streaming
+        sink already uses (streaming/merge_sink.py):
+
+        - ``when_matched="update"``: kept = target ANTI source(keys);
+          rewrite kept UNION source atomically (stage dir + rename — the
+          stage write materializes before the old path is dropped).
+        - ``when_matched="ignore"``: insert-only — append source ANTI
+          target; no rewrite, so replays are idempotent (first write wins).
+
+        Source rows are deduplicated on `keys` first (SQL MERGE errors on
+        multi-matched sources); which duplicate survives is arbitrary, so
+        pre-aggregate upstream when the surviving row matters.
+        At scale the anti-join probes the existing table keyed on `keys`;
+        keep the target bucketed on the leading key (write_bucketed) so the
+        probe is exchange-free."""
+        if when_matched not in ("update", "ignore"):
+            raise ValueError(f"when_matched={when_matched!r}")
+        source = source.dropDuplicates(keys)
+        if not self.exists(name):
+            self.write(source, name, mode="overwrite")
+            return
+        if self.iceberg:
+            view = "_merge_src_" + name.replace(".", "_")
+            source.createOrReplaceTempView(view)
+            on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+            matched = ("WHEN MATCHED THEN UPDATE SET * "
+                       if when_matched == "update" else "")
+            self.spark.sql(
+                f"MERGE INTO {name} t USING {view} s ON {on} "
+                f"{matched}WHEN NOT MATCHED THEN INSERT *")
+            self.spark.catalog.dropTempView(view)
+            return
+        path = self._path(name)
+        target = self.spark.read.parquet(path)
+        if when_matched == "ignore":
+            fresh = source.join(target.select(*keys), keys, "left_anti")
+            fresh.write.mode("append").parquet(path)
+            return
+        kept = target.join(source.select(*keys), keys, "left_anti")
+        merged = kept.unionByName(source.select(*target.columns))
+        tmp = path + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)  # materializes BEFORE drop
+        import shutil
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+
     def export_kgx_tsv(self, df: DataFrame, out_dir: str, compress: bool = True) -> None:
         """KGX-parity TSV export (reference: merge.yaml:66-71 tar.gz TSV dump;
         we keep plain .tsv.gz — the tar wrapper carries no information)."""

@@ -7,7 +7,7 @@ stale / fresh, and prints the recommended next window: never-certified
 rows first (registry order), back-filled with the stalest certified rows.
 
 Usage: python scripts/plan_rotation.py [window_size]
-Then reorder the QUERIES dict in ecokg_spark/contract.py to put the
+Then reorder the QUERIES dict in ecokg_spark/contract/__init__.py to put the
 printed names in positions 1..window_size (ORACLES order is irrelevant —
 only QUERIES order drives the window).
 """

@@ -46,3 +46,34 @@ def test_job_runs_resumes_and_matches_pipeline(spark, tmp_path):
     assert "edges" in r3.timings
     assert "fused" not in r3.timings and "linked_raw" not in r3.timings
     assert io.read("kg.edges").count() == n_edges
+
+
+def test_tableio_merge_into_upsert_and_insert_only(spark, tmp_path):
+    """merge_into (io.py): parquet-fallback MERGE semantics — matched rows
+    replaced (update) or kept (ignore), unmatched inserted, replays
+    idempotent. The Iceberg branch runs the same contract via MERGE INTO
+    when a catalog is configured (none in this sandbox)."""
+    io = TableIO(spark, warehouse=str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int")
+    io.write(base, "kg.t", mode="overwrite")
+
+    src = spark.createDataFrame([("b", 20), ("d", 40)], "k string, v int")
+    io.merge_into(src, "kg.t", keys=["k"])  # update mode
+    got = {(r.k, r.v) for r in io.read("kg.t").collect()}
+    assert got == {("a", 1), ("b", 20), ("c", 3), ("d", 40)}
+
+    # replay the same merge: idempotent (same final relation)
+    io.merge_into(src, "kg.t", keys=["k"])
+    assert {(r.k, r.v) for r in io.read("kg.t").collect()} == got
+
+    # insert-only: matched key keeps its current value, new key lands
+    src2 = spark.createDataFrame([("b", 99), ("e", 50)], "k string, v int")
+    io.merge_into(src2, "kg.t", keys=["k"], when_matched="ignore")
+    got2 = {(r.k, r.v) for r in io.read("kg.t").collect()}
+    assert got2 == got | {("e", 50)}
+
+    # first merge into a missing table creates it
+    io.merge_into(src, "kg.fresh", keys=["k"])
+    assert {(r.k, r.v) for r in io.read("kg.fresh").collect()} == {
+        ("b", 20), ("d", 40)}
