@@ -97,7 +97,11 @@ def main() -> None:
     for t in tables:
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         out = df if t in ("region", "nation") else replicate(df, t)
-        # match the source layout: one parquet dataset per table name
+        # a real 10x corpus arrives in ~10x the files; sf0.1 ships one file
+        # per table, so write the replicated tables in 32 so scans get full
+        # local[32] split parallelism instead of inheriting 1-2 input splits
+        if t not in ("region", "nation"):
+            out = out.repartition(32)
         out.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
         print(t, "->", spark.read.parquet(f"{OUT}/{t}.parquet").count(), "rows")
     spark.stop()
