@@ -473,6 +473,11 @@ def test_assortativity_no_udf_exact_sums(spark):
     out = degree_assortativity(e)
     plan = physical_plan(out)
     assert "Python" not in plan
+    # the degree products must multiply decimal(19,0) OPERANDS (ADVICE r4:
+    # a BIGINT*BIGINT that is only cast to decimal afterwards overflows
+    # inside the multiply for degrees above ~3e9)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "cast(_dx#" in analyzed and "as decimal(19,0)" in analyzed
 
 
 def test_strip_boilerplate_no_udf(spark):
