@@ -75,24 +75,29 @@ def asof_join(
     if clash:
         raise ValueError(f"right_cols clash with left columns: {sorted(clash)}")
 
+    # the right payload travels as ONE struct so the fill is row-ATOMIC:
+    # filling each column independently would let a NULL field in the
+    # matched right row pull that field from an OLDER right row, stitching
+    # the output from two different rows
     r = _dedup_right(right, on, right_ts, tiebreak).select(
-        *on, F.col(right_ts).alias("_asof_ts"), *right_cols)
+        *on,
+        F.col(right_ts).alias("_t"),
+        F.struct(F.col(right_ts).alias("_asof_ts"), *right_cols).alias("_p"),
+    )
 
     lu = left.select(
         *left.columns,
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_l"),
-        F.lit(None).cast(r.schema["_asof_ts"].dataType).alias("_asof_ts"),
-        *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
     )
     ru = r.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in on],
         *on,
-        F.col("_asof_ts").alias("_t"),
+        "_t",
         F.lit(0).alias("_is_l"),
-        "_asof_ts",
-        *right_cols,
+        "_p",
     )
     u = lu.unionByName(ru)
 
@@ -104,17 +109,19 @@ def asof_join(
         [F.col("_t").desc(), F.col("_is_l").asc()]
     w = (Window.partitionBy(*on).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    fill = {c: F.last(c, ignorenulls=True).over(w)
-            for c in ["_asof_ts", *right_cols]}
-    out = u.withColumns(fill).where(F.col("_is_l") == 1)
+    out = (u.withColumn("_p", F.last("_p", ignorenulls=True).over(w))
+           .where(F.col("_is_l") == 1))
 
     if tolerance_s is not None:
         tol = int(tolerance_s * _MICROS)
-        gap = F.abs(_us(F.col("_t")) - _us(F.col("_asof_ts")))
-        keep = F.col("_asof_ts").isNotNull() & (gap <= tol)
-        out = out.withColumns({
-            c: F.when(keep, F.col(c)) for c in ["_asof_ts", *right_cols]})
-    return out.drop("_t", "_is_l")
+        gap = F.abs(_us(F.col("_t")) - _us(F.col("_p._asof_ts")))
+        keep = F.col("_p").isNotNull() & (gap <= tol)
+        out = out.withColumn("_p", F.when(keep, F.col("_p")))
+    return out.select(
+        *left.columns,
+        F.col("_p._asof_ts").alias("_asof_ts"),
+        *[F.col(f"_p.{c}").alias(c) for c in right_cols],
+    )
 
 
 def range_join(

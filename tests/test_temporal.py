@@ -74,6 +74,20 @@ def test_asof_tiebreak_deterministic(spark):
     assert out[0]["rid"] == 9     # max tiebreak survives the tie
 
 
+def test_asof_null_payload_row_atomic(spark):
+    """The matched right row attaches ATOMICALLY: a NULL field in the
+    matched row stays NULL instead of backfilling from an older right row
+    (per-column ignorenulls fill would stitch two rows together)."""
+    left = spark.createDataFrame([("k", 3)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 1, 5, None), ("k", 2, None, 7)],
+        "k string, ts long, a int, b int")
+    out = asof_join(left, right, on=["k"]).collect()
+    assert len(out) == 1
+    assert out[0]["_asof_ts"] == 2
+    assert out[0]["a"] is None and out[0]["b"] == 7
+
+
 def test_range_join_band(spark, trades_quotes):
     trades, quotes = trades_quotes
     out = range_join(trades, quotes, on=["sym"], range_s=5.0,
