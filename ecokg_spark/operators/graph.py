@@ -193,7 +193,10 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
     Reuses the triangle kernel's canonical edge set; degree is one more
     hash aggregate over the exploded endpoints. The division is rounded so
     cross-engine float comparison is exact (the operands are integers, so
-    this is belt-and-braces, not load-bearing).
+    this is belt-and-braces, not load-bearing). The d*(d-1) product runs
+    in DOUBLE: a BIGINT product would overflow (ANSI: throw) past degree
+    ~3e9, and doubles are exact below 2^53 so results are unchanged for
+    every realistic degree (the assortativity operand-staging rule).
     """
     e = (edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -212,7 +215,8 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
             F.col("degree") < 2, F.lit(0.0)
         ).otherwise(
             F.round(2.0 * F.col("triangles")
-                    / (F.col("degree") * (F.col("degree") - 1)), decimals)
+                    / (F.col("degree").cast("double")
+                       * (F.col("degree") - 1).cast("double")), decimals)
         ).alias("coefficient"),
     )
 
