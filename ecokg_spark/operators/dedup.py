@@ -755,13 +755,21 @@ def rp_bucket(vec_col, planes: int, table: int):
     Plane p's direction d_i = xxhash64(table, p, i) scaled to [-1, 1] —
     deterministic pseudo-random, computed inline (no model state) and
     dimension-agnostic: the index sequence derives from size(vec), so no
-    driver-side peek at the data is ever needed."""
+    driver-side peek at the data is ever needed.
+
+    The scaling MUST be pmod, not %: Spark's % keeps the dividend's sign,
+    so `h % 2000001 - 1000000` lands in [-3e6, 1e6] with mean -1e6 —
+    every component biased negative. On non-negative vectors (hashed BoW)
+    that put 499/500 docs in ONE bucket (all sign bits equal), silently
+    degenerating the LSH join to a near-cross-join. pmod gives uniform
+    [0, 2e6], so the shifted component is zero-mean in [-1, 1]."""
     def proj(p: int):
         idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
         comps = F.zip_with(
             vec_col,
             F.transform(idx, lambda i: (
-                F.xxhash64(F.lit(table), F.lit(p), i) % 2000001 - 1000000
+                F.pmod(F.xxhash64(F.lit(table), F.lit(p), i), F.lit(2000001))
+                - 1000000
             ) / 1000000.0),
             lambda v, w: v * w,
         )
