@@ -129,19 +129,6 @@ def extract_media_meta(
     )
 
 
-def frame_sample_plan(media: DataFrame, every_n: int = 10,
-                      duration_col: str = "n_frames") -> DataFrame:
-    """Video frame-sampling plan: one row per sampled frame index —
-    pure `sequence` + `explode`, no decode needed to PLAN the work (the
-    decode itself would be another mapInPandas over (media_id, frame_idx))."""
-    return media.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)), F.lit(every_n))
-        ).alias("frame_idx"),
-    )
-
-
 def byte_features(
     media: DataFrame,
     id_col: str = "media_id",

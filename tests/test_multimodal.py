@@ -31,16 +31,6 @@ def test_real_decode_rejects_unknown_containers():
         decode_image_real(b"xx")
 
 
-def test_frame_sample_plan(spark):
-    media = synth_media(spark, 10)
-    plan = frame_sample_plan(media, every_n=10)
-    rows = plan.groupBy("media_id").count().collect()
-    n_frames = {r["media_id"]: r["n_frames"] for r in media.collect()}
-    for r in rows:
-        expected = len(range(0, max(n_frames[r["media_id"]] - 1, 0) + 1, 10))
-        assert r["count"] == expected
-
-
 def test_decode_image_real_headers():
     """Stdlib header parser: PNG IHDR (incl. non-RGB color types), GIF
     logical screen, JPEG SOF0 + progressive SOF2 behind APP segments;
