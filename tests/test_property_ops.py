@@ -239,3 +239,165 @@ def test_funnel_counts_matches_python_reference(spark, raw):
         (r["step_idx"], r["step"], r["n_keys"])
         for r in funnel_counts(df, "uid", "ts", "step", steps).collect())
     assert got == _funnel_py(events, steps)
+
+
+# ---------------------------------------------------------------------------
+# coalesce_intervals — gaps-and-islands merge
+# ---------------------------------------------------------------------------
+
+def _coalesce_py(rows, gap):
+    by_key = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    out = set()
+    for k, iv in by_key.items():
+        iv.sort()
+        cur_s, cur_e, n = iv[0][0], iv[0][1], 1
+        for s, e in iv[1:]:
+            if s <= cur_e + gap:
+                cur_e, n = max(cur_e, e), n + 1
+            else:
+                out.add((k, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        out.add((k, cur_s, cur_e, n))
+    return out
+
+
+@settings(max_examples=12, **_S)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40),
+                          st.integers(0, 15)),
+                min_size=1, max_size=40),
+       st.integers(0, 3))
+def test_coalesce_intervals_matches_python_reference(spark, raw, gap):
+    from ecokg_spark.operators.temporal import coalesce_intervals
+
+    rows = [(f"k{k}", s, s + d) for k, s, d in raw]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {(r["k"], r["start"], r["end"], r["n_intervals"])
+           for r in coalesce_intervals(df, "k", "s", "e", gap=gap).collect()}
+    assert got == _coalesce_py(rows, gap)
+
+
+# ---------------------------------------------------------------------------
+# scd2_intervals — change-compressed validity intervals
+# ---------------------------------------------------------------------------
+
+def _scd2_py(rows):
+    by_key = {}
+    for k, ts, a in rows:
+        by_key.setdefault(k, []).append((ts, a))
+    out = set()
+    for k, ups in by_key.items():
+        ups.sort()
+        changes = []
+        prev = object()
+        for ts, a in ups:
+            if a != prev:
+                changes.append((ts, a))
+            prev = a
+        for i, (ts, a) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            out.add((k, a, ts, nxt, nxt is None))
+    return out
+
+
+@settings(max_examples=12, **_S)
+@given(st.lists(st.tuples(st.integers(0, 3), st.sampled_from("abc")),
+                min_size=1, max_size=40))
+def test_scd2_intervals_matches_python_reference(spark, raw):
+    from ecokg_spark.operators.temporal import scd2_intervals
+
+    # unique ts per key (no ties -> no tiebreak column needed)
+    seen = {}
+    rows = []
+    for k, a in raw:
+        ts = seen.get(k, 0)
+        seen[k] = ts + 1
+        rows.append((f"k{k}", ts, a))
+    df = spark.createDataFrame(rows, "k string, ts long, attr string")
+    got = {(r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+           for r in scd2_intervals(df, "k", "ts", ["attr"]).collect()}
+    assert got == _scd2_py(rows)
+
+
+# ---------------------------------------------------------------------------
+# event_transitions — first-order Markov pair counts
+# ---------------------------------------------------------------------------
+
+def _transitions_py(rows):
+    by_key = {}
+    for k, ts, s in rows:
+        by_key.setdefault(k, []).append((ts, s))
+    pairs = {}
+    for seq in by_key.values():
+        seq.sort()
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    totals = {}
+    for (a, _), n in pairs.items():
+        totals[a] = totals.get(a, 0) + n
+    # tot <= 40 here: n/tot can't hit an exact 6-dp rounding tie (that
+    # needs a terminating expansion of exactly 7 digits, i.e. tot >= 128),
+    # so Python round == Spark HALF_UP round
+    return {(a, b, n, round(n / totals[a], 6)) for (a, b), n in pairs.items()}
+
+
+@settings(max_examples=12, **_S)
+@given(st.lists(st.tuples(st.integers(0, 3), st.sampled_from("xyz")),
+                min_size=2, max_size=40))
+def test_event_transitions_matches_python_reference(spark, raw):
+    from ecokg_spark.operators.temporal import event_transitions
+
+    seen = {}
+    rows = []
+    for k, s in raw:
+        ts = seen.get(k, 0)
+        seen[k] = ts + 1
+        rows.append((f"k{k}", ts, s))
+    df = spark.createDataFrame(rows, "k string, ts long, step string")
+    got = {(r["from_step"], r["to_step"], r["n"], r["p"])
+           for r in event_transitions(df, "k", "ts", "step").collect()}
+    assert got == _transitions_py(rows)
+
+
+# ---------------------------------------------------------------------------
+# remove_dup_spans — ExactSubstr-style covered-token removal
+# ---------------------------------------------------------------------------
+
+def _rds_py(docs, n, min_docs):
+    toks = {i: re.sub(r"[ \t\r\n]+", " ", t).strip(" ").split(" ")
+            for i, t in docs}
+    occ, sh_pos = {}, {}
+    for i, tk in toks.items():
+        m = max(len(tk) - (n - 1), 0)
+        lst = [(p, " ".join(tk[p:p + n]).lower()) for p in range(m)]
+        sh_pos[i] = lst
+        for p, sh in lst:
+            occ.setdefault(sh, set()).add(i)
+    dup = {sh for sh, ds in occ.items() if len(ds) >= min_docs}
+    out = {}
+    for i, tk in toks.items():
+        cov = set()
+        for p, sh in sh_pos[i]:
+            if sh in dup:
+                cov.update(range(p, p + n))
+        kept = [t for p2, t in enumerate(tk) if p2 not in cov]
+        out[i] = (len(tk), len(kept), " ".join(kept))
+    return out
+
+
+_rds_word = st.sampled_from(["aa", "bb", "cc", "dd", "Aa"])
+_rds_doc = st.lists(_rds_word, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=10, **_S)
+@given(st.lists(_rds_doc, min_size=1, max_size=8), st.integers(2, 4))
+def test_remove_dup_spans_matches_python_reference(spark, texts, n):
+    from ecokg_spark.operators.dedup import remove_dup_spans
+
+    docs = [(f"d{i}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = remove_dup_spans(df, n=n).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text"]) for r in out}
+    want = {i: v for i, v in _rds_py(docs, n, 2).items()}
+    assert got == want
