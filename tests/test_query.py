@@ -1519,3 +1519,106 @@ def test_order_by_multikey_mixed(spark, kg):
         nodes, edges)
     rows = [tuple(r) for r in out.collect()]
     assert rows == sorted(rows, key=lambda r: (tuple(-ord(c) for c in r[1]), r[0]))[:4]
+
+
+def test_random_optionals_match_duckdb(spark, kg):
+    """Seeded random BGPs with an OPTIONAL block (one pattern sharing at
+    least one variable with the required part) compiled by sparql_select
+    must return the same bag of rows as an independent LEFT-JOIN SQL
+    translation on DuckDB — the left-join alignment and NULL-binding
+    cases the hand-written OPTIONAL tests sample only pointwise."""
+    import random
+    from collections import Counter
+
+    import duckdb
+
+    nodes, edges = kg
+    con = duckdb.connect()
+    con.register("n", nodes.toPandas())
+    con.register("e", edges.toPandas())
+
+    CAT = "biolink:category"
+    ids = ["G:1", "G:2", "T:1", "P:1"]
+    preds = ["biolink:in_taxon", "biolink:has_phenotype"]
+    cats = ["biolink:GenomicEntity", "biolink:OrganismTaxon"]
+    var_pool = ["a", "b", "c"]
+
+    def gen_pattern(rng, force_var=None):
+        p = rng.choice(preds + [CAT])
+        s = force_var or rng.choice(ids + ["?" + rng.choice(var_pool)] * 3)
+        pool = cats if p == CAT else ids
+        o = rng.choice(pool + ["?" + rng.choice(var_pool)] * 3)
+        return (s, p, o)
+
+    def pat_vars(pats):
+        out = []
+        for t in pats:
+            for x in t:
+                if x.startswith("?") and x[1:] not in out:
+                    out.append(x[1:])
+        return out
+
+    def to_sql_block(pats, alias):
+        """One conjunctive block -> (subquery_sql, {var: col}) with one
+        output column per variable."""
+        froms, wheres, first = [], [], {}
+        for i, (s, p, o) in enumerate(pats):
+            if p == CAT:
+                froms.append(f"(SELECT id AS s, category AS o FROM n) "
+                             f"{alias}{i}")
+                cols = {"s": s, "o": o}
+            else:
+                froms.append(f"(SELECT subject AS s, predicate AS p, "
+                             f"object AS o FROM e) {alias}{i}")
+                cols = {"s": s, "p": p, "o": o}
+            for c, term in cols.items():
+                ref = f"{alias}{i}.{c}"
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v in first:
+                        wheres.append(f"{ref} = {first[v]}")
+                    else:
+                        first[v] = ref
+                else:
+                    wheres.append(f"{ref} = '{term}'")
+        proj = ", ".join(f"{ref} AS {v}" for v, ref in first.items())
+        w = (" WHERE " + " AND ".join(wheres)) if wheres else ""
+        return (f"(SELECT {proj} FROM {', '.join(froms)}{w})", list(first))
+
+    checked = 0
+    for seed in range(80):
+        rng = random.Random(10_000 + seed)
+        req = [gen_pattern(rng) for _ in range(rng.randint(1, 3))]
+        req_vars = pat_vars(req)
+        if not req_vars:
+            continue
+        # the OPTIONAL pattern must share a variable with the required part
+        shared_var = rng.choice(req_vars)
+        opt = [gen_pattern(rng, force_var="?" + shared_var)]
+        opt_vars = pat_vars(opt)
+        sel = rng.sample(req_vars, rng.randint(1, len(req_vars)))
+        opt_only = [v for v in opt_vars if v not in req_vars]
+        if opt_only and rng.random() < 0.7:
+            sel = sel + [rng.choice(opt_only)]
+
+        body = " . ".join(" ".join(t) for t in req)
+        obody = " . ".join(" ".join(t) for t in opt)
+        sparql = (f"SELECT {' '.join('?' + v for v in sel)} "
+                  f"WHERE {{ {body} OPTIONAL {{ {obody} }} }}")
+
+        rsql, rvars = to_sql_block(req, "r")
+        osql, ovars = to_sql_block(opt, "o_")
+        join_on = " AND ".join(
+            f"req.{v} = opt.{v}" for v in rvars if v in ovars)
+        proj = ", ".join(
+            (f"req.{v} AS {v}" if v in rvars else f"opt.{v} AS {v}")
+            for v in sel)
+        sql = (f"SELECT {proj} FROM {rsql} req LEFT JOIN {osql} opt "
+               f"ON {join_on}")
+
+        got = Counter(tuple(r) for r in
+                      sparql_select(spark, sparql, nodes, edges).collect())
+        want = Counter(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, f"seed {seed}: {sparql}\nSQL: {sql}"
+        checked += 1
+    assert checked >= 50
