@@ -1622,3 +1622,120 @@ def test_random_optionals_match_duckdb(spark, kg):
         assert got == want, f"seed {seed}: {sparql}\nSQL: {sql}"
         checked += 1
     assert checked >= 50
+
+
+def test_random_unions_match_duckdb(spark, kg):
+    """Seeded random queries with a 2-branch UNION block (each branch
+    binding the join variable; branch-only variables NULL-aligned)
+    compiled by sparql_select must match an independent UNION ALL + JOIN
+    SQL translation bag-for-bag — alignment, bag semantics, and the
+    NULL-fill for branch-missing variables."""
+    import random
+    from collections import Counter
+
+    import duckdb
+
+    nodes, edges = kg
+    con = duckdb.connect()
+    con.register("n", nodes.toPandas())
+    con.register("e", edges.toPandas())
+
+    CAT = "biolink:category"
+    ids = ["G:1", "G:2", "T:1", "P:1"]
+    preds = ["biolink:in_taxon", "biolink:has_phenotype"]
+    cats = ["biolink:GenomicEntity", "biolink:OrganismTaxon"]
+    var_pool = ["a", "b", "c"]
+
+    def gen_pattern(rng, force_var=None):
+        p = rng.choice(preds + [CAT])
+        s = force_var or rng.choice(ids + ["?" + rng.choice(var_pool)] * 3)
+        pool = cats if p == CAT else ids
+        o = rng.choice(pool + ["?" + rng.choice(var_pool)] * 3)
+        return (s, p, o)
+
+    def pat_vars(pats):
+        out = []
+        for t in pats:
+            for x in t:
+                if x.startswith("?") and x[1:] not in out:
+                    out.append(x[1:])
+        return out
+
+    def to_sql_block(pats, alias):
+        froms, wheres, first = [], [], {}
+        for i, (s, p, o) in enumerate(pats):
+            if p == CAT:
+                froms.append(f"(SELECT id AS s, category AS o FROM n) "
+                             f"{alias}{i}")
+                cols = {"s": s, "o": o}
+            else:
+                froms.append(f"(SELECT subject AS s, predicate AS p, "
+                             f"object AS o FROM e) {alias}{i}")
+                cols = {"s": s, "p": p, "o": o}
+            for c, term in cols.items():
+                ref = f"{alias}{i}.{c}"
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v in first:
+                        wheres.append(f"{ref} = {first[v]}")
+                    else:
+                        first[v] = ref
+                else:
+                    wheres.append(f"{ref} = '{term}'")
+        w = (" WHERE " + " AND ".join(wheres)) if wheres else ""
+        return froms, w, first
+
+    checked = 0
+    for seed in range(80):
+        rng = random.Random(20_000 + seed)
+        req = [gen_pattern(rng) for _ in range(rng.randint(1, 2))]
+        req_vars = pat_vars(req)
+        if not req_vars:
+            continue
+        shared_var = rng.choice(req_vars)
+        # both branches bind the shared variable (the compiler rejects
+        # partial binding of a join variable by design)
+        b1 = [gen_pattern(rng, force_var="?" + shared_var)]
+        b2 = [gen_pattern(rng, force_var="?" + shared_var)]
+        union_vars = sorted(set(pat_vars(b1)) | set(pat_vars(b2)))
+        # skip seeds where a second shared-with-required var is only
+        # partially bound (the compiler raises SparqlError for those)
+        partial = [v for v in union_vars if v in req_vars and v != shared_var
+                   and (v not in pat_vars(b1) or v not in pat_vars(b2))]
+        if partial:
+            continue
+        sel = rng.sample(req_vars, rng.randint(1, len(req_vars)))
+        extra = [v for v in union_vars if v not in req_vars]
+        if extra and rng.random() < 0.7:
+            sel = sel + [rng.choice(extra)]
+
+        body = " . ".join(" ".join(t) for t in req)
+        u1 = " . ".join(" ".join(t) for t in b1)
+        u2 = " . ".join(" ".join(t) for t in b2)
+        sparql = (f"SELECT {' '.join('?' + v for v in sel)} "
+                  f"WHERE {{ {body} {{ {u1} }} UNION {{ {u2} }} }}")
+
+        rfroms, rw, rfirst = to_sql_block(req, "r")
+        rsql = (f"(SELECT {', '.join(f'{ref} AS {v}' for v, ref in rfirst.items())} "
+                f"FROM {', '.join(rfroms)}{rw})")
+        branch_sqls = []
+        for alias, b in (("x", b1), ("y", b2)):
+            bf, bw, bfirst = to_sql_block(b, alias)
+            cols = ", ".join(
+                (f"{bfirst[v]} AS {v}" if v in bfirst else f"NULL AS {v}")
+                for v in union_vars)
+            branch_sqls.append(f"SELECT {cols} FROM {', '.join(bf)}{bw}")
+        usql = "(" + " UNION ALL ".join(branch_sqls) + ")"
+        join_on = " AND ".join(
+            f"req.{v} = u.{v}" for v in union_vars if v in rfirst)
+        proj = ", ".join(
+            (f"req.{v} AS {v}" if v in rfirst else f"u.{v} AS {v}")
+            for v in sel)
+        sql = f"SELECT {proj} FROM {rsql} req JOIN {usql} u ON {join_on}"
+
+        got = Counter(tuple(r) for r in
+                      sparql_select(spark, sparql, nodes, edges).collect())
+        want = Counter(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, f"seed {seed}: {sparql}\nSQL: {sql}"
+        checked += 1
+    assert checked >= 40
