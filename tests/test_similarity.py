@@ -117,3 +117,31 @@ def test_int8_topk_integer_exact(spark):
     # determinism: integer ranking is bit-stable across runs
     again = sorted(map(tuple, int8_topk(df, queries, k=3).collect()))
     assert again == sorted(map(tuple, out))
+
+
+def test_rp_bucket_spreads_nonnegative_vectors(spark):
+    """Regression: the hyperplane components must be ZERO-MEAN. With the
+    signed-% bug they averaged -1, so every projection of a non-negative
+    vector (hashed BoW) went negative and ~all docs shared ONE bucket per
+    table — LSH degenerated to a near-cross-join. Guard: on 200 distinct
+    non-negative unit vectors, the top bucket holds well under 90% and
+    at least 4 buckets are occupied."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ecokg_spark.operators.dedup import rp_bucket
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        v = [rng.random() for _ in range(16)]
+        n = sum(x * x for x in v) ** 0.5
+        rows.append((f"v{i}", [x / n for x in v]))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    counts = sorted(
+        r["count"] for r in df.select(
+            rp_bucket(F.col("embedding"), 4, 0).alias("b"))
+        .groupBy("b").count().collect())
+    assert len(counts) >= 4, counts
+    assert counts[-1] < 180, counts
