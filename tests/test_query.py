@@ -1739,3 +1739,92 @@ def test_random_unions_match_duckdb(spark, kg):
         assert got == want, f"seed {seed}: {sparql}\nSQL: {sql}"
         checked += 1
     assert checked >= 40
+
+
+def test_random_group_by_aggregates_match_duckdb(spark, kg):
+    """Seeded random aggregate queries — GROUP BY one pattern-bound
+    variable with COUNT / COUNT DISTINCT / MIN / MAX over another —
+    compiled by sparql_select must match an independent SQL GROUP BY
+    translation bag-for-bag."""
+    import random
+    from collections import Counter
+
+    import duckdb
+
+    nodes, edges = kg
+    con = duckdb.connect()
+    con.register("n", nodes.toPandas())
+    con.register("e", edges.toPandas())
+
+    CAT = "biolink:category"
+    ids = ["G:1", "G:2", "T:1", "P:1"]
+    preds = ["biolink:in_taxon", "biolink:has_phenotype"]
+    cats = ["biolink:GenomicEntity", "biolink:OrganismTaxon"]
+    var_pool = ["a", "b", "c"]
+
+    def gen_pattern(rng):
+        p = rng.choice(preds + [CAT])
+        s = rng.choice(ids + ["?" + rng.choice(var_pool)] * 3)
+        pool = cats if p == CAT else ids
+        o = rng.choice(pool + ["?" + rng.choice(var_pool)] * 3)
+        return (s, p, o)
+
+    def to_sql_block(pats):
+        froms, wheres, first = [], [], {}
+        for i, (s, p, o) in enumerate(pats):
+            if p == CAT:
+                froms.append(f"(SELECT id AS s, category AS o FROM n) t{i}")
+                cols = {"s": s, "o": o}
+            else:
+                froms.append(f"(SELECT subject AS s, predicate AS p, "
+                             f"object AS o FROM e) t{i}")
+                cols = {"s": s, "p": p, "o": o}
+            for c, term in cols.items():
+                ref = f"t{i}.{c}"
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v in first:
+                        wheres.append(f"{ref} = {first[v]}")
+                    else:
+                        first[v] = ref
+                else:
+                    wheres.append(f"{ref} = '{term}'")
+        w = (" WHERE " + " AND ".join(wheres)) if wheres else ""
+        return froms, w, first
+
+    AGGS = [
+        ("COUNT(?{v})", "COUNT({r})"),
+        ("COUNT(DISTINCT ?{v})", "COUNT(DISTINCT {r})"),
+        ("MIN(?{v})", "MIN({r})"),
+        ("MAX(?{v})", "MAX({r})"),
+    ]
+
+    checked = 0
+    for seed in range(80):
+        rng = random.Random(30_000 + seed)
+        pats = [gen_pattern(rng) for _ in range(rng.randint(2, 3))]
+        bound = []
+        for t in pats:
+            for x in t:
+                if x.startswith("?") and x[1:] not in bound:
+                    bound.append(x[1:])
+        if len(bound) < 2:
+            continue
+        g, v = rng.sample(bound, 2)
+        sp_agg, sql_agg = rng.choice(AGGS)
+
+        body = " . ".join(" ".join(t) for t in pats)
+        sparql = (f"SELECT ({sp_agg.format(v=v)} AS ?n) ?{g} "
+                  f"WHERE {{ {body} }} GROUP BY ?{g}")
+
+        froms, w, first = to_sql_block(pats)
+        sql = (f"SELECT {sql_agg.format(r=first[v])} AS n, "
+               f"{first[g]} AS {g} FROM {', '.join(froms)}{w} "
+               f"GROUP BY {first[g]}")
+
+        got = Counter(tuple(r) for r in
+                      sparql_select(spark, sparql, nodes, edges).collect())
+        want = Counter(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, f"seed {seed}: {sparql}\nSQL: {sql}"
+        checked += 1
+    assert checked >= 40
