@@ -1828,3 +1828,114 @@ def test_random_group_by_aggregates_match_duckdb(spark, kg):
         assert got == want, f"seed {seed}: {sparql}\nSQL: {sql}"
         checked += 1
     assert checked >= 40
+
+
+def test_random_property_paths_match_python_reference(spark):
+    """Seeded random property-path queries — [^]pred with +/*/? modifiers,
+    2-branch alternations, and 2-step sequences — over random small graphs,
+    compared bag-for-bag against an independent Python evaluator of the
+    documented semantics (closure duplicate-free and cycle-inclusive,
+    zero-length binds every term, alternation bag-unions, sequences keep
+    bag multiplicities through the midpoint join)."""
+    import random
+    from collections import Counter
+
+    P1, P2 = "p:a", "p:b"
+
+    def reach(pairs):
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+        out = set()
+        for a in adj:
+            seen, stack = set(), [*adj[a]]
+            while stack:
+                x = stack.pop()
+                if x in seen:
+                    continue
+                seen.add(x)
+                stack.extend(adj.get(x, ()))
+            out |= {(a, b) for b in seen}
+        return out  # includes (a, a) reachable through a cycle
+
+    def eval_unit(unit, E, terms):
+        """unit = (branches, mod); branches = [(pred, inv)] (1 = plain
+        step, 2 = alternation). Returns a Counter of (x, y) rows."""
+        branches, mod = unit
+        base = Counter()
+        for pred, inv in branches:
+            for s, p, o in E:
+                if p == pred:
+                    base[(o, s) if inv else (s, o)] += 1
+        ident = {(t, t) for t in terms}
+        if mod is None:
+            return base
+        if mod == "+":
+            return Counter(reach(set(base)))
+        if mod == "*":
+            return Counter(reach(set(base)) | ident)
+        return Counter(set(base) | ident)  # '?'
+
+    def eval_path(units, E, terms):
+        rel = eval_unit(units[0], E, terms)
+        for u in units[1:]:
+            nxt = eval_unit(u, E, terms)
+            right = {}
+            for (m, b), c in nxt.items():
+                right.setdefault(m, []).append((b, c))
+            out = Counter()
+            for (a, m), c1 in rel.items():
+                for b, c2 in right.get(m, ()):
+                    out[(a, b)] += c1 * c2
+            rel = out
+        return rel
+
+    def unit_to_sparql(unit):
+        branches, mod = unit
+        m = mod or ""
+        if len(branches) == 1:
+            pred, inv = branches[0]
+            return f"{'^' if inv else ''}{pred}{m}"
+        inner = "|".join(f"{'^' if inv else ''}{p}" for p, inv in branches)
+        return f"({inner}){m}"
+
+    checked = 0
+    for seed in range(40):
+        rng = random.Random(40_000 + seed)
+        n_nodes = rng.randint(4, 8)
+        names = [f"n:{i}" for i in range(n_nodes)]
+        E = set()
+        for _ in range(rng.randint(3, 12)):
+            s, o = rng.sample(names, 2)  # no self-edges
+            E.add((s, rng.choice([P1, P2]), o))
+        E = sorted(E)
+        # node table carries one extra id not in any edge (zero-length
+        # paths must bind it too)
+        nodes = spark.createDataFrame(
+            [(nm, "biolink:NamedThing") for nm in [*names, "n:island"]],
+            "id string, category string")
+        edges = spark.createDataFrame(
+            list(E), "subject string, predicate string, object string")
+        terms = {s for s, _, _ in E} | {o for _, _, o in E} \
+            | set(names) | {"n:island"}
+
+        def gen_unit():
+            if rng.random() < 0.3:
+                branches = [(P1, rng.random() < 0.3),
+                            (P2, rng.random() < 0.3)]
+            else:
+                branches = [(rng.choice([P1, P2]), rng.random() < 0.3)]
+            mod = rng.choice([None, "+", "*", "?"])
+            return (branches, mod)
+
+        units = [gen_unit() for _ in range(rng.randint(1, 2))]
+        path = "/".join(unit_to_sparql(u) for u in units)
+        sparql = f"SELECT ?x ?y WHERE {{ ?x {path} ?y }}"
+
+        got = Counter(tuple(r) for r in
+                      sparql_select(spark, sparql, nodes, edges).collect())
+        want = eval_path(units, E, terms)
+        assert got == want, (f"seed {seed}: {sparql}\nE={E}\n"
+                             f"extra got: {got - want}\nmissing: {want - got}")
+        checked += 1
+    assert checked == 40
