@@ -1939,3 +1939,107 @@ def test_random_property_paths_match_python_reference(spark):
                              f"extra got: {got - want}\nmissing: {want - got}")
         checked += 1
     assert checked == 40
+
+
+def test_random_bind_exprs_match_duckdb(spark, kg):
+    """Seeded random BIND expressions (CONCAT / UCASE / LCASE / STRLEN /
+    SUBSTR / STRAFTER over pattern-bound variables) plus an optional
+    string FILTER (STRSTARTS / STRENDS / CONTAINS), compared bag-for-bag
+    against an independent DuckDB translation."""
+    import random
+    from collections import Counter
+
+    import duckdb
+
+    nodes, edges = kg
+    con = duckdb.connect()
+    con.register("n", nodes.toPandas())
+    con.register("e", edges.toPandas())
+
+    CAT = "biolink:category"
+    ids = ["G:1", "G:2", "T:1", "P:1"]
+    preds = ["biolink:in_taxon", "biolink:has_phenotype"]
+    cats = ["biolink:GenomicEntity", "biolink:OrganismTaxon"]
+    var_pool = ["a", "b"]
+
+    def gen_pattern(rng):
+        p = rng.choice(preds + [CAT])
+        s = rng.choice(ids + ["?" + rng.choice(var_pool)] * 3)
+        pool = cats if p == CAT else ids
+        o = rng.choice(pool + ["?" + rng.choice(var_pool)] * 3)
+        return (s, p, o)
+
+    def to_sql_block(pats):
+        froms, wheres, first = [], [], {}
+        for i, (s, p, o) in enumerate(pats):
+            if p == CAT:
+                froms.append(f"(SELECT id AS s, category AS o FROM n) t{i}")
+                cols = {"s": s, "o": o}
+            else:
+                froms.append(f"(SELECT subject AS s, predicate AS p, "
+                             f"object AS o FROM e) t{i}")
+                cols = {"s": s, "p": p, "o": o}
+            for c, term in cols.items():
+                ref = f"t{i}.{c}"
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v in first:
+                        wheres.append(f"{ref} = {first[v]}")
+                    else:
+                        first[v] = ref
+                else:
+                    wheres.append(f"{ref} = '{term}'")
+        return froms, wheres, first
+
+    # (sparql template, duckdb template) over one variable reference
+    EXPRS = [
+        ('CONCAT(?{v}, "_x")', "{r} || '_x'"),
+        ("UCASE(?{v})", "UPPER({r})"),
+        ("LCASE(?{v})", "LOWER({r})"),
+        ("STRLEN(?{v})", "CAST(LENGTH({r}) AS BIGINT)"),
+        ("SUBSTR(?{v}, 2)", "SUBSTR({r}, 2)"),
+        ("SUBSTR(?{v}, 1, 3)", "SUBSTR({r}, 1, 3)"),
+        ('STRAFTER(?{v}, ":")', "CASE WHEN STRPOS({r}, ':') > 0 THEN "
+                                "SUBSTR({r}, STRPOS({r}, ':') + 1) "
+                                "ELSE '' END"),
+    ]
+    FILTS = [
+        ('FILTER(STRSTARTS(?{v}, "G"))', "{r} LIKE 'G%'"),
+        ('FILTER(STRENDS(?{v}, "1"))', "{r} LIKE '%1'"),
+        ('FILTER(CONTAINS(?{v}, ":"))', "STRPOS({r}, ':') > 0"),
+    ]
+
+    checked = 0
+    for seed in range(60):
+        rng = random.Random(50_000 + seed)
+        pats = [gen_pattern(rng) for _ in range(rng.randint(1, 2))]
+        bound = []
+        for t in pats:
+            for x in t:
+                if x.startswith("?") and x[1:] not in bound:
+                    bound.append(x[1:])
+        if not bound:
+            continue
+        v = rng.choice(bound)
+        sp_expr, sql_expr = rng.choice(EXPRS)
+        filt = rng.choice([None, *FILTS])
+
+        body = " . ".join(" ".join(t) for t in pats)
+        fv = rng.choice(bound)
+        f_sp = filt[0].format(v=fv) if filt else ""
+        sparql = (f"SELECT ?{v} ?z WHERE {{ {body} "
+                  f"BIND({sp_expr.format(v=v)} AS ?z) {f_sp} }}")
+
+        froms, wheres, first = to_sql_block(pats)
+        if filt:
+            wheres.append(filt[1].format(r=first[fv]))
+        w = (" WHERE " + " AND ".join(wheres)) if wheres else ""
+        sql = (f"SELECT {first[v]} AS v, {sql_expr.format(r=first[v])} AS z "
+               f"FROM {', '.join(froms)}{w}")
+
+        got = Counter(tuple(r) for r in
+                      sparql_select(spark, sparql, nodes, edges).collect())
+        want = Counter(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want, f"seed {seed}: {sparql}\nSQL: {sql}"
+        checked += 1
+    assert checked >= 45
