@@ -63,16 +63,16 @@ FUSED_SCHEMA = T.StructType([
 _SENT_MARK_PAT = "([.!?])[ \\t\\r\\n]+"
 
 
-def _process_batch(pdf: pd.DataFrame, lang: str) -> pa.Table:
-    n = len(pdf)
-    url = pa.Array.from_pandas(pdf["url"])
+def _process_batch(url: pa.Array, html: pa.Array, lang_col: pa.Array,
+                   lang: str) -> pa.Table:
+    n = len(url)
 
     # -- extract (EXTRACT_SPEC v5); Arrow/RE2 fast path, pandas fallback for
     # batches whose bytes are not valid UTF-8 (cast cannot errors=replace)
     try:
-        text = _extract_arrow(pc.cast(pa.Array.from_pandas(pdf["html"]), pa.string()))
+        text = _extract_arrow(pc.cast(html, pa.string()))
     except pa.ArrowInvalid:
-        text = pa.Array.from_pandas(_extract_pandas(pdf["html"]))
+        text = pa.Array.from_pandas(_extract_pandas(html.to_pandas()))
 
     # -- sentence split (spec step 6): NUL sentinel is collision-free, the
     # spec guarantees extracted text is NUL-free (step 1.5)
@@ -89,7 +89,7 @@ def _process_batch(pdf: pd.DataFrame, lang: str) -> pa.Table:
     flat_k = pc.take(flat, pa.array(keep))
 
     # -- triple extraction, `lang` pages only (language gate, P9)
-    lang_np = pdf["lang"].to_numpy(dtype=object, na_value=None)
+    lang_np = lang_col.to_numpy(zero_copy_only=False)
     en_pages = np.array([v == lang for v in lang_np], dtype=bool)
     en_idx = np.flatnonzero(en_pages[parent_k] if len(parent_k) else np.zeros(0, bool))
     flat_en = pc.take(flat_k, pa.array(en_idx))
@@ -170,9 +170,18 @@ def fused_extract_triples(pages: DataFrame, lang: str = "en") -> DataFrame:
                       of a `lang` page (mentions set; text NULL)
     """
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf):
-                yield _process_batch(pdf, lang).to_pandas()
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # mapInArrow, not mapInPandas: the batch computation is Arrow
+        # kernels end-to-end, so converting the result Table to pandas and
+        # back (string-object boxing both ways) was pure overhead on the
+        # hottest stage of the whole engine
+        for batch in it:
+            if batch.num_rows:
+                out = _process_batch(
+                    batch.column("url").combine_chunks()
+                    if isinstance(batch.column("url"), pa.ChunkedArray)
+                    else batch.column("url"),
+                    batch.column("html"), batch.column("lang"), lang)
+                yield from out.combine_chunks().to_batches()
 
-    return pages.select("url", "html", "lang").mapInPandas(gen, FUSED_SCHEMA)
+    return pages.select("url", "html", "lang").mapInArrow(gen, FUSED_SCHEMA)

@@ -146,8 +146,9 @@ def test_fused_pass_is_narrow(spark):
                F.sha2(F.encode(F.col("extracted_text"), "UTF-8"), 256)
                ).alias("text_sha256"))
     assert count_exchanges(df) == 0, physical_plan(df)
-    assert "ArrowEvalPython" not in physical_plan(df) or True  # mapInPandas node
-    assert "MapInPandas" in physical_plan(df)
+    # MapInArrow, not MapInPandas: the Arrow->pandas->Arrow round-trip
+    # (string boxing both ways) was pure overhead on the hottest stage
+    assert "MapInArrow" in physical_plan(df)
 
 
 def test_fused_edge_path_single_exchange(spark, tmp_path):
