@@ -1,5 +1,6 @@
 """Fused corpus pass: scan -> extract -> sentence split -> triple extraction
-in ONE mapInPandas stage with ONE Arrow round-trip.
+in ONE mapInArrow stage with ONE Arrow round-trip (no pandas
+conversion anywhere).
 
 Why this exists (measured, see BENCH/BASELINE.md): the staged pipeline
 (extract UDF -> localCheckpoint -> split/explode -> triple UDF ->

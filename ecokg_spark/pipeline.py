@@ -3,7 +3,7 @@ canonicalize -> merge -> stats (the north-star pipeline).
 
 Shuffle budget of the whole plan (the thing that matters at 100 TB):
 
-  fused corpus pass ....... ONE narrow mapInPandas stage (scan -> extract ->
+  fused corpus pass ....... ONE narrow mapInArrow stage (scan -> extract ->
                             split -> triple match, operators/fused.py); the
                             only materialized corpus-side artifact is the
                             small audit+triples relation — page text never

@@ -38,7 +38,7 @@ def streaming_triples(pages_stream: DataFrame) -> DataFrame:
 
 def streaming_fused(pages_stream: DataFrame) -> DataFrame:
     """pages stream -> fused audit+triples+combiner stream: the SAME
-    single-pass mapInPandas operator as the batch pipeline
+    single-pass mapInArrow operator as the batch pipeline
     (operators/fused.py) — stateless and narrow, so it composes with
     readStream unchanged. One micro-batch pass yields audit rows
     (sent_id=-1), triple rows (sent_id>=0) and the linking/edge combiner
