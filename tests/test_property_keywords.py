@@ -4,9 +4,17 @@ PMI, and word-unigram entropy — vs dict references using math.log."""
 
 import math
 import re
+from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+
+def _r6(x: float) -> float:
+    """Spark's ROUND(double, 6): shortest-repr BigDecimal + HALF_UP (NOT
+    Python's banker's round — matters because these values feed ranking)."""
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"),
+                                           rounding=ROUND_HALF_UP))
 
 _S = dict(deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
@@ -42,7 +50,7 @@ def test_tfidf_topk_matches_python_reference(spark, texts, k):
     for d, _ in docs:
         terms = [(w, c) for (dd, w), c in tf.items() if dd == d]
         scored = sorted(
-            ((round(c * math.log(n / dfreq[w]), 6), w) for w, c in terms),
+            ((_r6(c * math.log(n / dfreq[w])), w) for w, c in terms),
             key=lambda x: (-x[0], x[1]))
         for rk, (s, w) in enumerate(scored[:k], start=1):
             exp[(d, w, rk)] = s
@@ -73,8 +81,8 @@ def test_cooccurrence_pmi_matches_python_reference(spark, texts, min_pairs):
             for b in words[i + 1:]:
                 pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
     exp = {
-        pair: (c, round(math.log(c * n / (singles[pair[0]]
-                                          * singles[pair[1]])), 6))
+        pair: (c, _r6(math.log(c * n / (singles[pair[0]]
+                                        * singles[pair[1]]))))
         for pair, c in pair_counts.items() if c >= min_pairs}
     assert set(got) == set(exp)
     for pair, (c, pmi) in exp.items():
@@ -102,7 +110,7 @@ def test_doc_word_entropy_matches_python_reference(spark, texts):
             counts[w] = counts.get(w, 0) + 1
         n = len(toks)
         h = math.log(n) - sum(c * math.log(c) for c in counts.values()) / n
-        exp[d] = (n, round(h, 6))
+        exp[d] = (n, _r6(h))
     assert set(got) == set(exp)
     for d, (n, h) in exp.items():
         assert got[d][0] == n
