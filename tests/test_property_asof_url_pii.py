@@ -130,8 +130,6 @@ _URLS = st.sampled_from([
 @settings(max_examples=10, **_S)
 @given(st.lists(_URLS, min_size=1, max_size=12))
 def test_url_canonicalize_and_surt_match_python(spark, urls):
-    import pyspark.sql.functions as F
-
     from ecokg_spark.functions.url import url_canonicalize, url_surt
 
     df = spark.createDataFrame([(u,) for u in urls], "url string")
@@ -169,8 +167,6 @@ _PII_PIECE = st.sampled_from([
 @settings(max_examples=12, **_S)
 @given(st.lists(_PII_PIECE, min_size=1, max_size=6))
 def test_pii_redaction_matches_python_reference(spark, pieces):
-    import pyspark.sql.functions as F
-
     from ecokg_spark.functions.pii import pii_counts, redact_pii
 
     text = " | ".join(pieces)
