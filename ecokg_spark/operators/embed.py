@@ -109,9 +109,10 @@ def group_centroids(
     repr for the same float) and then to DECIMAL(38, `decimal_scale`),
     so the per-dimension sum is exact integer arithmetic (no float
     accumulation-order drift and no engine-specific float->decimal
-    rounding); the single mean division back to double is then
-    deterministic up to the decimal->double conversion's last ulp, which
-    the final ROUND(mean, 12) absorbs. Components smaller than ~1e-10
+    rounding); the single mean division back to double goes THROUGH the
+    decimal's string form, so it is the correctly-rounded strtod result
+    on every engine — bit-identical, no post-hoc ROUND needed (the
+    oracle replays the same staging verbatim). Components below ~1e-10
     would need more than `decimal_scale` places and round — fine for
     unit-scale embeddings. Shape:
     posexplode to (group, dim, value) -> ONE map-side-combinable shuffle
